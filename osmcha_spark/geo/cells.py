@@ -1,0 +1,176 @@
+"""S2-style quadtree cell index: Morton (Z-order) interleave of quantized
+lon/lat at a fixed level.
+
+The reference has no spatial index at all — ``ChangesetList.filter``
+(osmcha/changeset.py:239-245) runs an exact geometry test per row. At
+10^12 rows that is the scalability cliff; this module supplies the coarse
+cell equi-join key that turns every spatial predicate into a Catalyst-native
+hash join with pushdown-able int64 keys.
+
+Spec (ours, deterministic, golden-pinned):
+
+- level ``L`` in [0, 16]; grid is ``2^L × 2^L`` over lon ∈ [-180, 180],
+  lat ∈ [-90, 90] (equirectangular — adequate for an index; exact predicates
+  always re-check).
+- ``x = clamp(floor((lon+180)/360 * 2^L), 0, 2^L-1)``, same for ``y`` with
+  (lat+90)/180.
+- ``cell = morton(x, y) | (L << 56)``: x in even bits, y in odd bits, level
+  tag in the high byte so ids from different levels never collide.
+
+Three equivalent implementations, cross-checked in tests:
+``cell_col`` (pure Column — JVM, codegen, no UDF), ``cell_sql`` (ANSI SQL
+text for the DuckDB oracle), ``cell_np`` (numpy for inside-UDF contexts).
+The bit-spread uses the classic branch-free magic-mask sequence, so the
+Column version is 10 integer ops — cheap enough to compute inline at scan
+time and never worth materializing RDD-side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SPREAD_MASKS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_col(v: Column) -> Column:
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def _axis_col(coord: Column, offset: float, span: float, level: int) -> Column:
+    lim = 1 << level
+    raw = F.floor((coord + F.lit(offset)) / F.lit(span) * F.lit(float(lim)))
+    return F.least(F.greatest(raw.cast("long"), F.lit(0)), F.lit(lim - 1))
+
+
+def cell_col(lon: Column, lat: Column, level: int) -> Column:
+    """int64 cell id as a pure Column expression."""
+    x = _spread_col(_axis_col(lon, 180.0, 360.0, level))
+    y = _spread_col(_axis_col(lat, 90.0, 180.0, level))
+    return (
+        x.bitwiseOR(F.shiftleft(y, 1)).bitwiseOR(F.lit(level << 56))
+    )
+
+
+def _spread_sql(expr: str) -> str:
+    out = f"({expr} & 65535)"
+    for shift, mask in _SPREAD_MASKS:
+        out = f"((({out} | ({out} << {shift}))) & {mask})"
+    return out
+
+
+def _axis_sql(expr: str, offset: float, span: float, level: int) -> str:
+    lim = 1 << level
+    raw = (
+        f"CAST(floor((({expr}) + {offset}) / {span} * {float(lim)}) AS BIGINT)"
+    )
+    return f"least(greatest({raw}, 0), {lim - 1})"
+
+
+def cell_sql(lon_expr: str, lat_expr: str, level: int) -> str:
+    """The same cell id as dialect-neutral SQL (DuckDB + Spark SQL)."""
+    x = _spread_sql(_axis_sql(lon_expr, 180.0, 360.0, level))
+    y = _spread_sql(_axis_sql(lat_expr, 90.0, 180.0, level))
+    return f"(({x}) | (({y}) << 1) | {level << 56})"
+
+
+def _spread_np(v: np.ndarray) -> np.ndarray:
+    v = v & 0xFFFF
+    for shift, mask in _SPREAD_MASKS:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def cell_np(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    lim = 1 << level
+    x = np.clip(
+        np.floor((lon + 180.0) / 360.0 * float(lim)).astype(np.int64), 0, lim - 1
+    )
+    y = np.clip(
+        np.floor((lat + 90.0) / 180.0 * float(lim)).astype(np.int64), 0, lim - 1
+    )
+    return _spread_np(x) | (_spread_np(y) << 1) | np.int64(level << 56)
+
+
+def cell_level_for_radius(radius_deg: float) -> int:
+    """Finest level whose cell edge (in degrees of lon) still covers
+    ``radius_deg``, so a cell + its 8 neighbors is a complete candidate set
+    for any radius-bounded search."""
+    level = int(math.floor(math.log2(360.0 / radius_deg))) if radius_deg > 0 else 16
+    return max(0, min(16, level))
+
+
+def _xy_cols(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:
+    return (
+        _axis_col(lon, 180.0, 360.0, level),
+        _axis_col(lat, 90.0, 180.0, level),
+    )
+
+
+def neighbors_col(lon: Column, lat: Column, level: int) -> Column:
+    """array<long> of the point's cell and its ≤8 grid neighbors (clamped at
+    the grid edge, deduplicated). The standard kNN/radius candidate key set."""
+    lim = 1 << level
+    x, y = _xy_cols(lon, lat, level)
+    cells = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nx = F.least(F.greatest(x + dx, F.lit(0)), F.lit(lim - 1))
+            ny = F.least(F.greatest(y + dy, F.lit(0)), F.lit(lim - 1))
+            cells.append(
+                _spread_col(nx)
+                .bitwiseOR(F.shiftleft(_spread_col(ny), 1))
+                .bitwiseOR(F.lit(level << 56))
+            )
+    return F.array_distinct(F.array(*cells))
+
+
+def covering_cells_col(
+    min_lon: Column, min_lat: Column, max_lon: Column, max_lat: Column,
+    level: int,
+) -> Column:
+    """Polyfill: array<long> of every level-L cell overlapping the bbox.
+
+    Pure Column (sequence + nested transform + flatten) so Catalyst keeps it
+    JVM-side; callers explode it to get the (cell, row) assignment pairs that
+    feed the raster↔vector equi-join. Degenerate (point/line) bboxes yield
+    their single covering cell. NULL coords yield NULL (no cells).
+    """
+    x0, y0 = _xy_cols(min_lon, min_lat, level)
+    x1, y1 = _xy_cols(max_lon, max_lat, level)
+    xs = F.sequence(x0, x1)
+    ys = F.sequence(y0, y1)
+    return F.flatten(
+        F.transform(
+            xs,
+            lambda x: F.transform(
+                ys,
+                lambda y: _spread_col(x)
+                .bitwiseOR(F.shiftleft(_spread_col(y), 1))
+                .bitwiseOR(F.lit(level << 56)),
+            ),
+        )
+    )
+
+
+def covering_cells_count_sql(
+    min_lon: str, min_lat: str, max_lon: str, max_lat: str, level: int
+) -> str:
+    """Oracle helper: |polyfill(bbox, L)| as portable SQL — the product of
+    the x and y index ranges."""
+    x0 = _axis_sql(min_lon, 180.0, 360.0, level)
+    x1 = _axis_sql(max_lon, 180.0, 360.0, level)
+    y0 = _axis_sql(min_lat, 90.0, 180.0, level)
+    y1 = _axis_sql(max_lat, 90.0, 180.0, level)
+    return f"(({x1}) - ({x0}) + 1) * (({y1}) - ({y0}) + 1)"

@@ -1,0 +1,81 @@
+"""Replication-file source: gzipped changeset-XML batches → changesets rows.
+
+Re-expresses ``ChangesetList.read_file`` + ``changeset_info``
+(osmcha/changeset.py:213-228, 77-93) as a distributed scan: one replication
+file ≈ one minute of edits, files are independent → ``binaryFile`` scan +
+``mapInPandas`` doing gunzip + ElementTree per file. Embarrassingly parallel
+(one task per file; at planet scale, millions of small files → coalesce by
+``spark.sql.files.maxPartitionBytes`` or compact upstream).
+
+The tag pivot keeps the reference's dict-zip last-wins override
+(osmcha/changeset.py:84-93): an XML ``<tag k>`` literally named ``id``/
+``user``/``uid``/``created_at``/``comments_count`` is silently overridden by
+the attribute-derived value, because the attribute columns are written after
+the tag map is built and the map never holds mandatory keys.
+"""
+
+from __future__ import annotations
+
+import gzip
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+CHANGESETS_SCHEMA = (
+    "id long, user string, uid string, created_at string, "
+    "comments_count string, min_lon double, min_lat double, "
+    "max_lon double, max_lat double, tags map<string,string>"
+)
+
+
+def _parse_file(content: bytes) -> list[dict]:
+    root = ET.fromstring(gzip.decompress(content))
+    rows = []
+    for ch in root:
+        # Tag pivot (changeset_info): tags first, attributes override.
+        tags = {t.attrib.get("k"): t.attrib.get("v") for t in ch}
+        for k in ("id", "user", "uid", "created_at", "comments_count"):
+            tags.pop(k, None)  # attribute wins (dict-zip last-wins parity)
+
+        def fattr(name: str) -> float | None:
+            v = ch.get(name)
+            return float(v) if v is not None else None
+
+        rows.append(
+            {
+                "id": int(ch.get("id")),
+                "user": ch.get("user"),
+                "uid": ch.get("uid"),
+                "created_at": ch.get("created_at"),
+                "comments_count": ch.get("comments_count"),
+                "min_lon": fattr("min_lon"),
+                "min_lat": fattr("min_lat"),
+                "max_lon": fattr("max_lon"),
+                "max_lat": fattr("max_lat"),
+                "tags": tags,
+            }
+        )
+    return rows
+
+
+def read_replication(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``*.osm.gz`` replication files under ``path`` into the
+    changesets schema."""
+    binary = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for content in pdf["content"]:
+                out.extend(_parse_file(bytes(content)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id", "user", "uid", "created_at", "comments_count",
+                    "min_lon", "min_lat", "max_lon", "max_lat", "tags",
+                ],
+            )
+
+    return binary.mapInPandas(parse, CHANGESETS_SCHEMA)

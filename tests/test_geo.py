@@ -1,0 +1,182 @@
+"""Spatial engine tests: cell index parity across all three
+implementations, PIP conventions, exact intersects, and the reference's
+AOI-filter golden (exactly changeset 31982803 survives map.geojson —
+reference tests/test_mod.py:53-57)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmcha_spark.fixtures import AOI_CONCAVE, AOI_RING
+from osmcha_spark.geo.cells import (
+    cell_col,
+    cell_np,
+    cell_sql,
+    covering_cells_col,
+    neighbors_col,
+)
+from osmcha_spark.geo.intersects import (
+    rect_ring_intersects_np,
+    rect_ring_intersects_udf,
+)
+from osmcha_spark.geo.pip import point_in_ring_col, point_in_ring_np, ring_literal
+from osmcha_spark.operators.aoi import filter_by_aoi, aoi_join
+
+LONS = [-179.99, -71.06, 0.0, 0.1, 13.37, 179.99, 180.0, -180.0]
+LATS = [-89.9, -15.75, 0.0, 44.24, 61.7, 89.9, 90.0, -90.0]
+POINTS = list(zip(LONS, LATS))
+
+
+@pytest.mark.parametrize("level", [0, 4, 8, 12, 16])
+def test_cell_three_way_parity(spark, level):
+    df = spark.createDataFrame(POINTS, "lon double, lat double")
+    got_col = [
+        r["c"]
+        for r in df.select(
+            cell_col(F.col("lon"), F.col("lat"), level).alias("c")
+        ).collect()
+    ]
+    got_np = cell_np(
+        np.array(LONS, dtype=np.float64), np.array(LATS, dtype=np.float64),
+        level,
+    ).tolist()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in POINTS)
+        + ") t(lon, lat)"
+    )
+    got_sql = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {cell_sql('lon', 'lat', level)} FROM pts"
+        ).fetchall()
+    ]
+    assert got_col == got_np == got_sql
+
+
+def test_cell_levels_disjoint(spark):
+    a = cell_np(np.array([0.0]), np.array([0.0]), 4)[0]
+    b = cell_np(np.array([0.0]), np.array([0.0]), 5)[0]
+    assert a != b  # level tag in high byte
+
+
+def test_covering_cells_and_neighbors(spark):
+    df = spark.createDataFrame(
+        [(-71.06, 44.23, -71.00, 44.24)],
+        "min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    cells = df.select(
+        covering_cells_col(
+            F.col("min_lon"), F.col("min_lat"),
+            F.col("max_lon"), F.col("max_lat"), 12,
+        ).alias("cells")
+    ).collect()[0]["cells"]
+    # the bbox's corner cells must be covered
+    c0 = cell_np(np.array([-71.06]), np.array([44.23]), 12)[0]
+    c1 = cell_np(np.array([-71.00]), np.array([44.24]), 12)[0]
+    assert c0 in cells and c1 in cells
+    assert len(set(cells)) == len(cells)
+
+    nb = df.select(
+        neighbors_col(F.col("min_lon"), F.col("min_lat"), 12).alias("n")
+    ).collect()[0]["n"]
+    assert c0 in nb
+    assert 4 <= len(nb) <= 9
+
+
+def test_pip_conventions(spark):
+    ring = AOI_CONCAVE  # the "C" shape
+    cases = [
+        (0.5, 0.5, True),    # inside the solid part
+        (2.0, 2.0, False),   # inside the notch
+        (2.0, 0.5, True),
+        (5.0, 5.0, False),   # outside
+        (0.5, 3.5, True),
+    ]
+    lon = np.array([c[0] for c in cases])
+    lat = np.array([c[1] for c in cases])
+    exp = [c[2] for c in cases]
+    assert point_in_ring_np(lon, lat, np.array(ring)).tolist() == exp
+
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in cases], "lon double, lat double"
+    )
+    got = [
+        r["hit"]
+        for r in df.select(
+            point_in_ring_col(
+                F.col("lon"), F.col("lat"), ring_literal(ring)
+            ).alias("hit")
+        ).collect()
+    ]
+    assert got == exp
+
+
+def test_rect_ring_intersects_cases():
+    ring = np.array(AOI_CONCAVE)
+    rects = [
+        # (min_lon, min_lat, max_lon, max_lat, expected)
+        (0.2, 0.2, 0.8, 0.8, True),      # fully inside solid part
+        (1.5, 1.5, 2.5, 2.5, False),     # fully inside the notch
+        (-1.0, -1.0, 5.0, 5.0, True),    # contains the polygon
+        (10.0, 10.0, 11.0, 11.0, False), # far away
+        (3.5, 1.5, 5.0, 2.5, False),     # sits in the open notch mouth
+        (4.0, 0.5, 6.0, 0.6, True),      # touches the x=4 edge
+        (2.0, 2.0, 2.0, 2.0, False),     # degenerate point in notch
+        (0.5, 0.5, 0.5, 0.5, True),      # degenerate point inside
+        (np.nan, np.nan, np.nan, np.nan, False),  # empty bbox
+    ]
+    got = rect_ring_intersects_np(
+        np.array([r[0] for r in rects]),
+        np.array([r[1] for r in rects]),
+        np.array([r[2] for r in rects]),
+        np.array([r[3] for r in rects]),
+        ring,
+    ).tolist()
+    assert got == [r[4] for r in rects]
+
+
+def test_aoi_filter_golden(spark, tables):
+    """The reference fixture golden: 25 changesets, map.geojson AOI,
+    exactly id 31982803 survives."""
+    cs = tables["changesets"].where(
+        (F.col("id") == 31982803)
+        | F.col("id").between(31984152, 31984188)
+    )  # exactly the 25 rows of 245.osm.gz
+    assert cs.count() == 25
+    out = filter_by_aoi(cs, AOI_RING)
+    assert [r["id"] for r in out.select("id").collect()] == [31982803]
+
+
+def test_aoi_filter_exact_udf_agrees(spark, tables):
+    cs = tables["changesets"].where(
+        (F.col("id") == 31982803)
+        | F.col("id").between(31984152, 31984188)
+    )
+    # force the generic (non-rectangle) path by perturbing one vertex by 0
+    ring = AOI_RING[:-1] + [AOI_RING[0]]
+    out = filter_by_aoi(cs, ring)
+    udf = rect_ring_intersects_udf(ring)
+    brute = cs.where(
+        F.coalesce(
+            udf(F.col("min_lon"), F.col("min_lat"),
+                F.col("max_lon"), F.col("max_lat")),
+            F.lit(False),
+        )
+    )
+    assert sorted(r["id"] for r in out.select("id").collect()) == sorted(
+        r["id"] for r in brute.select("id").collect()
+    )
+
+
+def test_aoi_join_multi(spark, tables):
+    cs = tables["changesets"].where(
+        (F.col("id") == 31982803)
+        | F.col("id").between(31984152, 31984188)
+    )
+    out = aoi_join(cs, tables["aoi"], level=8)
+    pairs = {(r["aoi_id"], r["id"]) for r in out.select("aoi_id", "id").collect()}
+    assert ("map", 31982803) in pairs
+    assert all(a != "concave" for a, _ in pairs)  # no fixture bbox near (0..4)

@@ -1,0 +1,75 @@
+"""Word-rule semantics: the 14 find_words cases of the reference
+(tests/test_mod.py:15-33) re-asserted against BOTH engine paths (fast
+Column regexp and parity pandas UDF) plus the pure-Python oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmcha_spark.config import (
+    COMMON_SUSPECT_WORDS,
+    EXCLUDED_WORDS,
+    ILLEGAL_SOURCES,
+)
+from osmcha_spark.functions.words import (
+    find_words_col,
+    find_words_py,
+    make_pattern,
+)
+from tests import oracle_py
+
+SUSPECT = ILLEGAL_SOURCES + COMMON_SUSPECT_WORDS
+
+CASES = [
+    ("import buildings", None, True),
+    ("imported Importação unimportant", EXCLUDED_WORDS, True),
+    ("important edit", EXCLUDED_WORDS, False),
+    ("Where is here?", EXCLUDED_WORDS, False),
+    ("GooGle is not important", EXCLUDED_WORDS, True),
+    ("somewhere in the world", EXCLUDED_WORDS, False),
+    ("дані по імпорту", EXCLUDED_WORDS, True),
+    ("places from яндекс", EXCLUDED_WORDS, True),
+    ("places from 2gis", EXCLUDED_WORDS, True),
+    ("places from 2гис", EXCLUDED_WORDS, True),
+    ("places from yandex", EXCLUDED_WORDS, True),
+    ("Yandex Panorama", EXCLUDED_WORDS, False),
+    ("Яндекс Панорамы", EXCLUDED_WORDS, False),
+    ("Яндекс.Панорамы", EXCLUDED_WORDS, False),
+]
+
+
+def test_make_pattern_no_escaping():
+    pat = make_pattern(["goo.gl"])
+    assert pat == r"^goo.gl\.*|\.* goo.gl\.*"
+
+
+@pytest.mark.parametrize("text,excluded,expected", CASES)
+def test_oracle_py_matches_reference_asserts(text, excluded, expected):
+    assert oracle_py.find_words(text, SUSPECT, excluded or ()) is expected
+
+
+def test_fast_column_path(spark):
+    df = spark.createDataFrame([(t,) for t, _, _ in CASES], "text string")
+    got = df.select(
+        "text",
+        find_words_col(F.col("text"), SUSPECT, EXCLUDED_WORDS).alias("hit"),
+        find_words_col(F.col("text"), SUSPECT).alias("hit_noexcl"),
+    ).collect()
+    by_text = {r["text"]: r for r in got}
+    for text, excluded, expected in CASES:
+        col = "hit" if excluded else "hit_noexcl"
+        assert by_text[text][col] is expected, text
+
+
+def test_parity_udf_path(spark):
+    df = spark.createDataFrame([(t,) for t, _, _ in CASES], "text string")
+    udf_excl = find_words_py(SUSPECT, EXCLUDED_WORDS)
+    udf_plain = find_words_py(SUSPECT)
+    got = df.select(
+        "text",
+        udf_excl(F.col("text")).alias("hit"),
+        udf_plain(F.col("text")).alias("hit_noexcl"),
+    ).collect()
+    by_text = {r["text"]: r for r in got}
+    for text, excluded, expected in CASES:
+        col = "hit" if excluded else "hit_noexcl"
+        assert by_text[text][col] is expected, text
