@@ -374,6 +374,10 @@ def write_fixtures(data_dir: str) -> None:
         os.path.join(data_dir, "users.parquet"),
     )
 
+    from osmcha_spark.images.corpus import write_images_parquet
+
+    write_images_parquet(os.path.join(data_dir, "images.parquet"), 160)
+
     pq.write_table(
         pa.Table.from_pylist(
             [

@@ -104,10 +104,12 @@ def cell_np(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
 
 
 def cell_level_for_radius(radius_deg: float) -> int:
-    """Finest level whose cell edge (in degrees of lon) still covers
-    ``radius_deg``, so a cell + its 8 neighbors is a complete candidate set
-    for any radius-bounded search."""
-    level = int(math.floor(math.log2(360.0 / radius_deg))) if radius_deg > 0 else 16
+    """Finest level whose cell edge still covers ``radius_deg`` on BOTH
+    axes, so a cell + its 8 neighbors is a complete candidate set for any
+    radius-bounded search. The binding axis is latitude: the grid maps a
+    180° lat span to 2^L cells, so cell height = 180/2^L (half the lon
+    width) — sizing by lon alone under-covers in lat."""
+    level = int(math.floor(math.log2(180.0 / radius_deg))) if radius_deg > 0 else 16
     return max(0, min(16, level))
 
 
@@ -118,22 +120,56 @@ def _xy_cols(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:
     )
 
 
+def _morton_from_xy(x: Column, y: Column, level: int) -> Column:
+    return (
+        _spread_col(x)
+        .bitwiseOR(F.shiftleft(_spread_col(y), 1))
+        .bitwiseOR(F.lit(level << 56))
+    )
+
+
+_NEIGHBOR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
 def neighbors_col(lon: Column, lat: Column, level: int) -> Column:
     """array<long> of the point's cell and its ≤8 grid neighbors (clamped at
-    the grid edge, deduplicated). The standard kNN/radius candidate key set."""
+    the grid edge, deduplicated). The standard kNN/radius candidate key set.
+
+    The quantized (x, y) pair is let-bound via a single-element struct array
+    so the axis expression appears ONCE in the plan — inlining it 9× blows
+    the expression tree past the whole-stage-codegen size limit and drops
+    the projection to interpreted mode (observed; that is a real 100-TB
+    regression, not cosmetics)."""
     lim = 1 << level
     x, y = _xy_cols(lon, lat, level)
-    cells = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            nx = F.least(F.greatest(x + dx, F.lit(0)), F.lit(lim - 1))
-            ny = F.least(F.greatest(y + dy, F.lit(0)), F.lit(lim - 1))
-            cells.append(
-                _spread_col(nx)
-                .bitwiseOR(F.shiftleft(_spread_col(ny), 1))
-                .bitwiseOR(F.lit(level << 56))
+    xy = F.array(F.struct(x.alias("x"), y.alias("y")))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NEIGHBOR_OFFSETS
+        ]
+    )
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                xy,
+                lambda s: F.transform(
+                    offsets,
+                    lambda d: _morton_from_xy(
+                        F.least(
+                            F.greatest(s["x"] + d["dx"], F.lit(0)),
+                            F.lit(lim - 1),
+                        ),
+                        F.least(
+                            F.greatest(s["y"] + d["dy"], F.lit(0)),
+                            F.lit(lim - 1),
+                        ),
+                        level,
+                    ),
+                ),
             )
-    return F.array_distinct(F.array(*cells))
+        )
+    )
 
 
 def covering_cells_col(
@@ -146,19 +182,28 @@ def covering_cells_col(
     JVM-side; callers explode it to get the (cell, row) assignment pairs that
     feed the raster↔vector equi-join. Degenerate (point/line) bboxes yield
     their single covering cell. NULL coords yield NULL (no cells).
+
+    Same let-binding pattern as neighbors_col: the four axis expressions are
+    bound once in a struct array, keeping the tree codegen-sized.
     """
     x0, y0 = _xy_cols(min_lon, min_lat, level)
     x1, y1 = _xy_cols(max_lon, max_lat, level)
-    xs = F.sequence(x0, x1)
-    ys = F.sequence(y0, y1)
+    bounds = F.array(
+        F.struct(
+            x0.alias("x0"), x1.alias("x1"), y0.alias("y0"), y1.alias("y1")
+        )
+    )
     return F.flatten(
         F.transform(
-            xs,
-            lambda x: F.transform(
-                ys,
-                lambda y: _spread_col(x)
-                .bitwiseOR(F.shiftleft(_spread_col(y), 1))
-                .bitwiseOR(F.lit(level << 56)),
+            bounds,
+            lambda b: F.flatten(
+                F.transform(
+                    F.sequence(b["x0"], b["x1"]),
+                    lambda x: F.transform(
+                        F.sequence(b["y0"], b["y1"]),
+                        lambda y: _morton_from_xy(x, y, level),
+                    ),
+                )
             ),
         )
     )

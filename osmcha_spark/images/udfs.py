@@ -1,0 +1,95 @@
+"""Arrow-vectorized image UDFs: the Spark-side plumbing for the binary
+image column (no per-row Python dispatch; batch loops only).
+
+- ``decode_pixels_udf`` — (bytes, fmt) → struct(w, h, pixels binary):
+  decoded RGB as a flat binary column (HxWx3 row-major). Binary-in/
+  binary-out keeps Arrow transfer compact; downstream numpy views it
+  zero-copy.
+- ``phash_udf`` — (bytes, fmt) → int64 aHash recomputed from pixels
+  (must equal the corpus generator's stored phash bit-for-bit).
+- ``psnr_udf`` — (bytes_a, fmt_a, bytes_b, fmt_b) → double PSNR between
+  two encodings' decoded pixels (the per-row lossy invariant).
+- ``grayscale_stats_udf`` — feature extraction example: mean/std of the
+  grayscale channel.
+- ``resize_block_udf`` — block-mean downsample by integer factor: the
+  decode → transform → re-encode plumbing for multimodal pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from osmcha_spark.images.codec import decode_image, encode_image, psnr
+from osmcha_spark.images.phash import ahash64
+
+
+@pandas_udf("w int, h int, pixels binary")
+def decode_pixels_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    out = []
+    for b, f in zip(data, fmt):
+        if b is None:
+            out.append({"w": None, "h": None, "pixels": None})
+            continue
+        px = decode_image(bytes(b), f)
+        out.append({"w": px.shape[1], "h": px.shape[0],
+                    "pixels": px.tobytes()})
+    return pd.DataFrame(out)
+
+
+@pandas_udf("long")
+def phash_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            ahash64(decode_image(bytes(b), f)) if b is not None else None
+            for b, f in zip(data, fmt)
+        ],
+        dtype="Int64",
+    )
+
+
+@pandas_udf("double")
+def psnr_udf(
+    data_a: pd.Series, fmt_a: pd.Series,
+    data_b: pd.Series, fmt_b: pd.Series,
+) -> pd.Series:
+    vals = []
+    for ba, fa, bb, fb in zip(data_a, fmt_a, data_b, fmt_b):
+        pa_ = decode_image(bytes(ba), fa)
+        pb_ = decode_image(bytes(bb), fb)
+        vals.append(psnr(pa_, pb_))
+    return pd.Series(vals, dtype="float64")
+
+
+@pandas_udf("mean double, std double")
+def grayscale_stats_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    out = []
+    for b, f in zip(data, fmt):
+        px = decode_image(bytes(b), f).astype(np.float64)
+        gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        out.append({"mean": float(gray.mean()), "std": float(gray.std())})
+    return pd.DataFrame(out)
+
+
+def resize_block_udf(factor: int, out_fmt: str = "ppm"):
+    """Factory: (bytes, fmt) → re-encoded bytes downsampled by block mean.
+    Dims must be divisible by ``factor`` (corpus dims are)."""
+
+    @pandas_udf("binary")
+    def _resize(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, f in zip(data, fmt):
+            px = decode_image(bytes(b), f)
+            h, w, _ = px.shape
+            hc, wc = h - h % factor, w - w % factor
+            small = (
+                px[:hc, :wc]
+                .reshape(hc // factor, factor, wc // factor, factor, 3)
+                .mean(axis=(1, 3))
+                .astype(np.uint8)
+            )
+            out.append(encode_image(small, out_fmt))
+        return pd.Series(out)
+
+    return _resize

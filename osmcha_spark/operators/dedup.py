@@ -1,0 +1,206 @@
+"""Text deduplication operators for training-data pipelines.
+
+Engine-only (no reference counterpart; SURVEY.md §2 engine rows): the
+standard large-corpus dedup ladder, each expressed as native DataFrame ops
+with portable arithmetic so DuckDB can oracle-check every stage.
+
+- **exact_dedup** — md5-keyed group-by; keeps the lowest doc_id per text.
+  One shuffle on a 128-bit key; at 100 TB, partial aggregation means each
+  mapper emits one row per distinct local text.
+- **shingles** — character 3-grams of lower(text), distinct per doc, via
+  ``sequence`` + ``transform`` (JVM-side; no UDF).
+- **minhash_signatures / minhash_candidates** — MinHash+LSH:
+  ``h_i(s) = (a_i·H(s) + b_i) mod p`` with p = 2^31-1 and H(s) a 60-bit
+  md5 prefix mod p — all integer Column arithmetic, reproducible in ANSI
+  SQL (no engine-private hash). Signatures band into LSH buckets; pairs
+  sharing a band bucket are candidates (self-join on the band key).
+- **jaccard_pairs** — exact n-gram Jaccard via inverted-index join
+  (explode shingles → join on shingle → count-per-pair), the verification
+  stage after LSH or a standalone exact dedup at moderate scale.
+- **simhash** — 64-bit SimHash over whitespace tokens: per-bit ±1 majority
+  vote of token hashes, assembled with integer Column math.
+
+Scale notes: every self-join here is an equi-join on a derived integer/
+string key — broadcast-able when one side is small, AQE-splittable when
+skewed (a stop-shingle is a hot key; ``jaccard_pairs`` drops shingles with
+document frequency > ``max_df`` exactly like an inverted index drops stop
+words).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Portable 31-bit universal-hash family: p Mersenne, (a_i, b_i) fixed odd
+# constants < p. Products stay < 2^62 — safe in any engine's int64.
+MINHASH_P = 2_147_483_647
+MINHASH_COEFFS = [
+    (1_203_077_359, 456_789_123), (754_923_881, 987_654_321),
+    (1_847_591_203, 13_579_111), (392_812_117, 864_201_357),
+    (1_555_555_333, 777_777_101), (611_234_567, 246_810_121),
+    (1_999_999_817, 135_791_113), (888_888_883, 975_312_468),
+    (1_357_911_131, 642_097_531), (468_024_681, 108_642_097),
+    (1_727_272_717, 864_208_642), (999_999_937, 531_975_311),
+    (1_111_111_121, 246_802_468), (678_901_235, 903_276_543),
+    (1_444_444_447, 87_654_321), (543_216_789, 678_954_321),
+]
+N_BANDS = 4
+ROWS_PER_BAND = 4  # 16 hashes = 4 bands × 4 rows
+
+
+def md5_long_col(c) -> F.Column:
+    """60-bit integer from the md5 hex prefix — the engine-neutral string
+    hash (DuckDB: CAST('0x'||substring(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, rep_id, n_copies): one row per distinct text; rep_id is
+    the smallest member id (the row a dedup pipeline would keep)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), id_col)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles_col(text, n: int = 3) -> F.Column:
+    """array<string> of distinct lowercase character n-grams."""
+    low = F.lower(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1))),
+            lambda i: F.substring(low, i, n),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded — the inverted-index input."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, h0..h15): the MinHash signature, all-Column arithmetic."""
+    sh = doc_shingles(docs, text_col, id_col, n)
+    base = F.pmod(md5_long_col(F.col("shingle")), F.lit(MINHASH_P))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(MINHASH_P))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(signatures: DataFrame) -> DataFrame:
+    """LSH candidate pairs (a < b) sharing at least one band bucket."""
+    bands = []
+    for band in range(N_BANDS):
+        cols = [
+            F.col(f"h{band * ROWS_PER_BAND + r}")
+            for r in range(ROWS_PER_BAND)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias(
+                    "key"
+                ),
+            )
+        )
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.key").alias("key"))
+    left = exploded.select(F.col("doc_id").alias("a"), "band", "key")
+    right = exploded.select(F.col("doc_id").alias("b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, max_df: int | None = None) -> DataFrame:
+    """(a, b, inter, union_size, jaccard) for pairs with Jaccard ≥
+    threshold, via the inverted-index join. ``max_df`` drops
+    stop-shingles (df > max_df) from pairing — the classic skew guard;
+    sizes still use the full shingle sets."""
+    sh = doc_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    pair_src = sh
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        pair_src = sh.join(
+            df_counts.where(F.col("df") <= max_df).select("shingle"),
+            "shingle",
+        )
+
+    left = pair_src.select(F.col("doc_id").alias("a"), "shingle")
+    right = pair_src.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sz_a, "a").join(sz_b, "b")
+        .withColumn("union_size", F.col("sza") + F.col("szb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_size"))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "union_size", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
+
+    Per bit b: sign of Σ_tokens (bit_b(H(token)) ? +1 : -1); assembled as
+    Σ (sign_b > 0) · 2^b in int64 (bit 63 via signed wrap: set it as
+    -2^63 + ... using bitwise OR on long)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    h = md5_long_col(F.col("token"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(F.shiftleft(bit, b))
+    return sums.select("doc_id", acc.alias("simhash"))

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines (engine-only).
+
+All pure Column expressions (JVM, codegen, oracle-expressible):
+
+- **token_count** — whitespace tokens and a BPE-ish subword proxy
+  (alnum runs + punctuation as separate tokens via regexp counting).
+- **quality_score** — length / punctuation-ratio / stopword-ratio /
+  mean-token-length features + a composite score.
+- **lang_id** — deterministic stopword-hit heuristic over a fixed
+  5-language table; argmax with fixed tie order. A plumbing-grade
+  classifier (documented as such), not a model.
+- **fingerprint** — 64-bit polynomial rolling hash of the normalized text
+  (whitespace-collapsed lowercase), the cheap near-exact dedup key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "les", "et", "une", "est"],
+    "es": ["los", "las", "el", "una", "es"],
+    "pt": ["os", "as", "um", "uma", "não"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "pt"]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+
+
+def token_count(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text)).alias("n_ws_tokens"),
+        # BPE-ish proxy: every alphanumeric run + every non-space symbol
+        (
+            F.regexp_count(text, F.lit("[A-Za-z0-9]+"))
+            + F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]"))
+        ).alias("n_subword_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_punct = F.regexp_count(text, F.lit("[.,;:!?]"))
+    n_tokens = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok.alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    scores = {}
+    for lang in _LANG_ORDER:
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(stop, t))
+        )
+    # argmax with deterministic first-wins tie order (_LANG_ORDER)
+    expr = F.lit("und")
+    max_all = F.greatest(*[scores[lang] for lang in _LANG_ORDER])
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when(
+            (scores[lang] == max_all) & (max_all > 0), F.lit(lang)
+        ).otherwise(expr)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"hits_{lang}") for lang in _LANG_ORDER],
+        expr.alias("predicted_lang"),
+    )
+
+
+# 31-bit modulus keeps every intermediate (acc·B + code) < 2^52 — no int64
+# overflow in any engine (DuckDB raises on overflow; Spark silently wraps).
+FP_MOD = 2_147_483_647
+FP_BASE = 1_000_003
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint): polynomial hash Σ code(c_i)·B^i mod M over
+    the normalized text, computed as a fold — O(len) integer Column ops.
+
+    Normalization: lowercase, runs of whitespace collapsed to one space,
+    trimmed. code(c) = 60-bit md5 prefix of the character (portable;
+    ``ascii()`` codepoints differ in signedness across engines for
+    multibyte chars)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    chars = F.split(norm, "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(
+            acc * F.lit(FP_BASE)
+            + F.pmod(
+                F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+                F.lit(FP_MOD),
+            ),
+            F.lit(FP_MOD),
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

@@ -1,0 +1,102 @@
+"""Raster↔vector join + skew salting (SURVEY.md §2.3 G6, §2.4 J4/J6).
+
+Engine-only operators scaling the reference's single AOI test to a
+10^12-row corpus: image tiles (raster side, one cell per image) joined to
+changeset bboxes (vector side, polyfilled to covering cells).
+
+``tile_changeset_join`` — both sides reduced to an int64 cell equi-join:
+
+    tiles(image_id, cell)            — cell from the image's anchor point
+    changesets → explode(polyfill(bbox, L)) → (cell, id)
+    inner join on cell → (cell, image_id, changeset_id, ...)
+
+``salted_join`` — explicit single-hot-key mitigation: AQE's skew join can
+split oversized *partitions*, but one pathological key (a mega-city cell)
+still lands in one task. Salting splits the key itself: the big (fact)
+side gets ``salt = pmod(hash(row_key), nsalt)``; the small side is
+replicated nsalt× via ``explode(sequence(...))``; the join key becomes
+(key, salt). nsalt should come from a cheap ``groupBy(cell).count()``
+sample of the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osmcha_spark.geo.cells import cell_col, covering_cells_col
+
+
+def tiles_with_cells(
+    images: DataFrame,
+    lon_col: Column,
+    lat_col: Column,
+    level: int,
+) -> DataFrame:
+    """Assign each image row its level-L cell from an anchor point column
+    pair (tile geolocation)."""
+    return images.withColumn("cell", cell_col(lon_col, lat_col, level))
+
+
+def changesets_with_cells(changesets: DataFrame, level: int) -> DataFrame:
+    """Explode each bbox into its covering cells: (cell, changeset row)."""
+    return changesets.withColumn(
+        "cell",
+        F.explode(
+            covering_cells_col(
+                F.col("min_lon"), F.col("min_lat"),
+                F.col("max_lon"), F.col("max_lat"), level,
+            )
+        ),
+    )
+
+
+def tile_changeset_join(
+    tiles: DataFrame,
+    changesets: DataFrame,
+    level: int,
+    how: str = "inner",
+) -> DataFrame:
+    """The raster↔vector join: tile rows (with ``cell``) ⋈ polyfilled
+    changesets on cell id. Returns one assignment row per (tile, changeset,
+    shared cell)."""
+    cs = changesets_with_cells(changesets, level).select(
+        "cell", F.col("id").alias("changeset_id"),
+    )
+    return tiles.join(cs, "cell", how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    nsalt: int,
+    fact_salt_source: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: ``fact`` (big, skewed on ``key``) ⋈ ``dim``
+    (small side, replicated nsalt×).
+
+    ``fact_salt_source`` is a fact column whose hash spreads the hot key's
+    rows across salts (e.g. the row id). The physical key becomes
+    (key, __salt) so a hot cell's rows land in nsalt different shuffle
+    partitions instead of one.
+    """
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(fact_salt_source)), F.lit(nsalt))
+    )
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(nsalt - 1).cast("long"))),
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
+def cell_histogram(df: DataFrame, cell_col_name: str = "cell") -> DataFrame:
+    """Cheap skew probe: per-cell row counts, descending — feeds the nsalt
+    choice and the skew report in BENCH."""
+    return (
+        df.groupBy(cell_col_name)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )
