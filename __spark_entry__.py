@@ -1,38 +1,897 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (derived changesets → AOI
+filter → full suspicion analysis) at sf0.001. ``queries()`` exposes every
+implemented operator from SURVEY.md §2 as (spark, sf_dir) callables;
+``oracle_sql()`` gives the DuckDB twin for each (derived inputs are
+synthesized INSIDE the query with engine-portable arithmetic — see
+osmcha_spark/synth.py — so both engines see identical inputs).
+
+Queries q19/q20/q21 run against the committed fixture parquet under
+tests/data (the reference's own test fixtures re-encoded); their oracles
+use read_parquet with absolute paths.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURE_DIR = os.path.join(REPO, "tests", "data")
+
+import sys
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from osmcha_spark import oracle as OQ
+from osmcha_spark import synth
+from osmcha_spark.config import RulesConfig
+from osmcha_spark.geo.cells import cell_col, cell_sql
+from osmcha_spark.operators.aoi import filter_by_aoi
+from osmcha_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_P,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_signatures,
+    simhash,
+)
+from osmcha_spark.operators.dedup_images import phash_near_dup_pairs
+from osmcha_spark.operators.knn import knn_join
+from osmcha_spark.operators.similarity import brute_topk
+from osmcha_spark.operators.text import (
+    FP_BASE,
+    FP_MOD,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from osmcha_spark.operators.tiles import tile_changeset_join, tiles_with_cells
+from osmcha_spark.plans.analyse import action_counts, analyse
+from osmcha_spark.session import ship_package
+
+D = OQ.DUCKDB
+NYC_AOI = (-74.3, 40.4, -73.7, 41.0)
+
+
+def _reasons_csv_col() -> F.Column:
+    return F.array_join(
+        F.array_sort(F.array_distinct(F.col("suspicion_reasons"))), ";"
+    )
+
+
+def _ensure(spark: SparkSession, sf_dir: str) -> None:
+    ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    synth.register_synth_views(spark, sf_dir)
+
+
+# --------------------------------------------------------------- q01
+
+def q01_analyse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rule pipeline over derived changesets ⋈ counts ⋈ users
+    (SURVEY §2.2 P2-P12, §2.5 A1-A4, §2.4 J1/J3)."""
+    _ensure(spark, sf_dir)
+    cs = synth.changesets_df(spark, sf_dir)
+    counts = spark.sql(synth.actions_counts_sql(synth.SPARK))
+    users = spark.sql(synth.users_sql(synth.SPARK))
+    out = analyse(cs, counts, users)
+    return out.select(
+        "id",
+        "is_suspect",
+        "powerfull_editor",
+        _reasons_csv_col().alias("reasons"),
+        F.col("create").alias("n_create"),
+        F.col("modify").alias("n_modify"),
+        F.col("delete").alias("n_delete"),
+        "comments_count",
+    )
+
+
+def _q01_oracle() -> str:
+    cs = synth.changesets_sql(D)
+    ac = synth.actions_counts_sql(D)
+    us = synth.users_sql(D)
+    powerful = OQ.powerful_editor_sql("created_by", D)
+    c2 = "coalesce(comment, 'Not reported')"
+    s2 = "coalesce(source, 'Not reported')"
+    i2 = "coalesce(imagery_used, 'Not reported')"
+    wr = OQ.warning_reason_sql("warning_key", D)
+    flags = {
+        "Software editor was not declared": "(created_by IS NULL)",
+        "suspect_word": (
+            f"(({c2} <> '' AND {OQ.find_words_sql(c2, D)})"
+            f" OR ({s2} <> '' AND {OQ.illegal_source_sql(s2, D)})"
+            f" OR ({i2} <> '' AND {OQ.illegal_imagery_sql(i2, D)})"
+            f" OR (warning_key IS NOT NULL AND {wr} = 'suspect_word'))"
+        ),
+        "New mapper": "(changeset_count <= 50)",
+        "User has multiple blocks": "(block_count > 1)",
+        "Review requested": "(review_requested = 'yes')",
+    }
+    flags.update(
+        OQ.count_flags_sql("n_create", "n_modify", "n_delete", powerful)
+    )
+    for reason in ("Crossing ways", "Missing tag", "Disconnected way",
+                   "Generic name"):
+        flags[reason] = (
+            f"(warning_key IS NOT NULL AND {wr} = {OQ._lit(reason, D)})"
+        )
+    csv = OQ.reasons_csv_sql(flags, D)
+    return f"""
+WITH cs AS ({cs}), ac AS ({ac}), us AS ({us}),
+joined AS (
+  SELECT cs.*,
+         coalesce(ac."create", 0) AS n_create,
+         coalesce(ac.modify, 0) AS n_modify,
+         coalesce(ac."delete", 0) AS n_delete,
+         us.changeset_count, us.block_count
+  FROM cs LEFT JOIN ac ON cs.id = ac.changeset_id
+          LEFT JOIN us ON cs.uid = us.uid
+)
+SELECT id,
+       ({csv} <> '') AS is_suspect,
+       {powerful} AS powerfull_editor,
+       {csv} AS reasons,
+       n_create, n_modify, n_delete,
+       coalesce(TRY_CAST(comments_count AS INTEGER), 0) AS comments_count
+FROM joined
+"""
+
+
+# --------------------------------------------------------------- q02
+
+def q02_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field normalization (set_fields, SURVEY §2.2 P2)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.plans.analyse import normalize_changesets
+
+    cs = synth.changesets_df(spark, sf_dir)
+    n = normalize_changesets(cs)
+    return n.select(
+        "id", "editor", "comment", "source", "imagery_used", "host",
+        "comments_count",
+        F.unix_timestamp("date").alias("created_epoch"),
+        F.col("min_lon").isNotNull().alias("has_bbox"),
+    )
+
+
+def _q02_oracle() -> str:
+    cs = synth.changesets_sql(D)
+    return f"""
+WITH cs AS ({cs})
+SELECT id,
+       created_by AS editor,
+       coalesce(comment, 'Not reported') AS comment,
+       coalesce(source, 'Not reported') AS source,
+       coalesce(imagery_used, 'Not reported') AS imagery_used,
+       'Not reported' AS host,
+       coalesce(TRY_CAST(comments_count AS INTEGER), 0) AS comments_count,
+       CAST(epoch(strptime(created_at, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT)
+         AS created_epoch,
+       (min_lon IS NOT NULL) AS has_bbox
+FROM cs
+"""
+
+
+# --------------------------------------------------------------- q03
+
+def q03_aoi_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AOI spatial filter, rectangle fast path + cell prefilter
+    (SURVEY §2.2 P13, §2.3 G2)."""
+    _ensure(spark, sf_dir)
+    cs = synth.changesets_df(spark, sf_dir)
+    min_lon, min_lat, max_lon, max_lat = NYC_AOI
+    ring = [
+        (min_lon, min_lat), (max_lon, min_lat), (max_lon, max_lat),
+        (min_lon, max_lat), (min_lon, min_lat),
+    ]
+    return filter_by_aoi(cs, ring).select("id")
+
+
+def _q03_oracle() -> str:
+    cs = synth.changesets_sql(D)
+    a, b, c, d = NYC_AOI
+    return f"""
+WITH cs AS ({cs})
+SELECT id FROM cs
+WHERE min_lon IS NOT NULL
+  AND min_lon <= {c} AND max_lon >= {a}
+  AND min_lat <= {d} AND max_lat >= {b}
+"""
+
+
+# --------------------------------------------------------------- q04
+
+def q04_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton quadtree cell encoding (SURVEY §2.3 G4)."""
+    _ensure(spark, sf_dir)
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return pts.select(
+        "id",
+        cell_col(F.col("lon"), F.col("lat"), 8).alias("cell8"),
+        cell_col(F.col("lon"), F.col("lat"), 12).alias("cell12"),
+    )
+
+
+def _q04_oracle() -> str:
+    pts = synth.points_sql(D)
+    return f"""
+WITH p AS ({pts})
+SELECT id,
+       {cell_sql('lon', 'lat', 8)} AS cell8,
+       {cell_sql('lon', 'lat', 12)} AS cell12
+FROM p
+"""
+
+
+# --------------------------------------------------------------- q05
+
+def q05_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox polyfill size + corner cells (SURVEY §2.3 G4)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.geo.cells import covering_cells_col
+
+    cs = synth.changesets_df(spark, sf_dir).where(
+        F.col("min_lon").isNotNull()
+    )
+    cells = covering_cells_col(
+        F.col("min_lon"), F.col("min_lat"),
+        F.col("max_lon"), F.col("max_lat"), 10,
+    )
+    return cs.select(
+        "id",
+        F.size(cells).alias("n_cells"),
+        cell_col(F.col("min_lon"), F.col("min_lat"), 10).alias("cell_lo"),
+        cell_col(F.col("max_lon"), F.col("max_lat"), 10).alias("cell_hi"),
+    )
+
+
+def _q05_oracle() -> str:
+    from osmcha_spark.geo.cells import covering_cells_count_sql
+
+    cs = synth.changesets_sql(D)
+    n = covering_cells_count_sql("min_lon", "min_lat", "max_lon", "max_lat", 10)
+    return f"""
+WITH cs AS ({cs})
+SELECT id,
+       CAST({n} AS INTEGER) AS n_cells,
+       {cell_sql('min_lon', 'min_lat', 10)} AS cell_lo,
+       {cell_sql('max_lon', 'max_lat', 10)} AS cell_hi
+FROM cs WHERE min_lon IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------- q06
+
+def q06_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded exact kNN via cell-bucketed join (SURVEY §2.3 G5)."""
+    _ensure(spark, sf_dir)
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return knn_join(pts, k=3, radius=2.0).select(
+        "left_id", "rank", "right_id", "dist"
+    )
+
+
+def _q06_oracle() -> str:
+    pts = synth.points_sql(D)
+    return f"""
+WITH p AS ({pts}),
+pairs AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         sqrt((a.lon - b.lon) * (a.lon - b.lon)
+            + (a.lat - b.lat) * (a.lat - b.lat)) AS dist
+  FROM p a JOIN p b ON a.id <> b.id
+),
+ranked AS (
+  SELECT left_id, right_id, dist,
+         row_number() OVER (PARTITION BY left_id
+                            ORDER BY dist, right_id) AS rank
+  FROM pairs WHERE dist <= 2.0
+)
+SELECT left_id, rank, right_id, dist FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------- q07
+
+def q07_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector cell equi-join: tiles-per-changeset (SURVEY §2.3 G6,
+    §2.4 J4)."""
+    _ensure(spark, sf_dir)
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    tiles = tiles_with_cells(
+        pts.select(F.col("id").alias("tile_id"), "lon", "lat"),
+        F.col("lon"), F.col("lat"), 6,
+    ).select("cell", "tile_id")
+    cs = synth.changesets_df(spark, sf_dir).where(F.col("min_lon").isNotNull())
+    joined = tile_changeset_join(tiles, cs, 6)
+    return joined.groupBy("changeset_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.min("tile_id").alias("min_tile"),
+    )
+
+
+def _q07_oracle() -> str:
+    # point-in-polyfill(bbox) ⇔ quantized x,y indexes within corner ranges.
+    # Indexes are materialized in CTEs before the join — inlining the
+    # floor/least/greatest towers into the join condition trips a DuckDB
+    # internal error ("requires a flat vector").
+    pts = synth.points_sql(D)
+    cs = synth.changesets_sql(D)
+
+    def ax(e, off, span):
+        lim = 1 << 6
+        return (
+            f"least(greatest(CAST(floor((({e}) + {off}) / {span}"
+            f" * {float(lim)}) AS BIGINT), 0), {lim - 1})"
+        )
+
+    return f"""
+WITH p0 AS ({pts}), cs0 AS ({cs}),
+p AS (
+  SELECT id, {ax('lon', 180.0, 360.0)} AS xi, {ax('lat', 90.0, 180.0)} AS yi
+  FROM p0
+),
+cs AS (
+  SELECT id,
+         {ax('min_lon', 180.0, 360.0)} AS x0,
+         {ax('max_lon', 180.0, 360.0)} AS x1,
+         {ax('min_lat', 90.0, 180.0)} AS y0,
+         {ax('max_lat', 90.0, 180.0)} AS y1
+  FROM cs0 WHERE min_lon IS NOT NULL
+)
+SELECT cs.id AS changeset_id,
+       count(*) AS n_tiles,
+       min(p.id) AS min_tile
+FROM cs JOIN p
+  ON p.xi BETWEEN cs.x0 AND cs.x1
+ AND p.yi BETWEEN cs.y0 AND cs.y1
+GROUP BY cs.id
+"""
+
+
+# --------------------------------------------------------------- q08
+
+def q08_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (training-data op)."""
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return exact_dedup(docs)
+
+
+_Q08_ORACLE = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS rep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------- q09
+
+def q09_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return jaccard_pairs(docs, threshold=0.85).select(
+        "a", "b", "inter", "union_size"
+    )
+
+
+_Q09_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(lower(text)) - 2, 1) + 1),
+           i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       len(list_intersect(a.grams, b.grams)) AS inter,
+       len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+         AS union_size
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      >= 0.85
+"""
+
+
+# --------------------------------------------------------------- q10
+
+def q10_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with the portable integer hash family."""
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_signatures(docs)
+
+
+def _q10_oracle() -> str:
+    base = (
+        f"({OQ._lit('', D)} || '')"  # placeholder replaced below
+    )
+    h = synth.md5long("g.gram", D)
+    mins = ", ".join(
+        f"min(({a} * (({h}) % {MINHASH_P}) + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(lower(text)) - 2, 1) + 1),
+           i -> substr(lower(text), CAST(i AS INTEGER), 3)))) AS gram
+  FROM documents
+), g AS (SELECT doc_id, gram FROM sh)
+SELECT doc_id, {mins}
+FROM g GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------- q11
+
+def q11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens."""
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash(docs)
+
+
+def _q11_oracle() -> str:
+    h = synth.md5long("t.token", D)
+    sums = ", ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    bits = " | ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b} "
+        f"ELSE 0 END)"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), t AS (SELECT doc_id, token FROM toks),
+sums AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
+SELECT doc_id, ({bits}) AS simhash FROM sums
+"""
+
+
+# --------------------------------------------------------------- q12
+
+def q12_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force quantized-dot-product top-k neighbors."""
+    _ensure(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return brute_topk(emb, q, k=5).select(
+        "query_id", "rank", "neighbor_id", "score"
+    )
+
+
+_Q12_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+scores AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.val * c.val) AS score
+  FROM flat q JOIN flat c ON q.idx = c.idx AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------- q13-q16
+
+def q13_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_count(docs)
+
+
+_Q13_ORACLE = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+         + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         AS n_subword_tokens,
+       len(text) AS n_chars
+FROM documents
+"""
+
+
+def q14_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return quality_score(docs)
+
+
+_Q14_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks,
+         len(text) AS n_chars,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_punct,
+         len(toks) AS n_tokens,
+         len(list_filter(toks,
+             x -> x IN ('the','and','of','to','in'))) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       n_tokens,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+         AS punct_ratio,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+         AS stopword_ratio,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END
+         AS mean_token_len,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CASE WHEN n_tokens > 0
+                 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.4
+         + (1.0 - least((CASE WHEN n_chars > 0
+                         THEN CAST(n_punct AS DOUBLE) / n_chars
+                         ELSE 0.0 END) * 10, 1.0)) * 0.2
+         AS quality
+FROM m
+"""
+
+
+def q15_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lang_id(docs)
+
+
+def _q15_oracle() -> str:
+    from osmcha_spark.operators.text import STOPWORDS, _LANG_ORDER
+
+    hits = {
+        lang: (
+            "len(list_filter(toks, x -> x IN ("
+            + ", ".join(OQ._lit(w, D) for w in STOPWORDS[lang])
+            + ")))"
+        )
+        for lang in _LANG_ORDER
+    }
+    cols = ", ".join(f"{hits[lang]} AS hits_{lang}" for lang in _LANG_ORDER)
+    max_all = "greatest(" + ", ".join(f"hits_{la}" for la in _LANG_ORDER) + ")"
+    pred = "'und'"
+    for lang in reversed(_LANG_ORDER):
+        pred = (
+            f"CASE WHEN hits_{lang} = {max_all} AND {max_all} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), h AS (SELECT doc_id, {cols} FROM base)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, hits_pt,
+       ({pred}) AS predicted_lang
+FROM h
+"""
+
+
+def q16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return fingerprint(docs)
+
+
+def _q16_oracle() -> str:
+    code = synth.md5long("c", D)
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ''),
+             c -> ({code}) % {FP_MOD})),
+         (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- q17
+
+def q17_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation over the events stream table —
+    the batch twin of the streaming path (SURVEY §2.8)."""
+    _ensure(spark, sf_dir)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value") * 1000).alias("value_sum_milli"),
+        )
+    )
+
+
+_Q17_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       event_type,
+       count(*) AS n_events,
+       CAST(floor(sum(value) * 1000) AS BIGINT) AS value_sum_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- q18
+
+def q18_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational anchor: TPC-H Q1-flavored aggregation in exact integer
+    cents (order-independent — float sums can't be oracle-hashed)."""
+    _ensure(spark, sf_dir)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(cents).alias("sum_price_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- q19-q21 (fixture-backed)
+
+def q19_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash-banded image near-dup join (SURVEY §2.4 J5), exact vs the
+    O(N²) oracle."""
+    _ensure(spark, sf_dir)
+    images = spark.read.parquet(os.path.join(FIXTURE_DIR, "images.parquet"))
+    return phash_near_dup_pairs(images, max_hamming=3)
+
+
+def _q19_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return f"""
+WITH im AS (SELECT image_id, phash FROM read_parquet('{path}'))
+SELECT a.image_id AS a, b.image_id AS b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM im a JOIN im b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def q20_analyse_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The osmcha-parity core: full analyse over the reference fixture
+    tables (245.osm.gz rows + dict scenarios)."""
+    _ensure(spark, sf_dir)
+    cs = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "changesets.parquet")
+    ).select(
+        "id", "user", "uid", "created_at", "comments_count",
+        "min_lon", "min_lat", "max_lon", "max_lat", "tags",
+    )
+    actions = spark.read.parquet(os.path.join(FIXTURE_DIR, "actions.parquet"))
+    users = spark.read.parquet(os.path.join(FIXTURE_DIR, "users.parquet"))
+    out = analyse(cs, action_counts(actions), users)
+    return out.select(
+        "id", "is_suspect", "powerfull_editor",
+        _reasons_csv_col().alias("reasons"),
+        F.col("create").alias("n_create"),
+        F.col("modify").alias("n_modify"),
+        F.col("delete").alias("n_delete"),
+        "comments_count",
+    )
+
+
+def _q20_oracle() -> str:
+    cs_path = os.path.join(FIXTURE_DIR, "changesets.parquet")
+    ac_path = os.path.join(FIXTURE_DIR, "actions.parquet")
+    us_path = os.path.join(FIXTURE_DIR, "users.parquet")
+    powerful = OQ.powerful_editor_sql("created_by", D)
+    c2 = "coalesce(comment, 'Not reported')"
+    s2 = "coalesce(source, 'Not reported')"
+    i2 = "coalesce(imagery_used, 'Not reported')"
+
+    def wflag(reason: str) -> str:
+        wr = OQ.warning_reason_sql("k", D)
+        return (
+            f"(len(list_filter(warning_keys, "
+            f"k -> {wr} = {OQ._lit(reason, D)})) > 0)"
+        )
+
+    flags = {
+        "Software editor was not declared": "(created_by IS NULL)",
+        "suspect_word": (
+            f"(({c2} <> '' AND {OQ.find_words_sql(c2, D)})"
+            f" OR ({s2} <> '' AND {OQ.illegal_source_sql(s2, D)})"
+            f" OR ({i2} <> '' AND {OQ.illegal_imagery_sql(i2, D)})"
+            f" OR {wflag('suspect_word')})"
+        ),
+        "New mapper": "(changeset_count <= 50)",
+        "User has multiple blocks": "(block_count > 1)",
+        "Review requested": "(review_requested = 'yes')",
+    }
+    flags.update(
+        OQ.count_flags_sql("n_create", "n_modify", "n_delete", powerful)
+    )
+    from osmcha_spark.config import WARNING_EXACT, WARNING_PREFIX
+
+    all_reasons = set(WARNING_EXACT.values()) | {
+        r for _, r in WARNING_PREFIX
+    }
+    for reason in sorted(all_reasons - {"suspect_word"}):
+        flags[reason] = wflag(reason)
+    csv = OQ.reasons_csv_sql(flags, D)
+    return f"""
+WITH cs AS (SELECT * FROM read_parquet('{cs_path}')),
+ac AS (
+  SELECT changeset_id,
+         count(*) FILTER (WHERE action = 'create') AS n_create,
+         count(*) FILTER (WHERE action = 'modify') AS n_modify,
+         count(*) FILTER (WHERE action = 'delete') AS n_delete
+  FROM read_parquet('{ac_path}') GROUP BY changeset_id
+),
+us AS (SELECT * FROM read_parquet('{us_path}')),
+joined AS (
+  SELECT cs.id, cs.created_by, cs.comment, cs.source, cs.imagery_used,
+         cs.review_requested, cs.warning_keys, cs.comments_count,
+         coalesce(ac.n_create, 0) AS n_create,
+         coalesce(ac.n_modify, 0) AS n_modify,
+         coalesce(ac.n_delete, 0) AS n_delete,
+         us.changeset_count, us.block_count
+  FROM cs LEFT JOIN ac ON cs.id = ac.changeset_id
+          LEFT JOIN us ON cs.uid = us.uid
+)
+SELECT id,
+       ({csv} <> '') AS is_suspect,
+       {powerful} AS powerfull_editor,
+       {csv} AS reasons,
+       n_create, n_modify, n_delete,
+       coalesce(TRY_CAST(comments_count AS INTEGER), 0) AS comments_count
+FROM joined
+"""
+
+
+def q21_aoi_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own AOI golden: map.geojson over the 245.osm.gz rows
+    → exactly changeset 31982803 (reference tests/test_mod.py:53-57)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.fixtures import AOI_RING
+
+    cs = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "changesets.parquet")
+    ).where(
+        (F.col("id") == 31982803) | F.col("id").between(31984152, 31984188)
+    )
+    return filter_by_aoi(cs, AOI_RING).select("id")
+
+
+def _q21_oracle() -> str:
+    from osmcha_spark.fixtures import AOI_RING
+
+    path = os.path.join(FIXTURE_DIR, "changesets.parquet")
+    xs = [p[0] for p in AOI_RING]
+    ys = [p[1] for p in AOI_RING]
+    a, b, c, d = min(xs), min(ys), max(xs), max(ys)
+    return f"""
+SELECT id FROM read_parquet('{path}')
+WHERE (id = 31982803 OR id BETWEEN 31984152 AND 31984188)
+  AND min_lon IS NOT NULL
+  AND min_lon <= {c} AND max_lon >= {a}
+  AND min_lat <= {d} AND max_lat >= {b}
+"""
+
+
+# --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived changesets at sf0.001 → NYC AOI filter → full
+    suspicion analysis (the E1+E2 composition of SURVEY §3)."""
+    sf_dir = "/root/testdata/sf0.001"
+    _ensure(spark, sf_dir)
+    cs = synth.changesets_df(spark, sf_dir)
+    min_lon, min_lat, max_lon, max_lat = NYC_AOI
+    ring = [
+        (min_lon, min_lat), (max_lon, min_lat), (max_lon, max_lat),
+        (min_lon, max_lat), (min_lon, min_lat),
+    ]
+    in_aoi = filter_by_aoi(cs, ring)
+    counts = spark.sql(synth.actions_counts_sql(synth.SPARK))
+    users = spark.sql(synth.users_sql(synth.SPARK))
+    return analyse(in_aoi, counts, users)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_analyse": q01_analyse,
+        "q02_normalize": q02_normalize,
+        "q03_aoi_rect": q03_aoi_rect,
+        "q04_cell_encode": q04_cell_encode,
+        "q05_polyfill": q05_polyfill,
+        "q06_knn": q06_knn,
+        "q07_tile_join": q07_tile_join,
+        "q08_dedup_exact": q08_dedup_exact,
+        "q09_jaccard": q09_jaccard,
+        "q10_minhash": q10_minhash,
+        "q11_simhash": q11_simhash,
+        "q12_ann": q12_ann,
+        "q13_token_count": q13_token_count,
+        "q14_quality": q14_quality,
+        "q15_lang_id": q15_lang_id,
+        "q16_fingerprint": q16_fingerprint,
+        "q17_events_window": q17_events_window,
+        "q18_pricing": q18_pricing,
+        "q19_phash_neardup": q19_phash_neardup,
+        "q20_analyse_fixture": q20_analyse_fixture,
+        "q21_aoi_fixture": q21_aoi_fixture,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_analyse": _q01_oracle(),
+        "q02_normalize": _q02_oracle(),
+        "q03_aoi_rect": _q03_oracle(),
+        "q04_cell_encode": _q04_oracle(),
+        "q05_polyfill": _q05_oracle(),
+        "q06_knn": _q06_oracle(),
+        "q07_tile_join": _q07_oracle(),
+        "q08_dedup_exact": _Q08_ORACLE,
+        "q09_jaccard": _Q09_ORACLE,
+        "q10_minhash": _q10_oracle(),
+        "q11_simhash": _q11_oracle(),
+        "q12_ann": _Q12_ORACLE,
+        "q13_token_count": _Q13_ORACLE,
+        "q14_quality": _Q14_ORACLE,
+        "q15_lang_id": _q15_oracle(),
+        "q16_fingerprint": _q16_oracle(),
+        "q17_events_window": _Q17_ORACLE,
+        "q18_pricing": _Q18_ORACLE,
+        "q19_phash_neardup": _q19_oracle(),
+        "q20_analyse_fixture": _q20_oracle(),
+        "q21_aoi_fixture": _q21_oracle(),
+    }

@@ -1,0 +1,237 @@
+"""Benchmark harness.
+
+Default mode (the driver's per-round run): execute the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and print ONE JSON line::
+
+    {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "tiles_join_rows_per_sec": ...}
+
+``--scaling`` mode: run the same tile+join pipeline at local[8] and
+local[32] in subprocesses (identical input by construction — the corpus is
+a pure function of the row index) and report throughput at both plus
+efficiency = (T32/T8)/4, the sandbox evidence for the N→4N executor
+criterion in BASELINE.json. Results land in BENCH/BASELINE.md.
+
+Headline queries:
+- tile_pipeline — generate the image corpus distributed → cell-encode
+  tiles → raster↔vector join against derived changeset bboxes → count
+  (the BASELINE.json "tiles+join-rows/sec" metric).
+- analyse — the full suspicion-rule pipeline (scan → joins → 17-col out).
+- knn — radius-bounded exact kNN over derived points.
+- phash_neardup — banded near-dup join over the generated corpus.
+- minhash — MinHash signatures over documents.
+- ann — brute top-k over embeddings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "100000"))
+
+
+def build_spark(cpus: int):
+    from osmcha_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{cpus}]",
+        app_name="osmcha-spark-bench",
+        shuffle_partitions=max(2 * cpus, 16),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "16g"),
+            "spark.sql.session.timeZone": "UTC",
+        },
+    )
+
+
+def _timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from osmcha_spark import synth
+    from osmcha_spark.images.corpus import generate_images
+    from osmcha_spark.operators.dedup import minhash_signatures
+    from osmcha_spark.operators.dedup_images import phash_near_dup_pairs
+    from osmcha_spark.operators.knn import knn_join
+    from osmcha_spark.operators.similarity import brute_topk
+    from osmcha_spark.operators.tiles import tile_changeset_join
+    from osmcha_spark.plans.analyse import analyse
+
+    synth.register_synth_views(spark, sf_dir)
+
+    # JIT / codegen warm-up (first regexp + first shuffle cost ~30 s once)
+    spark.sql(
+        "SELECT count(*), "
+        "sum(regexp_count(lower(concat(cast(o_orderkey as string),'x')), "
+        "'x\\\\.*')) "
+        "FROM orders GROUP BY o_orderkey % 2"
+    ).collect()
+
+    results: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    from osmcha_spark.geo.cells import cell_col
+
+    n_parts = max(
+        4 * spark.sparkContext.defaultParallelism, 16
+    )
+
+    # --- corpus generation (decode-side work: pixels + encode + phash),
+    # materialized once and shared by tile_pipeline and phash_neardup
+    imgs = generate_images(spark, N_IMAGES, partitions=n_parts).select(
+        "image_id", "phash", "lon", "lat"
+    ).persist()
+    t, n_imgs = _timed(imgs.count)
+    results["corpus_gen"] = round(t, 3)
+
+    # --- tile pipeline: cells → raster↔vector join
+    def tile_pipeline():
+        tiles = imgs.select(
+            "image_id",
+            cell_col(F.col("lon"), F.col("lat"), 7).alias("cell"),
+        )
+        cs = synth.changesets_df(spark, sf_dir).where(
+            F.col("min_lon").isNotNull()
+        )
+        joined = tile_changeset_join(tiles, cs, 7)
+        return joined.count() + n_imgs
+
+    t, n = _timed(tile_pipeline)
+    results["tile_pipeline"] = round(t, 3)
+    extras["tiles_join_rows"] = n
+    extras["tiles_join_rows_per_sec"] = round(
+        n / (t + results["corpus_gen"]), 1
+    )
+
+    # --- full rule pipeline
+    def analyse_q():
+        cs = synth.changesets_df(spark, sf_dir)
+        counts = spark.sql(synth.actions_counts_sql(synth.SPARK))
+        users = spark.sql(synth.users_sql(synth.SPARK))
+        out = analyse(cs, counts, users)
+        return out.where(F.col("is_suspect")).count()
+
+    t, n = _timed(analyse_q)
+    results["analyse"] = round(t, 3)
+    extras["suspect_rows"] = n
+
+    # --- kNN
+    def knn_q():
+        pts = spark.sql(synth.points_sql(synth.SPARK))
+        return knn_join(pts, k=3, radius=2.0).count()
+
+    t, n = _timed(knn_q)
+    results["knn"] = round(t, 3)
+    extras["knn_rows"] = n
+
+    # --- phash near-dup over the (cached) corpus
+    def neardup_q():
+        return phash_near_dup_pairs(
+            imgs.select("image_id", "phash"), max_hamming=3
+        ).count()
+
+    t, n = _timed(neardup_q)
+    results["phash_neardup"] = round(t, 3)
+    extras["neardup_pairs"] = n
+
+    # --- MinHash signatures over documents
+    def minhash_q():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return minhash_signatures(docs).count()
+
+    t, n = _timed(minhash_q)
+    results["minhash"] = round(t, 3)
+
+    # --- ANN brute top-k
+    def ann_q():
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        q = emb.where(F.col("vec_id") < 20)
+        return brute_topk(emb, q, k=5).count()
+
+    t, n = _timed(ann_q)
+    results["ann"] = round(t, 3)
+
+    return {"queries": results, **extras}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run_bench(spark, sf_dir)
+    spark.stop()
+    total = round(sum(out["queries"].values()), 3)
+    line = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_images": N_IMAGES,
+        "tiles_join_rows": out.get("tiles_join_rows"),
+        "tiles_join_rows_per_sec": out.get("tiles_join_rows_per_sec"),
+        "knn_rows": out.get("knn_rows"),
+        "neardup_pairs": out.get("neardup_pairs"),
+        "suspect_rows": out.get("suspect_rows"),
+    }
+    print(json.dumps(line))
+
+
+def scaling() -> None:
+    """Run the bench at local[8] then local[32]; report efficiency."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ][-1]
+        runs[cpus] = json.loads(line)
+    r8, r32 = runs[8], runs[32]
+    tput8 = r8["tiles_join_rows"] / r8["queries"]["tile_pipeline"]
+    tput32 = r32["tiles_join_rows"] / r32["queries"]["tile_pipeline"]
+    eff_tiles = (tput32 / tput8) / 4.0
+    total8 = r8["value"]
+    total32 = r32["value"]
+    eff_total = (total8 / total32) / 4.0
+    report = {
+        "local8": r8,
+        "local32": r32,
+        "tiles_rows_per_sec_8": round(tput8, 1),
+        "tiles_rows_per_sec_32": round(tput32, 1),
+        "scaling_efficiency_tiles": round(eff_tiles, 3),
+        "scaling_efficiency_total": round(eff_total, 3),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as fh:
+        json.dump(report, fh, indent=2)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -60,9 +60,12 @@ def knn_join(
         cell_col(F.col(lon_col), F.col(lat_col), level).alias("cell"),
     )
 
-    dist = F.sqrt(
-        (F.col("lx") - F.col("rx")) ** 2 + (F.col("ly") - F.col("ry")) ** 2
-    )
+    # plain multiplication, not pow(x, 2): pow is not guaranteed to be
+    # bit-identical to x*x across engines, and the DuckDB oracle must
+    # reproduce dist exactly
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    dist = F.sqrt(dx * dx + dy * dy)
     pairs = (
         left.join(right, "cell")
         .where(F.col("left_id") != F.col("right_id"))
