@@ -60,22 +60,24 @@ def _parse_file(content: bytes) -> list[dict]:
     return rows
 
 
+def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches of file ``content`` → changeset
+    rows. Shared by the batch scan and the streaming source."""
+    for pdf in batches:
+        out: list[dict] = []
+        for content in pdf["content"]:
+            out.extend(_parse_file(bytes(content)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "id", "user", "uid", "created_at", "comments_count",
+                "min_lon", "min_lat", "max_lon", "max_lat", "tags",
+            ],
+        )
+
+
 def read_replication(spark: SparkSession, path: str) -> DataFrame:
     """Scan ``*.osm.gz`` replication files under ``path`` into the
     changesets schema."""
     binary = spark.read.format("binaryFile").load(path).select("content")
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for content in pdf["content"]:
-                out.extend(_parse_file(bytes(content)))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "id", "user", "uid", "created_at", "comments_count",
-                    "min_lon", "min_lat", "max_lon", "max_lat", "tags",
-                ],
-            )
-
-    return binary.mapInPandas(parse, CHANGESETS_SCHEMA)
+    return binary.mapInPandas(parse_batches, CHANGESETS_SCHEMA)

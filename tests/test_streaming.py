@@ -1,0 +1,104 @@
+"""Streaming replication source tests (SURVEY.md §2.8).
+
+Golden semantics from the reference's replication-cursor model
+(tests/state.yaml: resume after last processed sequence number): a file is
+consumed exactly once across restarts; new files since the cursor are
+picked up; analysis of a streamed batch equals the batch path.
+"""
+
+import os
+import shutil
+
+import pytest
+
+REF_GZ = "/root/reference/tests/245.osm.gz"
+
+
+def _drain(q):
+    q.awaitTermination()
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    return str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def test_stream_consumes_each_file_once(spark, stream_dirs):
+    from osmcha_spark.streaming import (
+        read_replication_stream,
+        run_replication_stream,
+    )
+
+    in_dir, out_dir, ckpt = stream_dirs
+    shutil.copy(REF_GZ, os.path.join(in_dir, "000001.osm.gz"))
+
+    def run_once():
+        cs = read_replication_stream(spark, in_dir)
+        _drain(run_replication_stream(cs, out_dir, ckpt))
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 25
+
+    # Restart with the same checkpoint: cursor says "already consumed".
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 25
+
+    # New replication file arrives → exactly its rows are appended.
+    shutil.copy(REF_GZ, os.path.join(in_dir, "000002.osm.gz"))
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 50
+
+
+def test_stream_batch_dedup_on_id(spark, stream_dirs):
+    from osmcha_spark.streaming import (
+        read_replication_stream,
+        run_replication_stream,
+    )
+
+    in_dir, out_dir, ckpt = stream_dirs
+    # Two copies of the same minute in ONE micro-batch → replayed ids
+    # dropped within the batch.
+    shutil.copy(REF_GZ, os.path.join(in_dir, "000001.osm.gz"))
+    shutil.copy(REF_GZ, os.path.join(in_dir, "000002.osm.gz"))
+    cs = read_replication_stream(spark, in_dir)
+    _drain(run_replication_stream(cs, out_dir, ckpt))
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 25
+    assert out.select("id").distinct().count() == 25
+
+
+def test_streamed_analysis_equals_batch(spark, stream_dirs, tables):
+    from osmcha_spark.plans.analyse import action_counts, analyse
+    from osmcha_spark.sources.replication import read_replication
+    from osmcha_spark.streaming import (
+        analysed_stream,
+        read_replication_stream,
+        run_replication_stream,
+    )
+
+    in_dir, out_dir, ckpt = stream_dirs
+    shutil.copy(REF_GZ, os.path.join(in_dir, "000001.osm.gz"))
+
+    counts = action_counts(tables["actions"])
+    stream = analysed_stream(
+        read_replication_stream(spark, in_dir), counts, tables["users"]
+    )
+    _drain(run_replication_stream(stream, out_dir, ckpt))
+
+    got = {
+        (r.id, r.is_suspect, tuple(sorted(r.suspicion_reasons)))
+        for r in spark.read.parquet(out_dir)
+        .select("id", "is_suspect", "suspicion_reasons")
+        .collect()
+    }
+    want = {
+        (r.id, r.is_suspect, tuple(sorted(r.suspicion_reasons)))
+        for r in analyse(
+            read_replication(spark, REF_GZ), counts, tables["users"]
+        )
+        .select("id", "is_suspect", "suspicion_reasons")
+        .collect()
+    }
+    assert got == want and len(got) == 25
