@@ -36,14 +36,22 @@ from osmcha_spark.operators.aoi import filter_by_aoi
 from osmcha_spark.operators.dedup import (
     MINHASH_COEFFS,
     MINHASH_P,
+    N_BANDS,
+    ROWS_PER_BAND,
     exact_dedup,
     jaccard_pairs,
+    minhash_candidates,
     minhash_signatures,
     simhash,
 )
 from osmcha_spark.operators.dedup_images import phash_near_dup_pairs
 from osmcha_spark.operators.knn import knn_join
-from osmcha_spark.operators.similarity import brute_topk
+from osmcha_spark.operators.similarity import (
+    brute_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from osmcha_spark.operators.text import (
     FP_BASE,
     FP_MOD,
@@ -826,6 +834,301 @@ WHERE (id = 31982803 OR id BETWEEN 31984152 AND 31984188)
 """
 
 
+# --------------------------------------------------------------- q22
+
+def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: signatures → band buckets → self-join
+    (the LSH stage of the dedup ladder; exact-Jaccard q09 is the verify
+    stage)."""
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_candidates(minhash_signatures(docs))
+
+
+def _q22_oracle() -> str:
+    h = synth.md5long("g.gram", D)
+    mins = ", ".join(
+        f"min(({a} * (({h}) % {MINHASH_P}) + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat_ws('_', {cols}) AS key "
+        "FROM sig".format(
+            band=band,
+            cols=", ".join(
+                f"CAST(h{band * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for band in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(lower(text)) - 2, 1) + 1),
+           i -> substr(lower(text), CAST(i AS INTEGER), 3)))) AS gram
+  FROM documents
+), g AS (SELECT doc_id, gram FROM sh),
+sig AS (SELECT doc_id, {mins} FROM g GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+# --------------------------------------------------------------- q23
+
+COSINE_NUM, COSINE_DEN = 2, 5  # threshold 0.4 — the corpus's near-dup knee
+
+
+def q23_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, integer-exact threshold test."""
+    _ensure(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_near_dup_pairs(emb, COSINE_NUM, COSINE_DEN)
+
+
+def _q23_oracle() -> str:
+    num2 = COSINE_NUM * COSINE_NUM
+    den2 = COSINE_DEN * COSINE_DEN
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+n2 AS (SELECT vec_id, sum(val * val) AS n2 FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, sum(l.val * r.val) AS dot
+  FROM flat l JOIN flat r ON l.idx = r.idx AND l.vec_id < r.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
+WHERE d.dot > 0 AND {den2} * d.dot * d.dot >= {num2} * na.n2 * nb.n2
+"""
+
+
+# --------------------------------------------------------------- q24
+
+def q24_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH approximate top-k (the ANN scale path).
+    Deterministic but built on Spark's xxhash64 — not SQL-portable, so no
+    oracle entry: the driver records the rows-only check, by design."""
+    _ensure(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(emb, q, k=5).select(
+        "query_id", "rank", "neighbor_id", "score"
+    )
+
+
+# --------------------------------------------------------------- q25
+
+def q25_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode correctness through the gate: decode the fixture bytes
+    (PPM/BMP/PNG/QNT, from-scratch codecs) → recompute the perceptual hash →
+    must equal the phash column the generator stored (SURVEY §2.7 F10/F11)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.udfs import phash_udf
+
+    images = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "images.parquet")
+    ).where(F.col("fmt") != "qnt")  # lossless only: the stored phash is of
+    # the ORIGINAL pixels; qnt is lossy, so its invariant is PSNR (q26)
+    return images.select(
+        "image_id", phash_udf(F.col("bytes"), F.col("fmt")).alias("phash")
+    )
+
+
+def _q25_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return (
+        f"SELECT image_id, phash FROM read_parquet('{path}') "
+        f"WHERE fmt <> 'qnt'"
+    )
+
+
+# --------------------------------------------------------------- q26
+
+def q26_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row image invariant (BASELINE.json input_hint): decode →
+    re-encode → decode must be exact for lossless fmts and PSNR ≥ 40 dB for
+    the quantized lossy fmt; decoded dims must match the stored columns."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.udfs import roundtrip_ok_udf
+
+    images = spark.read.parquet(os.path.join(FIXTURE_DIR, "images.parquet"))
+    rt = roundtrip_ok_udf(F.col("bytes"), F.col("fmt"))
+    return images.select(
+        "image_id",
+        rt["w"].alias("w"), rt["h"].alias("h"), rt["ok"].alias("ok"),
+    )
+
+
+def _q26_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return (
+        f"SELECT image_id, w, h, CAST(1 AS BOOLEAN) AS ok "
+        f"FROM read_parquet('{path}')"
+    )
+
+
+# --------------------------------------------------------------- q27
+
+def q27_salted_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted raster↔vector join (SURVEY §2.4 J6) — must produce
+    byte-identical results to the unsalted q07 plan (same oracle)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import changesets_with_cells, salted_join
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    tiles = tiles_with_cells(
+        pts.select(F.col("id").alias("tile_id"), "lon", "lat"),
+        F.col("lon"), F.col("lat"), 6,
+    ).select("cell", "tile_id")
+    cs = synth.changesets_df(spark, sf_dir).where(F.col("min_lon").isNotNull())
+    cs_cells = changesets_with_cells(cs, 6).select(
+        "cell", F.col("id").alias("changeset_id")
+    )
+    joined = salted_join(
+        tiles, cs_cells, key="cell", nsalt=8, fact_salt_source="tile_id"
+    )
+    return joined.groupBy("changeset_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.min("tile_id").alias("min_tile"),
+    )
+
+
+# --------------------------------------------------------------- q28
+
+def _hexagon_aoi() -> list[tuple[float, float]]:
+    """Convex hexagon around the NYC hotspot — exercises the non-rectangular
+    exact-intersects pandas UDF (geo/intersects.py) through the oracle gate."""
+    import math
+
+    cx, cy, r = -74.0, 40.7, 0.55
+    pts = [
+        (cx + r * math.cos(math.radians(60 * i + 11)),
+         cy + r * math.sin(math.radians(60 * i + 11)))
+        for i in range(6)
+    ]
+    return pts + [pts[0]]
+
+
+def q28_aoi_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AOI filter with a non-rectangular (convex) ring: coarse cell
+    prefilter + exact rect-vs-ring intersects UDF (SURVEY §2.3 G2/G3)."""
+    _ensure(spark, sf_dir)
+    cs = synth.changesets_df(spark, sf_dir)
+    return filter_by_aoi(cs, _hexagon_aoi()).select("id")
+
+
+def _q28_oracle() -> str:
+    """Separating-axis test (exact for convex polygons, touch-inclusive —
+    the same predicate the UDF's vertex-in/corner-in/edge-cross
+    decomposition computes): overlap on both bbox axes AND on every
+    polygon-edge normal axis."""
+    ring = _hexagon_aoi()[:-1]
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    conds = [
+        f"min_lon <= {max(xs)!r} AND max_lon >= {min(xs)!r}",
+        f"min_lat <= {max(ys)!r} AND max_lat >= {min(ys)!r}",
+    ]
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        nx, ny = ay - by, bx - ax  # edge normal
+        pmin = min(nx * x + ny * y for x, y in ring)
+        pmax = max(nx * x + ny * y for x, y in ring)
+        rx_min = f"({nx!r} * {'min_lon' if nx >= 0 else 'max_lon'})"
+        rx_max = f"({nx!r} * {'max_lon' if nx >= 0 else 'min_lon'})"
+        ry_min = f"({ny!r} * {'min_lat' if ny >= 0 else 'max_lat'})"
+        ry_max = f"({ny!r} * {'max_lat' if ny >= 0 else 'min_lat'})"
+        conds.append(
+            f"({rx_min} + {ry_min}) <= {pmax!r} "
+            f"AND ({rx_max} + {ry_max}) >= {pmin!r}"
+        )
+    cs = synth.changesets_sql(D)
+    where = "\n  AND ".join(conds)
+    return f"""
+WITH cs AS ({cs})
+SELECT id FROM cs
+WHERE min_lon IS NOT NULL
+  AND {where}
+"""
+
+
+# --------------------------------------------------------------- q29
+
+def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with a deterministic codebook (corpus rows with
+    id % 25 == 0), nprobe=2 — fully integer-deterministic, so unlike trained
+    IVF it is oracle-checkable end to end."""
+    _ensure(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(emb, q, k=5, centroid_stride=25, nprobe=2).select(
+        "query_id", "rank", "neighbor_id", "score"
+    )
+
+
+_Q29_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, val, idx FROM flat WHERE vec_id % 25 = 0),
+d2 AS (
+  SELECT f.vec_id AS id, c.cid,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM flat f JOIN cent c ON f.idx = c.idx
+  GROUP BY f.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2 WHERE id < 20
+  ) WHERE rn <= 2
+),
+cands AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
+),
+scores AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.val * n.val) AS score
+  FROM cands c
+  JOIN flat q ON q.vec_id = c.query_id
+  JOIN flat n ON n.vec_id = c.neighbor_id AND n.idx = q.idx
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -868,6 +1171,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_phash_neardup": q19_phash_neardup,
         "q20_analyse_fixture": q20_analyse_fixture,
         "q21_aoi_fixture": q21_aoi_fixture,
+        "q22_minhash_lsh": q22_minhash_lsh,
+        "q23_cosine_neardup": q23_cosine_neardup,
+        "q24_lsh_ann": q24_lsh_ann,
+        "q25_decode_phash": q25_decode_phash,
+        "q26_image_roundtrip": q26_image_roundtrip,
+        "q27_salted_tile_join": q27_salted_tile_join,
+        "q28_aoi_polygon": q28_aoi_polygon,
+        "q29_ivf_ann": q29_ivf_ann,
     }
 
 
@@ -894,4 +1205,13 @@ def oracle_sql() -> dict[str, str]:
         "q19_phash_neardup": _q19_oracle(),
         "q20_analyse_fixture": _q20_oracle(),
         "q21_aoi_fixture": _q21_oracle(),
+        "q22_minhash_lsh": _q22_oracle(),
+        "q23_cosine_neardup": _q23_oracle(),
+        # q24_lsh_ann: no oracle by design (xxhash64 signatures are not
+        # SQL-portable); the driver records the rows-only check.
+        "q25_decode_phash": _q25_oracle(),
+        "q26_image_roundtrip": _q26_oracle(),
+        "q27_salted_tile_join": _q07_oracle(),
+        "q28_aoi_polygon": _q28_oracle(),
+        "q29_ivf_ann": _Q29_ORACLE,
     }

