@@ -1129,6 +1129,49 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------- q30
+
+# Rectangular AOIs chosen so every exact-predicate branch fires: corner-in
+# (bbox inside a big AOI), vertex-in (AOI inside a wide bbox), and
+# edge-cross ("plus-sign": the Tokyo band is thinner than many bboxes are
+# tall, so neither shape holds the other's vertices).
+MULTI_AOIS = [
+    ("nyc", (-74.3, 40.4, -73.7, 41.0)),
+    ("tokyo_band", (139.0, 35.68, 140.4, 35.70)),
+    ("paris", (2.2, 48.7, 2.5, 49.0)),
+    ("empty_sea", (-40.0, -40.0, -39.0, -39.0)),
+]
+
+
+def q30_aoi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-AOI spatial join: AOIs(aoi_id, ring) ⋈ changesets on covering
+    cell + exact rect∩ring predicate (SURVEY §2.4 J2 generalized)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.aoi import aoi_join
+
+    rows = [
+        (aid, [(a, b), (c, b), (c, d), (a, d), (a, b)])
+        for aid, (a, b, c, d) in MULTI_AOIS
+    ]
+    aois = spark.createDataFrame(
+        rows, "aoi_id string, ring array<struct<lon: double, lat: double>>"
+    )
+    cs = synth.changesets_df(spark, sf_dir)
+    return aoi_join(cs, aois, level=8).select("aoi_id", "id")
+
+
+def _q30_oracle() -> str:
+    cs = synth.changesets_sql(D)
+    parts = [
+        f"""SELECT '{aid}' AS aoi_id, id FROM cs
+WHERE min_lon IS NOT NULL
+  AND min_lon <= {c} AND max_lon >= {a}
+  AND min_lat <= {d} AND max_lat >= {b}"""
+        for aid, (a, b, c, d) in MULTI_AOIS
+    ]
+    return f"WITH cs AS ({cs})\n" + "\nUNION ALL\n".join(parts)
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1179,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_salted_tile_join": q27_salted_tile_join,
         "q28_aoi_polygon": q28_aoi_polygon,
         "q29_ivf_ann": q29_ivf_ann,
+        "q30_aoi_join": q30_aoi_join,
     }
 
 
@@ -1214,4 +1258,5 @@ def oracle_sql() -> dict[str, str]:
         "q27_salted_tile_join": _q07_oracle(),
         "q28_aoi_polygon": _q28_oracle(),
         "q29_ivf_ann": _Q29_ORACLE,
+        "q30_aoi_join": _q30_oracle(),
     }

@@ -61,7 +61,13 @@ def find_words_col(
         excluded_n = F.regexp_count(
             lowered, F.lit(make_pattern(excluded_words))
         )
-        return suspect_n > excluded_n
+        # lazy guard: whole-stage codegen only evaluates the otherwise
+        # branch when suspect_n > 0, so the excluded-words regex never runs
+        # on the (overwhelmingly common) no-hit rows. NULL text flows to
+        # the otherwise branch and stays NULL, as before.
+        return F.when(suspect_n == 0, F.lit(False)).otherwise(
+            suspect_n > excluded_n
+        )
     return suspect_n > F.lit(0)
 
 

@@ -172,9 +172,11 @@ def aoi_join(
         ["aoi_id", "id"]
     )
 
-    # exact predicate per pair: rect corners in ring ∨ ring vertex in rect ∨
-    # edge crossing — evaluated via the Column PIP on both directions for
-    # the common case; fall back to treating overlap of bboxes when degenerate.
+    # exact predicate per pair — the full rect∩ring decomposition, all
+    # Column-side: (1) a bbox corner inside the ring, (2) a ring vertex
+    # inside the bbox, (3) a ring edge crossing the bbox. (3) is required:
+    # a "plus-sign" overlap (tall bbox × wide ring) contains no vertex of
+    # either shape in the other, only edge crossings.
     from osmcha_spark.geo.pip import point_in_ring_col
 
     min_lon, min_lat = F.col("min_lon"), F.col("min_lat")
@@ -191,4 +193,51 @@ def aoi_join(
         lambda p: (p["lon"] >= min_lon) & (p["lon"] <= max_lon)
         & (p["lat"] >= min_lat) & (p["lat"] <= max_lat),
     )
-    return joined.where(F.coalesce(corner_in | vertex_in, F.lit(False)))
+    edge_cross = F.exists(
+        _ring_edges(ring),
+        lambda e: _segment_hits_rect(
+            e, min_lon, min_lat, max_lon, max_lat
+        ),
+    )
+    return joined.where(
+        F.coalesce(corner_in | vertex_in | edge_cross, F.lit(False))
+    )
+
+
+def _ring_edges(ring):
+    """array<struct<ax,ay,bx,by>> of the closed ring's edges."""
+    n = F.size(ring)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            ring[i]["lon"].alias("ax"), ring[i]["lat"].alias("ay"),
+            ring[(i + 1) % n]["lon"].alias("bx"),
+            ring[(i + 1) % n]["lat"].alias("by"),
+        ),
+    )
+
+
+def _segment_hits_rect(e, min_lon, min_lat, max_lon, max_lat):
+    """Inclusive segment ∩ axis-aligned rect, by separating axes (exact for
+    this convex pair: axes = rect's x/y + the segment's normal):
+    the segment's bbox overlaps the rect AND the rect's corners do not all
+    lie strictly on one side of the segment's supporting line."""
+    bbox_overlap = (
+        (F.least(e["ax"], e["bx"]) <= max_lon)
+        & (F.greatest(e["ax"], e["bx"]) >= min_lon)
+        & (F.least(e["ay"], e["by"]) <= max_lat)
+        & (F.greatest(e["ay"], e["by"]) >= min_lat)
+    )
+    dx = e["bx"] - e["ax"]
+    dy = e["by"] - e["ay"]
+
+    def side(px, py):
+        return dx * (py - e["ay"]) - dy * (px - e["ax"])
+
+    s1 = side(min_lon, min_lat)
+    s2 = side(max_lon, min_lat)
+    s3 = side(max_lon, max_lat)
+    s4 = side(min_lon, max_lat)
+    all_pos = (s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0)
+    all_neg = (s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)
+    return bbox_overlap & ~all_pos & ~all_neg

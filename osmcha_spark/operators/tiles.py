@@ -56,13 +56,21 @@ def tile_changeset_join(
     changesets: DataFrame,
     level: int,
     how: str = "inner",
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """The raster↔vector join: tile rows (with ``cell``) ⋈ polyfilled
     changesets on cell id. Returns one assignment row per (tile, changeset,
-    shared cell)."""
+    shared cell).
+
+    ``broadcast_dim=True`` hints the polyfilled changeset side into a
+    broadcast hash join — right when that side fits executor memory (an
+    AOI-scoped or time-windowed changeset batch); leave False to let
+    AQE pick SMJ when both sides are corpus-scale."""
     cs = changesets_with_cells(changesets, level).select(
         "cell", F.col("id").alias("changeset_id"),
     )
+    if broadcast_dim:
+        cs = F.broadcast(cs)
     return tiles.join(cs, "cell", how)
 
 

@@ -333,3 +333,32 @@ def test_cosine_near_dup_pairs_exact(spark):
         for r in cosine_near_dup_pairs(df, 7, 10).collect()
     }
     assert {(0, 1), (0, 3), (1, 3), (2, 3)} == pairs7
+
+
+def test_aoi_join_plus_sign_overlap(spark):
+    """Regression: a tall-narrow bbox crossing a wide-thin AOI holds no
+    vertex of the other shape — only the edge-cross branch of the exact
+    predicate finds it (SAT segment-vs-rect test in operators/aoi.py)."""
+    from osmcha_spark.operators.aoi import aoi_join
+
+    cs = spark.createDataFrame(
+        [
+            # plus-sign: bbox lat span [10.0, 10.5] crosses band lat [10.2, 10.21]
+            (1, 20.00, 10.0, 20.01, 10.5),
+            # disjoint, same cell neighborhood
+            (2, 20.00, 10.3, 20.01, 10.5),
+            # AOI vertex inside a wide bbox
+            (3, 18.0, 10.0, 26.0, 10.5),
+        ],
+        "id long, min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    aois = spark.createDataFrame(
+        [("band", [(19.0, 10.2), (25.0, 10.2), (25.0, 10.21),
+                   (19.0, 10.21), (19.0, 10.2)])],
+        "aoi_id string, ring array<struct<lon: double, lat: double>>",
+    )
+    got = {
+        (r["aoi_id"], r["id"])
+        for r in aoi_join(cs, aois, level=6).select("aoi_id", "id").collect()
+    }
+    assert got == {("band", 1), ("band", 3)}
