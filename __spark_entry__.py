@@ -1172,6 +1172,136 @@ WHERE min_lon IS NOT NULL
     return f"WITH cs AS ({cs})\n" + "\nUNION ALL\n".join(parts)
 
 
+# --------------------------------------------------------------- q31
+
+def q31_get_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The get_dict projection surface over the reference fixture rows
+    (SURVEY §2.2 P2-P4, §2.3 G1): normalization defaults, WKT bbox
+    (fixed %.7f rendering so both engines format identically), warning-tag
+    extraction, and the metadata map with its exclusion list + host
+    special-case — the Spark side reads the ``tags`` MAP, the oracle reads
+    the fixture's independent flat columns."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.plans.analyse import normalize_changesets
+
+    cs = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "changesets.parquet")
+    ).select(
+        "id", "user", "uid", "created_at", "comments_count",
+        "min_lon", "min_lat", "max_lon", "max_lat", "tags",
+    )
+    n = normalize_changesets(cs)
+
+    def pt(x, y):
+        return F.concat(
+            F.format_string("%.7f", x), F.lit(" "), F.format_string("%.7f", y)
+        )
+    mnx, mny = F.col("min_lon"), F.col("min_lat")
+    mxx, mxy = F.col("max_lon"), F.col("max_lat")
+    wkt = F.when(
+        mnx.isNull(), F.lit("POLYGON EMPTY")
+    ).otherwise(
+        F.concat(
+            F.lit("POLYGON (("),
+            F.concat_ws(
+                ", ",
+                pt(mnx, mny), pt(mxx, mny), pt(mxx, mxy),
+                pt(mnx, mxy), pt(mnx, mny),
+            ),
+            F.lit("))"),
+        )
+    )
+    meta_csv = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("metadata")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ";",
+    )
+    return n.select(
+        "id", "user", "uid", "editor", "host",
+        "comment", "source", "imagery_used", "comments_count",
+        F.unix_timestamp("date").alias("created_epoch"),
+        wkt.alias("bbox_wkt"),
+        F.array_join(F.array_sort(F.col("warning_tags")), ";").alias(
+            "warning_tags_csv"
+        ),
+        meta_csv.alias("metadata_csv"),
+    )
+
+
+def _q31_oracle() -> str:
+    from osmcha_spark.plans.analyse import METADATA_EXCLUDED_KEYS
+
+    path = os.path.join(FIXTURE_DIR, "changesets.parquet")
+    excl = ", ".join(OQ._lit(k, D) for k in METADATA_EXCLUDED_KEYS)
+    pts = [
+        "printf('%.7f %.7f', min_lon, min_lat)",
+        "printf('%.7f %.7f', max_lon, min_lat)",
+        "printf('%.7f %.7f', max_lon, max_lat)",
+        "printf('%.7f %.7f', min_lon, max_lat)",
+        "printf('%.7f %.7f', min_lon, min_lat)",
+    ]
+    wkt = (
+        "CASE WHEN min_lon IS NULL THEN 'POLYGON EMPTY' "
+        "ELSE 'POLYGON ((' || concat_ws(', ', " + ", ".join(pts) + ") || '))' END"
+    )
+    return f"""
+SELECT id, "user", uid,
+       created_by AS editor,
+       coalesce(host, 'Not reported') AS host,
+       coalesce(comment, 'Not reported') AS comment,
+       coalesce(source, 'Not reported') AS source,
+       coalesce(imagery_used, 'Not reported') AS imagery_used,
+       coalesce(TRY_CAST(comments_count AS INTEGER), 0) AS comments_count,
+       CAST(epoch(strptime(created_at, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT)
+         AS created_epoch,
+       {wkt} AS bbox_wkt,
+       coalesce(array_to_string(
+         list_sort(list_filter(map_keys(tags), k -> k LIKE 'warnings:%')),
+         ';'), '') AS warning_tags_csv,
+       coalesce(array_to_string(
+         list_sort(list_transform(
+           list_filter(map_entries(tags),
+             e -> (e.key = 'host' AND e.value <> '')
+                  OR NOT e.key IN ({excl})),
+           e -> e.key || '=' || e.value)),
+         ';'), '') AS metadata_csv
+FROM read_parquet('{path}')
+"""
+
+
+# --------------------------------------------------------------- q32
+
+def q32_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal transform plumbing (decode → block-mean downsample →
+    re-encode → decode): the resized image's dims must be exactly half the
+    stored dims (corpus dims are all even). Two chained Arrow-vectorized
+    UDFs over the binary column."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.udfs import decode_pixels_udf, resize_block_udf
+
+    images = spark.read.parquet(os.path.join(FIXTURE_DIR, "images.parquet"))
+    small = images.select(
+        "image_id",
+        resize_block_udf(2)(F.col("bytes"), F.col("fmt")).alias("small"),
+    )
+    dec = decode_pixels_udf(F.col("small"), F.lit("ppm"))
+    return small.select(
+        "image_id", dec["w"].alias("w2"), dec["h"].alias("h2")
+    )
+
+
+def _q32_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return (
+        f"SELECT image_id, w // 2 AS w2, h // 2 AS h2 "
+        f"FROM read_parquet('{path}')"
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1223,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_aoi_polygon": q28_aoi_polygon,
         "q29_ivf_ann": q29_ivf_ann,
         "q30_aoi_join": q30_aoi_join,
+        "q31_get_dict": q31_get_dict,
+        "q32_resize": q32_resize,
     }
 
 
@@ -1259,4 +1391,6 @@ def oracle_sql() -> dict[str, str]:
         "q28_aoi_polygon": _q28_oracle(),
         "q29_ivf_ann": _Q29_ORACLE,
         "q30_aoi_join": _q30_oracle(),
+        "q31_get_dict": _q31_oracle(),
+        "q32_resize": _q32_oracle(),
     }
