@@ -459,8 +459,92 @@ def _rowcount_hint(r: dict) -> str:
     )
 
 
+def _weak_tile_run(cpus: int, n_images: int) -> dict:
+    """One weak-scaling measurement: the tile pipeline at (cpus, corpus).
+    Pre-persists the polyfilled dim side; min-of-3 on the probe+count."""
+    os.environ["BENCH_IMAGES"] = str(n_images)
+    from pyspark.sql import functions as F
+
+    from osmcha_spark import synth
+    from osmcha_spark.geo.cells import cell_col
+    from osmcha_spark.images.corpus import generate_images
+    from osmcha_spark.operators.tiles import changesets_with_cells
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    synth.register_synth_views(spark, sf_dir)
+    path = os.path.join(
+        os.environ.get("BENCH_CORPUS_ROOT", "/tmp/spark_graft_bench"),
+        f"corpus_{n_images}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_images(spark, n_images, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(path)
+    imgs = spark.read.parquet(path)
+    cs = synth.changesets_df(spark, sf_dir).repartition(
+        4 * spark.sparkContext.defaultParallelism
+    ).where(F.col("min_lon").isNotNull())
+    cs_cells = changesets_with_cells(cs, 7).select(
+        "cell", F.col("id").alias("changeset_id")
+    ).persist()
+    cs_cells.count()
+    tiles = imgs.select(
+        "image_id", cell_col(F.col("lon"), F.col("lat"), 7).alias("cell")
+    )
+    j = tiles.join(F.broadcast(cs_cells), "cell")
+    j.limit(1).count()
+    times, n = [], 0
+    for _ in range(3):
+        t0 = time.time()
+        n = j.count()
+        times.append(time.time() - t0)
+    spark.stop()
+    return {
+        "cpus": cpus, "images": n_images, "join_rows": n,
+        "best_sec": round(min(times), 3),
+        "rows_per_sec": round(n / min(times), 1),
+    }
+
+
+def weak_scaling() -> None:
+    """Weak-scaling evidence: 4× the data on 4× the cores should finish in
+    the SAME wall time — the regime that models N→4N executors taking on
+    proportionally more of a fixed 100 TB corpus. Run as two subprocesses
+    so each parallelism level gets a fresh JVM."""
+    n_big = int(os.environ.get("SCALING_IMAGES", "1000000"))
+    runs = []
+    for cpus, n in ((8, n_big // 4), (32, n_big)):
+        env = dict(os.environ)
+        env["WEAK_ONE"] = f"{cpus}:{n}"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--weak-one"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        runs.append(json.loads(line))
+    small, big = runs
+    # efficiency = T(N cores, W work) / T(4N cores, 4W work); 1.0 = perfect
+    report = {
+        "small": small, "big": big,
+        "weak_scaling_efficiency": round(
+            small["best_sec"] / big["best_sec"], 3
+        ),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/weak_scaling.json", "w") as fh:
+        json.dump(report, fh, indent=2)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--weak" in sys.argv:
+        weak_scaling()
+    elif "--weak-one" in sys.argv:
+        cpus_s, n_s = os.environ["WEAK_ONE"].split(":")
+        print(json.dumps(_weak_tile_run(int(cpus_s), int(n_s))))
     else:
         main()
