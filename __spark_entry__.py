@@ -1302,6 +1302,57 @@ def _q32_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------- q33/q34
+
+def q33_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing: decode pcm16 bytes → duration/rms/zcr/peak
+    via mapInPandas; oracle reads the feature columns the fixture generator
+    stored from the pre-encoding sample arrays."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.multimodal import extract_audio_features
+
+    audio = spark.read.parquet(os.path.join(FIXTURE_DIR, "audio.parquet"))
+    return extract_audio_features(audio)
+
+
+def _q33_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "audio.parquet")
+    return (
+        f"SELECT audio_id, exp_duration_s AS duration_s, exp_rms AS rms, "
+        f"exp_zcr AS zcr, CAST(exp_peak AS INTEGER) AS peak "
+        f"FROM read_parquet('{path}')"
+    )
+
+
+def q34_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: decode rawrgb → every-2nd frame →
+    per-video sampled-frame count + frame-0 channel means."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.multimodal import sample_frames
+
+    video = spark.read.parquet(os.path.join(FIXTURE_DIR, "video.parquet"))
+    frames = sample_frames(video, every_k=2)
+    return (
+        frames.groupBy("video_id").agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min_by(F.col("mean_r"), F.col("frame_idx")).alias("mean_r0"),
+            F.min_by(F.col("mean_g"), F.col("frame_idx")).alias("mean_g0"),
+            F.min_by(F.col("mean_b"), F.col("frame_idx")).alias("mean_b0"),
+        )
+    )
+
+
+def _q34_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "video.parquet")
+    return f"""
+SELECT video_id,
+       CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+       exp_mean_r0 AS mean_r0, exp_mean_g0 AS mean_g0,
+       exp_mean_b0 AS mean_b0
+FROM read_parquet('{path}')
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1355,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_aoi_join": q30_aoi_join,
         "q31_get_dict": q31_get_dict,
         "q32_resize": q32_resize,
+        "q33_audio_features": q33_audio_features,
+        "q34_frame_sample": q34_frame_sample,
     }
 
 
@@ -1393,4 +1446,6 @@ def oracle_sql() -> dict[str, str]:
         "q30_aoi_join": _q30_oracle(),
         "q31_get_dict": _q31_oracle(),
         "q32_resize": _q32_oracle(),
+        "q33_audio_features": _q33_oracle(),
+        "q34_frame_sample": _q34_oracle(),
     }

@@ -398,6 +398,71 @@ def write_fixtures(data_dir: str) -> None:
         os.path.join(data_dir, "aoi.parquet"),
     )
 
+    write_multimodal_fixtures(data_dir)
+
+
+def write_multimodal_fixtures(data_dir: str) -> None:
+    """audio.parquet / video.parquet with EXPECTED feature columns stored
+    at generation time (computed from the raw sample/frame arrays before
+    byte-encoding) — the oracle reads the stored columns, the engine
+    recomputes them by decoding the bytes (same pattern as the images
+    fixture's stored phash)."""
+    import numpy as np
+
+    from osmcha_spark.images.multimodal import (
+        audio_rows_for_batch,
+        video_rows_for_batch,
+    )
+
+    adf = audio_rows_for_batch(np.arange(48))
+    arows = []
+    for _, r in adf.iterrows():
+        s = np.frombuffer(r["bytes"], dtype="<i2").astype(np.float64)
+        zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+        arows.append({
+            **{k: r[k] for k in ("audio_id", "bytes", "sample_rate",
+                                 "n_samples", "fmt", "caption")},
+            "exp_duration_s": len(s) / float(r["sample_rate"]),
+            "exp_rms": float(np.sqrt(np.mean(s * s))),
+            "exp_zcr": zc / max(len(s) - 1, 1),
+            "exp_peak": int(np.max(np.abs(s))),
+        })
+    pq.write_table(
+        pa.Table.from_pylist(arows, schema=pa.schema([
+            ("audio_id", pa.string()), ("bytes", pa.binary()),
+            ("sample_rate", pa.int32()), ("n_samples", pa.int32()),
+            ("fmt", pa.string()), ("caption", pa.string()),
+            ("exp_duration_s", pa.float64()), ("exp_rms", pa.float64()),
+            ("exp_zcr", pa.float64()), ("exp_peak", pa.int32()),
+        ])),
+        os.path.join(data_dir, "audio.parquet"),
+    )
+
+    vdf = video_rows_for_batch(np.arange(24))
+    vrows = []
+    for _, r in vdf.iterrows():
+        frames = np.frombuffer(r["bytes"], dtype=np.uint8).reshape(
+            r["n_frames"], r["h"], r["w"], 3
+        )
+        vrows.append({
+            **{k: r[k] for k in ("video_id", "bytes", "w", "h", "n_frames",
+                                 "fps", "fmt", "caption")},
+            "exp_mean_r0": float(frames[0, :, :, 0].mean()),
+            "exp_mean_g0": float(frames[0, :, :, 1].mean()),
+            "exp_mean_b0": float(frames[0, :, :, 2].mean()),
+        })
+    pq.write_table(
+        pa.Table.from_pylist(vrows, schema=pa.schema([
+            ("video_id", pa.string()), ("bytes", pa.binary()),
+            ("w", pa.int32()), ("h", pa.int32()),
+            ("n_frames", pa.int32()), ("fps", pa.float64()),
+            ("fmt", pa.string()), ("caption", pa.string()),
+            ("exp_mean_r0", pa.float64()), ("exp_mean_g0", pa.float64()),
+            ("exp_mean_b0", pa.float64()),
+        ])),
+        os.path.join(data_dir, "video.parquet"),
+    )
+
 
 DEFAULT_DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
 
