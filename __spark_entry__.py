@@ -1353,6 +1353,56 @@ FROM read_parquet('{path}')
 """
 
 
+# --------------------------------------------------------------- q35
+
+def q35_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replication ingest (SURVEY §2.8): the
+    reference's own 245.osm.gz consumed as a micro-batch stream
+    (AvailableNow, checkpointed) → parsed changeset rows. The oracle is the
+    re-encoded fixture parquet of the same file — streamed parse must equal
+    the committed rows byte-for-byte."""
+    _ensure(spark, sf_dir)
+    import shutil
+    import tempfile
+
+    from osmcha_spark.streaming import (
+        read_replication_stream,
+        run_replication_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="q35_stream_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(in_dir)
+    shutil.copy(
+        "/root/reference/tests/245.osm.gz",
+        os.path.join(in_dir, "000001.osm.gz"),
+    )
+    cs = read_replication_stream(spark, in_dir)
+    q = run_replication_stream(cs, out_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "id", "user", "uid", "created_at", "comments_count",
+        "min_lon", "min_lat", "max_lon", "max_lat",
+        F.array_join(F.array_sort(F.map_keys(F.col("tags"))), ";").alias(
+            "tag_keys"
+        ),
+    )
+
+
+def _q35_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "changesets.parquet")
+    return f"""
+SELECT id, "user", uid, created_at, comments_count,
+       min_lon, min_lat, max_lon, max_lat,
+       coalesce(array_to_string(list_sort(map_keys(tags)), ';'), '')
+         AS tag_keys
+FROM read_parquet('{path}')
+WHERE id = 31982803 OR id BETWEEN 31984152 AND 31984188
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1408,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_resize": q32_resize,
         "q33_audio_features": q33_audio_features,
         "q34_frame_sample": q34_frame_sample,
+        "q35_streaming": q35_streaming,
     }
 
 
@@ -1448,4 +1499,5 @@ def oracle_sql() -> dict[str, str]:
         "q32_resize": _q32_oracle(),
         "q33_audio_features": _q33_oracle(),
         "q34_frame_sample": _q34_oracle(),
+        "q35_streaming": _q35_oracle(),
     }

@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the plan properties the 100-TB design
+depends on, asserted so a refactor can't silently lose them.
+
+Checks the executed/analyzed plan text for:
+- the rule pipeline contains NO Python evaluation node (all rules are
+  native Columns; the only sanctioned Python is the opt-in parity UDF),
+- dimension joins broadcast (users; the polyfilled tile dim when hinted),
+- point lookups push the id predicate into the parquet scan,
+- column pruning reaches the scan (ReadSchema carries only what's asked).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from osmcha_spark import synth
+from osmcha_spark.plans.analyse import action_counts, analyse
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _cs(tables):
+    return tables["changesets"].select(
+        "id", "user", "uid", "created_at", "comments_count",
+        "min_lon", "min_lat", "max_lon", "max_lat", "tags",
+    )
+
+
+def test_analyse_plan_has_no_python(spark, tables):
+    cs, actions, users = _cs(tables), tables["actions"], tables["users"]
+    out = analyse(cs, action_counts(actions), users)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # parity mode IS allowed to use Python — that's its point
+    parity = analyse(cs, action_counts(actions), users, parity_words=True)
+    assert "ArrowEvalPython" in _plan(parity)
+
+
+def test_analyse_users_join_broadcasts(spark, tables):
+    cs, actions, users = _cs(tables), tables["actions"], tables["users"]
+    out = analyse(cs, action_counts(actions), users)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_point_lookup_pushes_down(spark):
+    cs = spark.read.parquet(os.path.join(DATA, "changesets.parquet"))
+    q = cs.where(F.col("id") == 31982803).select("id", "user")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,31982803)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    images = spark.read.parquet(os.path.join(DATA, "images.parquet"))
+    q = images.select("image_id", "phash")
+    plan = _plan(q)
+    # the scan must NOT read the heavy binary column for a 2-column query
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "bytes" not in read_schema
+    assert "image_id" in read_schema and "phash" in read_schema
+
+
+def test_tile_join_broadcast_hint(spark, tables):
+    from osmcha_spark.operators.tiles import tile_changeset_join
+
+    cs = _cs(tables)
+    tiles = spark.range(100).select(
+        F.col("id").alias("tile_id"),
+        (F.col("id") % 50).cast("long").alias("cell"),
+    )
+    j = tile_changeset_join(
+        tiles, cs.where(F.col("min_lon").isNotNull()), 7, broadcast_dim=True
+    )
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_knn_is_pure_column(spark):
+    from osmcha_spark.operators.knn import knn_join
+
+    pts = spark.range(50).select(
+        "id",
+        (F.col("id") % 10).cast("double").alias("lon"),
+        (F.col("id") % 7).cast("double").alias("lat"),
+    )
+    plan = _plan(knn_join(pts, k=2, radius=1.0))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
