@@ -1,0 +1,117 @@
+"""Dump .explain("formatted") for the headline pipelines → BENCH/PLANS.md.
+
+The artifact reviewers read to confirm the plans are the ones the design
+intends: pushed filters, pruned read schemas, broadcast hash joins on
+dimension sides, whole-stage codegen over the rule projections, and no
+Python eval nodes outside the explicitly vectorized UDF stages.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from osmcha_spark import synth  # noqa: E402
+from osmcha_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES = os.path.join(REPO, "tests", "data")
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+    synth.register_synth_views(spark, sf)
+
+    sections: list[tuple[str, str, str]] = []
+
+    from osmcha_spark.plans.analyse import analyse
+
+    cs = synth.changesets_df(spark, sf)
+    out = analyse(
+        cs,
+        spark.sql(synth.actions_counts_sql(synth.SPARK)),
+        spark.sql(synth.users_sql(synth.SPARK)),
+    ).where(F.col("is_suspect"))
+    sections.append((
+        "analyse — full rule pipeline",
+        "expect: one wide projection after two joins (users broadcast), "
+        "no Python eval nodes, whole-stage codegen over the rule columns",
+        formatted(out),
+    ))
+
+    from osmcha_spark.geo.cells import cell_col
+    from osmcha_spark.operators.tiles import tile_changeset_join
+
+    imgs = spark.read.parquet(os.path.join(FIXTURES, "images.parquet"))
+    tiles = imgs.select(
+        "image_id", cell_col(F.col("lon"), F.col("lat"), 7).alias("cell")
+    )
+    j = tile_changeset_join(
+        tiles, cs.where(F.col("min_lon").isNotNull()), 7, broadcast_dim=True
+    )
+    sections.append((
+        "tile ↔ changeset raster↔vector join",
+        "expect: BroadcastHashJoin on the int64 cell, polyfill explode on "
+        "the dim side, ReadSchema without the binary column",
+        formatted(j),
+    ))
+
+    point = spark.read.parquet(
+        os.path.join(FIXTURES, "changesets.parquet")
+    ).where(F.col("id") == 31982803).select("id", "user")
+    sections.append((
+        "point lookup (CLI path)",
+        "expect: PushedFilters with EqualTo(id, …) reaching the parquet scan",
+        formatted(point),
+    ))
+
+    from osmcha_spark.operators.knn import knn_join
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    sections.append((
+        "kNN cell-bucketed self-join",
+        "expect: equi-join on cell, window top-k, no Python",
+        formatted(knn_join(pts, k=3, radius=2.0)),
+    ))
+
+    lines = [
+        "# PLANS — .explain(\"formatted\") of the headline pipelines",
+        "",
+        "Regenerate: `python tools/dump_plans.py` "
+        "(plan properties are also pinned by tests/test_plans.py).",
+        "",
+    ]
+    for title, expect, plan in sections:
+        lines += [f"## {title}", "", f"*{expect}*", "", "```",
+                  plan.rstrip(), "```", ""]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote BENCH/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
