@@ -1403,6 +1403,88 @@ WHERE id = 31982803 OR id BETWEEN 31984152 AND 31984188
 """
 
 
+# --------------------------------------------------------------- q36
+
+def q36_lsh_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN with the portable ±1 plane matrix —
+    approximate search, EXACTLY reproducible in SQL (unlike q24's
+    xxhash64 planes), so the whole bucket→probe→rank pipeline goes
+    through the oracle gate."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.similarity import lsh_topk_portable
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return lsh_topk_portable(emb, q, k=5, n_bits=8).select(
+        "query_id", "rank", "neighbor_id", "score"
+    )
+
+
+def _q36_oracle() -> str:
+    from osmcha_spark.operators.similarity import portable_planes
+
+    n_bits = 8
+    planes = portable_planes(n_bits, 64)
+    coeff_rows = ", ".join(
+        f"({j}, {i}, {c})"
+        for j, row in enumerate(planes)
+        for i, c in enumerate(row)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN p.j = {j} THEN f.val * p.c ELSE 0 END) AS s{j}"
+        for j in range(n_bits)
+    )
+    probe_vals = ", ".join(
+        ["(CAST(-1 AS BIGINT))"] + [f"({1 << j})" for j in range(n_bits)]
+    )
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) - 1 AS idx
+  FROM embeddings
+),
+planes(j, idx, c) AS (VALUES {coeff_rows}),
+sums AS (
+  SELECT f.vec_id, {sums}
+  FROM flat f JOIN planes p ON p.idx = f.idx
+  GROUP BY f.vec_id
+),
+sig AS (SELECT vec_id, ({bits}) AS bucket FROM sums),
+probes AS (
+  SELECT s.vec_id AS query_id,
+         CASE WHEN m.v = -1 THEN s.bucket
+              ELSE CAST(xor(s.bucket, m.v) AS BIGINT) END AS bucket
+  FROM sig s CROSS JOIN (VALUES {probe_vals}) AS m(v)
+  WHERE s.vec_id < 20
+),
+cands AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN sig c ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+scores AS (
+  SELECT ca.query_id, ca.neighbor_id, sum(q.val * n.val) AS score
+  FROM cands ca
+  JOIN flat q ON q.vec_id = ca.query_id
+  JOIN flat n ON n.vec_id = ca.neighbor_id AND n.idx = q.idx
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1459,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_audio_features": q33_audio_features,
         "q34_frame_sample": q34_frame_sample,
         "q35_streaming": q35_streaming,
+        "q36_lsh_ann_portable": q36_lsh_ann_portable,
     }
 
 
@@ -1500,4 +1583,5 @@ def oracle_sql() -> dict[str, str]:
         "q33_audio_features": _q33_oracle(),
         "q34_frame_sample": _q34_oracle(),
         "q35_streaming": _q35_oracle(),
+        "q36_lsh_ann_portable": _q36_oracle(),
     }

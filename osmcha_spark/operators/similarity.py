@@ -254,6 +254,91 @@ def ivf_topk(
     )
 
 
+def portable_planes(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5 parity — computed once
+    driver-side in pure Python, embedded as literals in BOTH the Spark plan
+    and the DuckDB oracle, so the LSH bucketing is engine-exact."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"plane:{j}:{i}".encode()).digest()[0] & 1
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def _portable_sign_bits(qv, planes: list[list[int]]) -> F.Column:
+    """Bucket id: bit j = [Σ_i c_ji·q_i > 0] over the int64-quantized
+    vector — pure integer Column arithmetic."""
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        coeffs = F.array(*[F.lit(c).cast("long") for c in row])
+        proj = F.aggregate(
+            F.zip_with(qv, coeffs, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.shiftleft(
+                F.when(proj > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                j,
+            )
+        )
+    return sig
+
+
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k with the PORTABLE plane matrix: the
+    same deterministic buckets are derivable in ANSI SQL, so unlike
+    ``lsh_topk`` (xxhash64 planes, Spark-only) this variant is
+    oracle-checkable end to end. Semantics identical: candidates share the
+    query's exact bucket or a Hamming-1 probe bucket; exact quantized-dot
+    ranking within candidates."""
+    planes = portable_planes(n_bits, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _qvec(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", _portable_sign_bits(F.col("cv"), planes))
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qv")
+    ).withColumn("qsig", _portable_sign_bits(F.col("qv"), planes))
+    probes = F.array(
+        F.col("qsig"),
+        *[F.col("qsig").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)],
+    )
+    q = q0.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _dot_int(F.col("qv"), F.col("cv")).alias("score"),
+        )
+        # no dedup: a corpus row sits in ONE bucket and a query's probe
+        # buckets are distinct, so (query, neighbor) pairs are unique
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 _PLANE_SALT = 0x5DEECE66D
 
 
