@@ -7,9 +7,14 @@ implemented operator from SURVEY.md §2 as (spark, sf_dir) callables;
 synthesized INSIDE the query with engine-portable arithmetic — see
 osmcha_spark/synth.py — so both engines see identical inputs).
 
-Queries q19/q20/q21 run against the committed fixture parquet under
-tests/data (the reference's own test fixtures re-encoded); their oracles
-use read_parquet with absolute paths.
+Inputs come from two places: derived tables synthesized portably from the
+driver's parquet (q01-q07, q27-q30), the driver tables directly
+(q08-q18, q22-q24, q36), or the committed fixture parquet under tests/data
+— the reference's own test fixtures re-encoded, plus image/audio/video
+corpora whose expected-value columns were stored at generation time
+(q19-q21, q25-q26, q31-q35); fixture oracles use read_parquet with
+absolute paths. q24 is the only entry without an oracle (xxhash64
+signatures are not SQL-portable; q36 is its oracle-checked portable twin).
 """
 
 from __future__ import annotations
