@@ -502,7 +502,7 @@ WITH flat AS (
 ),
 scores AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         sum(q.val * c.val) AS score
+         CAST(sum(q.val * c.val) AS BIGINT) AS score
   FROM flat q JOIN flat c ON q.idx = c.idx AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 20
   GROUP BY q.vec_id, c.vec_id
@@ -689,8 +689,9 @@ def q18_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q18_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -912,7 +913,8 @@ dots AS (
   FROM flat l JOIN flat r ON l.idx = r.idx AND l.vec_id < r.vec_id
   GROUP BY 1, 2
 )
-SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+SELECT d.a, d.b, CAST(d.dot AS BIGINT) AS dot,
+       CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
 FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
 WHERE d.dot > 0 AND {den2} * d.dot * d.dot >= {num2} * na.n2 * nb.n2
 """
@@ -1118,7 +1120,8 @@ cands AS (
   FROM probes p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
 ),
 scores AS (
-  SELECT c.query_id, c.neighbor_id, sum(q.val * n.val) AS score
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(q.val * n.val) AS BIGINT) AS score
   FROM cands c
   JOIN flat q ON q.vec_id = c.query_id
   JOIN flat n ON n.vec_id = c.neighbor_id AND n.idx = q.idx
@@ -1474,7 +1477,8 @@ cands AS (
   WHERE c.vec_id <> p.query_id
 ),
 scores AS (
-  SELECT ca.query_id, ca.neighbor_id, sum(q.val * n.val) AS score
+  SELECT ca.query_id, ca.neighbor_id,
+         CAST(sum(q.val * n.val) AS BIGINT) AS score
   FROM cands ca
   JOIN flat q ON q.vec_id = ca.query_id
   JOIN flat n ON n.vec_id = ca.neighbor_id AND n.idx = q.idx

