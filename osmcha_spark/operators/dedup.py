@@ -137,14 +137,39 @@ def jaccard_pairs(docs: DataFrame, threshold: float,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, max_df: int | None = None) -> DataFrame:
     """(a, b, inter, union_size, jaccard) for pairs with Jaccard ≥
-    threshold, via the inverted-index join. ``max_df`` drops
-    stop-shingles (df > max_df) from pairing — the classic skew guard;
-    sizes still use the full shingle sets."""
-    sh = doc_shingles(docs, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    threshold, via the inverted-index join.
 
-    pair_src = sh
-    if max_df is not None:
+    ``max_df`` is the stop-shingle skew guard: shingles with df > max_df
+    are dropped from CANDIDATE GENERATION only — a hot shingle with df d
+    contributes d²/2 join rows, so one " th" n-gram at corpus scale turns
+    the index join quadratic; bounding d ≤ max_df bounds the join fan-out.
+    Candidate pairs are then verified EXACTLY against the full shingle
+    sets (array_intersect on the collected grams), so every emitted
+    (inter, union_size, jaccard) is identical to the unguarded path; the
+    only approximation is recall — a pair whose shared shingles are ALL
+    stop-shingles is never considered (vanishingly unlikely at high
+    thresholds: near-dup docs share their rare shingles too).
+    """
+    sh = doc_shingles(docs, text_col, id_col, n)
+
+    if max_df is None:
+        left = sh.select(F.col("doc_id").alias("a"), "shingle")
+        right = sh.select(F.col("doc_id").alias("b"), "shingle")
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            left.join(right, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sz_a = sizes.select(
+            F.col("doc_id").alias("a"), F.col("sz").alias("sza")
+        )
+        sz_b = sizes.select(
+            F.col("doc_id").alias("b"), F.col("sz").alias("szb")
+        )
+        scored = inter.join(sz_a, "a").join(sz_b, "b")
+    else:
         df_counts = sh.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("df")
         )
@@ -152,19 +177,35 @@ def jaccard_pairs(docs: DataFrame, threshold: float,
             df_counts.where(F.col("df") <= max_df).select("shingle"),
             "shingle",
         )
-
-    left = pair_src.select(F.col("doc_id").alias("a"), "shingle")
-    right = pair_src.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        left.join(right, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+        cand = (
+            pair_src.select(F.col("doc_id").alias("a"), "shingle")
+            .join(pair_src.select(F.col("doc_id").alias("b"), "shingle"),
+                  "shingle")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        grams = sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("grams"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        g_a = grams.select(
+            F.col("doc_id").alias("a"),
+            F.col("grams").alias("ga"), F.col("sz").alias("sza"),
+        )
+        g_b = grams.select(
+            F.col("doc_id").alias("b"),
+            F.col("grams").alias("gb"), F.col("sz").alias("szb"),
+        )
+        scored = (
+            cand.join(g_a, "a").join(g_b, "b")
+            .withColumn(
+                "inter",
+                F.size(F.array_intersect(F.col("ga"), F.col("gb"))),
+            )
+        )
     return (
-        inter.join(sz_a, "a").join(sz_b, "b")
+        scored
         .withColumn("union_size", F.col("sza") + F.col("szb") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("union_size"))
         .where(F.col("jaccard") >= threshold)

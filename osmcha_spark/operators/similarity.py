@@ -121,6 +121,8 @@ def cosine_near_dup_pairs(
     threshold_den: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    n_blocks: int = 64,
 ) -> DataFrame:
     """(a, b, dot, na2, nb2): unordered pairs with
     cosine ≥ threshold_num/threshold_den — the embedding-cosine near-dup
@@ -132,14 +134,34 @@ def cosine_near_dup_pairs(
     inputs bounded by |x| ≤ 1 and QUANT = 1024, every product stays under
     2^61.
 
-    This is the exact verification stage: at 10^12 rows it runs on LSH
-    candidates (``lsh_topk``'s bucketing), not all pairs; standalone it is
-    a self-join Catalyst broadcasts when one side fits.
+    Two plans:
+
+    - ``candidates`` given (columns ``a``, ``b``): the SCALE path — this
+      becomes the exact *verification* stage over a bounded candidate set
+      (``lsh_band_candidates`` or any (a, b) source): two equi-joins to
+      fetch vectors, then the integer threshold filter. O(|candidates|),
+      no quadratic anything.
+    - ``candidates=None``: exact all-pairs, expressed as a BLOCKED
+      equi-join rather than an ``a < b`` theta join: the left side
+      explodes each row to every block id, the right side hashes
+      ``b % n_blocks`` — so every unordered pair meets in exactly one
+      (left-block, right-block) cell and Catalyst plans a shuffled
+      equi-join with ``n_blocks``-way parallelism instead of a
+      BroadcastNestedLoopJoin/CartesianProduct pinned to one task.
+      Work is still O(N²) — that is inherent to *exact* all-pairs — but
+      it is evenly partitioned and spill-safe. At corpus scale, pass
+      ``candidates``.
     """
     v = corpus.select(
         F.col(id_col).alias("__id"), _qvec(F.col(vec_col)).alias("__v")
     )
     n2 = _dot_int(F.col("__v"), F.col("__v"))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    threshold_filter = (F.col("dot") > 0) & (
+        F.lit(den2) * F.col("dot") * F.col("dot")
+        >= F.lit(num2) * F.col("na2") * F.col("nb2")
+    )
     left = v.select(
         F.col("__id").alias("a"), F.col("__v").alias("av"), n2.alias("na2")
     )
@@ -147,18 +169,25 @@ def cosine_near_dup_pairs(
         F.col("__id").alias("b"), F.col("__v").alias("bv"), n2.alias("nb2")
     )
     dot = _dot_int(F.col("av"), F.col("bv"))
-    num2 = threshold_num * threshold_num
-    den2 = threshold_den * threshold_den
-    return (
-        left.join(right, F.col("a") < F.col("b"))
-        .select("a", "b", dot.alias("dot"), "na2", "nb2")
-        .where(
-            (F.col("dot") > 0)
-            & (
-                F.lit(den2) * F.col("dot") * F.col("dot")
-                >= F.lit(num2) * F.col("na2") * F.col("nb2")
-            )
+    if candidates is not None:
+        return (
+            candidates.select("a", "b")
+            .join(left, "a")
+            .join(right, "b")
+            .select("a", "b", dot.alias("dot"), "na2", "nb2")
+            .where(threshold_filter)
         )
+    lb = left.withColumn(
+        "__blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+    rb = right.withColumn(
+        "__blk", (F.col("b") % n_blocks).cast("int")
+    )
+    return (
+        lb.join(rb, "__blk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", dot.alias("dot"), "na2", "nb2")
+        .where(threshold_filter)
     )
 
 
@@ -336,6 +365,81 @@ def lsh_topk_portable(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def lsh_band_candidates(
+    corpus: DataFrame,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b) unordered candidate pairs that agree on ≥1 sign-LSH band —
+    the candidate generator feeding ``cosine_near_dup_pairs(candidates=…)``.
+
+    Banded amplification over the PORTABLE ±1 plane matrix
+    (``portable_planes``), so the identical candidate set is derivable in
+    ANSI SQL and the composed near-dup pipeline is oracle-checkable end to
+    end. Plan shape: signature projection (pure Columns) → explode to
+    (band, bucket) → self equi-join on (band, bucket) → min-band filter.
+
+    Dedup without a shuffle: a pair agreeing in k bands would appear k
+    times; instead of ``distinct()`` we keep the pair only in its FIRST
+    agreeing band — both full signatures ride through the join, so
+    "no earlier band agrees" is a pure filter expression (cf. the same
+    trick in phash_near_dup_pairs).
+
+    Recall is a banding trade-off, not 1.0: P(candidate) = 1-(1-p^r)^b
+    with p = 1 - θ/π. The demo corpus's near-dup knee sits at cosine
+    0.4-0.6 (p ≈ 0.63-0.70) — an adversarial regime for sign-LSH — giving
+    ~0.75-0.95 recall at the defaults; production near-dup thresholds
+    (cosine ≥ 0.8, p ≥ 0.8) amplify far more sharply with wider bands.
+    """
+    planes = portable_planes(n_bands * bits_per_band, dim)
+    mask = (1 << bits_per_band) - 1
+    v = corpus.select(
+        F.col(id_col).alias("id"), _qvec(F.col(vec_col)).alias("qv")
+    ).select("id", _portable_sign_bits(F.col("qv"), planes).alias("sig"))
+
+    def band_of(sig_col, k):
+        return F.shiftright(sig_col, k * bits_per_band).bitwiseAND(
+            F.lit(mask)
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                band_of(F.col("sig"), k).alias("bucket"),
+            )
+            for k in range(n_bands)
+        ]
+    )
+    e = v.select("id", "sig", F.explode(bands).alias("bb")).select(
+        "id", "sig",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+    lhs = e.select(
+        F.col("id").alias("a"), F.col("sig").alias("asig"), "band", "bucket"
+    )
+    rhs = e.select(
+        F.col("id").alias("b"), F.col("sig").alias("bsig"), "band", "bucket"
+    )
+    first_band = F.least(
+        *[
+            F.when(
+                band_of(F.col("asig"), k) == band_of(F.col("bsig"), k),
+                F.lit(k),
+            ).otherwise(F.lit(n_bands))
+            for k in range(n_bands)
+        ]
+    )
+    return (
+        lhs.join(rhs, ["band", "bucket"])
+        .where((F.col("a") < F.col("b")) & (F.col("band") == first_band))
+        .select("a", "b")
     )
 
 

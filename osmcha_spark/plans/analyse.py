@@ -122,11 +122,29 @@ def normalize_changesets(changesets: DataFrame) -> DataFrame:
         F.filter(
             F.map_keys(t), lambda k: k.startswith("warnings:")
         ).alias("warning_tags"),
-        F.map_filter(
-            t,
-            lambda k, v: (
-                ((k == "host") & (v != ""))
-                | (~k.isin(METADATA_EXCLUDED_KEYS))
+        # int-cast parity: the reference int()-casts every metadata value
+        # when parseable (osmcha/changeset.py:310-313); the map stays
+        # string-typed, so a parseable value is normalized to its canonical
+        # decimal rendering ('05' → '5', ' 7 ' → '7'). The cast is gated
+        # behind a strict integer regex because engines disagree at the
+        # edges (DuckDB TRY_CAST rounds '1.5' and accepts '1_0'; Python
+        # int() rejects both '1.5' and — modulo PEP 515 — real-world tag
+        # values with separators); the regex pins one accept-set
+        # everywhere. int64 overflow falls back to the original string.
+        F.transform_values(
+            F.map_filter(
+                t,
+                lambda k, v: (
+                    ((k == "host") & (v != ""))
+                    | (~k.isin(METADATA_EXCLUDED_KEYS))
+                ),
+            ),
+            lambda k, v: F.coalesce(
+                F.when(
+                    v.rlike(r"^\s*[+-]?[0-9]+\s*$"),
+                    v.try_cast("bigint").cast("string"),
+                ),
+                v,
             ),
         ).alias("metadata"),
     )

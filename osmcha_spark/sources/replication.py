@@ -81,3 +81,54 @@ def read_replication(spark: SparkSession, path: str) -> DataFrame:
     changesets schema."""
     binary = spark.read.format("binaryFile").load(path).select("content")
     return binary.mapInPandas(parse_batches, CHANGESETS_SCHEMA)
+
+
+# Public replication endpoint the reference reads from (the docstring of
+# ChangesetList.process_changeset_list, osmcha/changeset.py:197-200).
+OSM_REPLICATION_BASE = (
+    "https://planet.openstreetmap.org/replication/changesets"
+)
+
+
+def replication_url(seq: int, base: str = OSM_REPLICATION_BASE) -> str:
+    """Sequence number → replication file URL: seq 2703456 lives at
+    ``<base>/002/703/456.osm.gz`` (three zero-padded path segments of the
+    9-digit sequence)."""
+    s = f"{seq:09d}"
+    return f"{base}/{s[0:3]}/{s[3:6]}/{s[6:9]}.osm.gz"
+
+
+def fetch_replication(
+    seqs: "int | tuple[int, int] | list[int]",
+    dest_dir: str,
+    base: str = OSM_REPLICATION_BASE,
+) -> list[str]:
+    """Driver-side download of replication files (SURVEY §2.1 S2) —
+    mirrors ``ChangesetList.read_file``'s urlretrieve-to-tmpdir path
+    (osmcha/changeset.py:220-228), but into a caller-owned ``dest_dir``
+    that ``read_replication`` / the streaming source then scan. Stdlib
+    urllib only; ``seqs`` is a single sequence, an inclusive (lo, hi)
+    range, or an explicit list. Returns the local paths, in seq order.
+
+    Deliberately driver-side: the download is an ingest step (~1 file per
+    minute of planet edits), not a distributed compute step — at backfill
+    scale you parallelize by splitting the seq range across *jobs*, each
+    landing files where its executors' scan can see them.
+    """
+    import os
+    from urllib.request import urlretrieve
+
+    if isinstance(seqs, int):
+        seq_list = [seqs]
+    elif isinstance(seqs, tuple):
+        lo, hi = seqs
+        seq_list = list(range(lo, hi + 1))
+    else:
+        seq_list = list(seqs)
+    os.makedirs(dest_dir, exist_ok=True)
+    out = []
+    for seq in seq_list:
+        local = os.path.join(dest_dir, f"{seq:09d}.osm.gz")
+        urlretrieve(replication_url(seq, base), local)
+        out.append(local)
+    return out

@@ -36,7 +36,11 @@ def test_queries_have_oracles():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 20
+    # q24 is the single sanctioned oracle-less entry (xxhash64 planes are
+    # not SQL-portable; q36 is its oracle-checked twin) — a regression
+    # dropping any other oracle must fail here (ADVICE r1).
+    assert set(qs) - set(oracles) == {"q24_lsh_ann"}
+    assert len(qs) >= 37
 
 
 @pytest.mark.parametrize(
@@ -47,8 +51,8 @@ def test_queries_have_oracles():
      "q29_ivf_ann"],
 )
 def test_oracle_match(spark, name):
-    """Subset of the full sweep (tools/check_oracles.py covers all 21);
-    these are the semantically riskiest queries."""
+    """Subset of the full sweep (tools/check_oracles.py covers every
+    entry); these are the semantically riskiest queries."""
     fn = entry_mod.queries()[name]
     sdf = fn(spark, SF_DIR)
     scols = sdf.columns

@@ -180,3 +180,142 @@ def test_aoi_join_multi(spark, tables):
     pairs = {(r["aoi_id"], r["id"]) for r in out.select("aoi_id", "id").collect()}
     assert ("map", 31982803) in pairs
     assert all(a != "concave" for a, _ in pairs)  # no fixture bbox near (0..4)
+
+
+# ---------------------------------------------------------------- property
+# VERDICT r1 item 10: volume cross-checks for the one component with real
+# edge-case surface. The scalar oracle below re-implements the published
+# formulations (PNPOLY even-odd; CLRS inclusive segment intersection)
+# point-at-a-time, so any vectorization/broadcasting bug in the numpy
+# kernel (axis mixups, roll off-by-one, NaN leaks) breaks agreement.
+
+def _scalar_pnpoly(x, y, ring):
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        if (ay > y) != (by > y) and x < (bx - ax) * (y - ay) / (by - ay) + ax:
+            inside = not inside
+    return inside
+
+
+def _scalar_seg_intersect(p1, p2, q1, q2):
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    d1 = cross(q1, q2, p1)
+    d2 = cross(q1, q2, p2)
+    d3 = cross(p1, p2, q1)
+    d4 = cross(p1, p2, q2)
+    if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+        (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+    ):
+        return True
+
+    def on(d, a, b, p):
+        return (
+            d == 0
+            and min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+        )
+
+    return on(d1, q1, q2, p1) or on(d2, q1, q2, p2) \
+        or on(d3, p1, p2, q1) or on(d4, p1, p2, q2)
+
+
+def _scalar_rect_ring(minx, miny, maxx, maxy, ring):
+    if any(minx <= x <= maxx and miny <= y <= maxy for x, y in ring):
+        return True
+    corners = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)]
+    if any(_scalar_pnpoly(x, y, ring) for x, y in corners):
+        return True
+    rect_edges = [(corners[i], corners[(i + 1) % 4]) for i in range(4)]
+    ring_edges = [
+        (ring[i], ring[(i + 1) % len(ring)]) for i in range(len(ring))
+    ]
+    return any(
+        _scalar_seg_intersect(p1, p2, q1, q2)
+        for p1, p2 in rect_edges
+        for q1, q2 in ring_edges
+    )
+
+
+def test_rect_ring_property_volume():
+    """2000 random integer-coordinate rect/ring pairs (touching and
+    collinear cases are common and EXACT in float arithmetic at these
+    magnitudes) — the vectorized kernel must agree with the scalar oracle
+    on every one."""
+    import math
+    import random
+
+    rng = random.Random(0xA01)
+    rects, rings, expected = [], [], []
+    for _ in range(200):
+        pts = {
+            (rng.randint(-15, 15), rng.randint(-15, 15)) for _ in range(8)
+        }
+        pts = list(pts)
+        if len(pts) < 3:
+            continue
+        cx = sum(p[0] for p in pts) / len(pts)
+        cy = sum(p[1] for p in pts) / len(pts)
+        ring = sorted(
+            pts, key=lambda p: math.atan2(p[1] - cy, p[0] - cx)
+        )
+        ring = [(float(x), float(y)) for x, y in ring]
+        for _ in range(10):
+            x1, x2 = rng.randint(-18, 18), rng.randint(-18, 18)
+            y1, y2 = rng.randint(-18, 18), rng.randint(-18, 18)
+            r = (
+                float(min(x1, x2)), float(min(y1, y2)),
+                float(max(x1, x2)), float(max(y1, y2)),
+            )
+            rects.append(r)
+            rings.append(ring)
+            expected.append(_scalar_rect_ring(*r, ring))
+
+    # group by ring (the kernel vectorizes rows against one ring)
+    by_ring = {}
+    for r, ring, e in zip(rects, rings, expected):
+        by_ring.setdefault(tuple(ring), []).append((r, e))
+    n_checked = 0
+    for ring_t, cases in by_ring.items():
+        ring_np = np.array(ring_t)
+        rs = np.array([c[0] for c in cases])
+        got = rect_ring_intersects_np(
+            rs[:, 0], rs[:, 1], rs[:, 2], rs[:, 3], ring_np
+        )
+        want = np.array([c[1] for c in cases])
+        bad = np.nonzero(got != want)[0]
+        assert bad.size == 0, (ring_t, [cases[i] for i in bad[:3]])
+        n_checked += len(cases)
+    assert n_checked >= 1500
+
+
+def test_pip_column_vs_numpy_volume(spark):
+    """The JVM Column fold and the numpy kernel implement the same PNPOLY
+    formula — 1000 random float points against the concave fixture ring
+    must agree bit-for-bit (identical IEEE expression order)."""
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-25, 25, 1000)
+    lat = rng.uniform(-25, 25, 1000)
+    ring = [(float(x), float(y)) for x, y in AOI_CONCAVE]
+    ring_np = np.array(ring)
+    want = point_in_ring_np(lon, lat, ring_np)
+
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got_rows = (
+        df.select(
+            "lon", "lat",
+            point_in_ring_col(
+                F.col("lon"), F.col("lat"), ring_literal(ring)
+            ).alias("inside"),
+        )
+        .collect()
+    )
+    got = {(r["lon"], r["lat"]): r["inside"] for r in got_rows}
+    for x, y, w in zip(lon, lat, want):
+        assert got[(x, y)] == bool(w), (x, y)

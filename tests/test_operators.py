@@ -362,3 +362,98 @@ def test_aoi_join_plus_sign_overlap(spark):
         for r in aoi_join(cs, aois, level=6).select("aoi_id", "id").collect()
     }
     assert got == {("band", 1), ("band", 3)}
+
+
+def test_jaccard_max_df_values_exact(docs_df):
+    """The stop-shingle guard gates CANDIDATES only: every pair it emits
+    carries the identical exact (inter, union_size, jaccard) as the
+    unguarded path (VERDICT r1 item 3)."""
+    full = {
+        (r["a"], r["b"]): (r["inter"], r["union_size"], r["jaccard"])
+        for r in jaccard_pairs(docs_df, threshold=0.5).collect()
+    }
+    guarded = {
+        (r["a"], r["b"]): (r["inter"], r["union_size"], r["jaccard"])
+        for r in jaccard_pairs(docs_df, threshold=0.5, max_df=4).collect()
+    }
+    assert set(guarded) <= set(full)
+    for k, v in guarded.items():
+        assert v == full[k]
+    # on this corpus the near-dup pairs all share rare shingles → recall 1
+    assert set(guarded) == set(full)
+
+
+def _twin_corpus(spark, n_pairs=20, dim=16):
+    """Deterministic corpus of twin pairs: twin 2i+1 is base 2i scaled by
+    1.25 — positive scaling preserves every sign-LSH bit exactly (modulo
+    quantization noise, which the Hamming-1 probes absorb), and the twin
+    dot dominates all cross dots."""
+    import hashlib
+
+    rows = []
+    for i in range(n_pairs):
+        base = [
+            int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+            / 0xFFFFFFFF
+            - 0.5
+            for d in range(dim)
+        ]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [x * 1.25 for x in base]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_lsh_fast_and_portable_recall_agree(spark):
+    """VERDICT r1 item 4: the oracle-unchecked fast path (lsh_topk,
+    xxhash64 planes) must keep the same twin-recall as the oracle-checked
+    portable twin (lsh_topk_portable) so it can't silently rot."""
+    from osmcha_spark.operators.similarity import lsh_topk_portable
+
+    corpus = _twin_corpus(spark)
+    queries = corpus.where(F.col("vec_id") % 2 == 0)
+
+    def twin_recall(out):
+        top1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in out
+            if r["rank"] == 1
+        }
+        hits = sum(1 for q, n in top1.items() if n == q + 1)
+        return hits / 20
+
+    fast = twin_recall(lsh_topk(corpus, queries, k=3, n_bits=8).collect())
+    portable = twin_recall(
+        lsh_topk_portable(corpus, queries, k=3, n_bits=8, dim=16).collect()
+    )
+    assert fast == portable == 1.0
+
+
+def test_lsh_band_candidates_feed_exact_verify(spark):
+    """The composed scale pipeline (banded candidates → exact verify)
+    emits a subset of the exact all-pairs result with identical values,
+    and full recall on twin pairs (identical-direction vectors share
+    every band)."""
+    from osmcha_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_band_candidates,
+    )
+
+    corpus = _twin_corpus(spark)
+    exact = {
+        (r["a"], r["b"]): (r["dot"], r["na2"], r["nb2"])
+        for r in cosine_near_dup_pairs(corpus, 9, 10).collect()
+    }
+    cands = lsh_band_candidates(corpus, n_bands=8, bits_per_band=4, dim=16)
+    via = {
+        (r["a"], r["b"]): (r["dot"], r["na2"], r["nb2"])
+        for r in cosine_near_dup_pairs(
+            corpus, 9, 10, candidates=cands
+        ).collect()
+    }
+    assert set(via) <= set(exact)
+    for k, v in via.items():
+        assert v == exact[k]
+    twin_pairs = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert twin_pairs <= set(via)

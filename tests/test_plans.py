@@ -83,6 +83,46 @@ def test_tile_join_broadcast_hint(spark, tables):
     assert "BroadcastHashJoin" in _plan(j)
 
 
+def test_cosine_neardup_has_no_cartesian(spark):
+    """VERDICT r1 item 2: neither the exact blocked path nor the
+    LSH-candidates path may plan a nested-loop/cartesian product."""
+    from osmcha_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_band_candidates,
+    )
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * (i + 1) % 7).cast("float") for i in range(8)]
+        ).alias("embedding"),
+    )
+    exact = cosine_near_dup_pairs(emb, 2, 5, n_blocks=8)
+    plan = _plan(exact)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    cand = lsh_band_candidates(emb, n_bands=4, bits_per_band=2, dim=8)
+    verified = cosine_near_dup_pairs(emb, 2, 5, candidates=cand)
+    plan = _plan(verified)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_neardup_single_exchange(spark):
+    """VERDICT r1 item 7: the min-band filter replaced distinct(); the
+    only shuffle left is the bucket join's."""
+    from osmcha_spark.operators.dedup_images import phash_near_dup_pairs
+
+    imgs = spark.range(100).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") * 2654435761 % (1 << 62)).alias("phash"),
+    )
+    plan = _plan(phash_near_dup_pairs(imgs))
+    # distinct() would add a HashAggregate pair + exchange on (a,b,hamming)
+    assert "HashAggregate" not in plan
+
+
 def test_knn_is_pure_column(spark):
     from osmcha_spark.operators.knn import knn_join
 

@@ -102,3 +102,33 @@ def test_streamed_analysis_equals_batch(spark, stream_dirs, tables):
         .collect()
     }
     assert got == want and len(got) == 25
+
+
+def test_fetch_replication_file_url(tmp_path, spark):
+    """S2 driver-side download (osmcha/changeset.py:220-228 parity):
+    sequence → padded URL path → urlretrieve → local file that the
+    distributed scan then reads. Exercised against a file:// mirror of
+    the reference fixture."""
+    from osmcha_spark.sources.replication import (
+        fetch_replication,
+        read_replication,
+        replication_url,
+    )
+
+    assert replication_url(2703456, "https://x/r").endswith(
+        "/r/002/703/456.osm.gz"
+    )
+
+    mirror = tmp_path / "mirror" / "000" / "000"
+    mirror.mkdir(parents=True)
+    import shutil
+
+    shutil.copy(
+        "/root/reference/tests/245.osm.gz", mirror / "245.osm.gz"
+    )
+    dest = tmp_path / "dl"
+    paths = fetch_replication(
+        (245, 245), str(dest), base=f"file://{tmp_path}/mirror"
+    )
+    assert paths == [str(dest / "000000245.osm.gz")]
+    assert read_replication(spark, str(dest)).count() == 25
