@@ -5,7 +5,11 @@ gzipped changeset files plus a cursor file (``tests/state.yaml`` —
 ``sequence: 1392226``). Here the Structured Streaming file source tracks
 file offsets in its checkpoint directory, replacing ``state.yaml``; each
 replication file is an independent micro-batch and analysis is stateless
-per changeset, so no watermarks or stateful operators are needed.
+per changeset, so parity needs no watermarks or stateful operators.
+Engine-only extension: :mod:`osmcha_spark.streaming.stateful` inverts the
+reference's per-changeset HTTP user lookup into an
+``applyInPandasWithState`` running aggregate (keyed state, checkpointed
+with the query, restart-resumable).
 """
 
 from osmcha_spark.streaming.replication import (
@@ -13,9 +17,11 @@ from osmcha_spark.streaming.replication import (
     read_replication_stream,
     run_replication_stream,
 )
+from osmcha_spark.streaming.stateful import user_stats_stream
 
 __all__ = [
     "read_replication_stream",
     "analysed_stream",
     "run_replication_stream",
+    "user_stats_stream",
 ]

@@ -10,6 +10,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 REF_GZ = "/root/reference/tests/245.osm.gz"
 
@@ -132,3 +133,59 @@ def test_fetch_replication_file_url(tmp_path, spark):
     )
     assert paths == [str(dest / "000000245.osm.gz")]
     assert read_replication(spark, str(dest)).count() == 25
+
+
+def test_stateful_user_stats_accumulate_across_restarts(spark, stream_dirs):
+    """applyInPandasWithState operator (engine-only §2.8 extension): the
+    per-uid running totals live in the state store, checkpointed with the
+    query — a restart RESUMES the totals, so replaying the same minute as
+    a new file doubles every count instead of resetting it."""
+    from osmcha_spark.sources.replication import read_replication
+    from osmcha_spark.streaming import (
+        read_replication_stream,
+        user_stats_stream,
+    )
+
+    in_dir, _out, ckpt = stream_dirs
+    shutil.copy(REF_GZ, os.path.join(in_dir, "000001.osm.gz"))
+
+    batch_counts = {
+        r["uid"]: r["n"]
+        for r in read_replication(spark, in_dir)
+        .groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(batch_counts.values()) == 25
+
+    def run(name):
+        # foreachBatch: the one update-mode sink that also supports
+        # checkpoint RECOVERY (the memory sink does not)
+        rows = []
+        stats = user_stats_stream(read_replication_stream(spark, in_dir))
+        q = (
+            stats.writeStream.foreachBatch(
+                lambda df, epoch: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["uid"]: r for r in rows}
+
+    got1 = run("user_stats_run1")
+    assert {u: r["changesets_count"] for u, r in got1.items()} == batch_counts
+    assert all(r["is_new_mapper"] == (r["changesets_count"] <= 50)
+               for r in got1.values())
+    assert all(r["first_seen"] is not None for r in got1.values())
+
+    # same minute replayed as a NEW file → state resumes, totals double
+    shutil.copy(REF_GZ, os.path.join(in_dir, "000002.osm.gz"))
+    got2 = run("user_stats_run2")
+    assert {u: r["changesets_count"] for u, r in got2.items()} == {
+        u: 2 * n for u, n in batch_counts.items()
+    }
+    # first_seen is stable across the replay
+    assert {u: r["first_seen"] for u, r in got2.items()} == {
+        u: got1[u]["first_seen"] for u in got1
+    }
