@@ -1675,6 +1675,32 @@ WHERE d.dot > 0 AND {den2} * d.dot * d.dot >= {num2} * na.n2 * nb.n2
 """
 
 
+# --------------------------------------------------------------- q39
+
+def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup TEXT pairs — the dedup-ladder rung between exact
+    (q08) and Jaccard (q09): 64-bit SimHash per doc (q11's signature),
+    then the SAME 16-bit banding join as the image phash path
+    (operators/dedup_images.py is signature-agnostic), exact Hamming ≤ 3
+    filter. Banding is exact at this radius by pigeonhole, so the oracle
+    may verify with the all-pairs formulation."""
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return phash_near_dup_pairs(
+        simhash(docs), max_hamming=3, id_col="doc_id", phash_col="simhash"
+    ).select("a", "b", "hamming")
+
+
+def _q39_oracle() -> str:
+    return f"""
+WITH sim AS ({_q11_oracle()})
+SELECT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1734,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_lsh_ann_portable": q36_lsh_ann_portable,
         "q37_checkpoint_resume": q37_checkpoint_resume,
         "q38_cosine_neardup_lsh": q38_cosine_neardup_lsh,
+        "q39_simhash_neardup": q39_simhash_neardup,
     }
 
 
@@ -1778,4 +1805,5 @@ def oracle_sql() -> dict[str, str]:
         "q36_lsh_ann_portable": _q36_oracle(),
         "q37_checkpoint_resume": _q37_oracle(),
         "q38_cosine_neardup_lsh": _q38_oracle(),
+        "q39_simhash_neardup": _q39_oracle(),
     }
