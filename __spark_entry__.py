@@ -1701,6 +1701,170 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
 
 
+# --------------------------------------------------------------- q40
+
+def q40_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup ladder: near-dup PAIRS (q39's SimHash banding)
+    merged into CLUSTERS via distributed connected components (hash-min
+    label propagation, operators/components.py), then the keep-one-copy
+    decision — min-id member is canonical. The oracle recomputes the
+    components with a recursive CTE (min-label reachability), so the gate
+    proves the iterative join-based fixpoint equals the declarative
+    transitive closure."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.components import dedup_keep_canonical
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = phash_near_dup_pairs(
+        simhash(docs), max_hamming=3, id_col="doc_id", phash_col="simhash"
+    ).select("a", "b")
+    return dedup_keep_canonical(docs, pairs)
+
+
+def _q40_oracle() -> str:
+    return f"""
+WITH RECURSIVE sim AS ({_q11_oracle()}),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.cluster_id,
+       c.doc_id = c.cluster_id AS is_canonical,
+       s.cluster_size
+FROM comp c
+JOIN (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+) s USING (cluster_id)
+"""
+
+
+# --------------------------------------------------------------- q41
+
+def q41_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user over the events table — Spark's
+    native session_window operator (operators/events.py), 10-minute gap.
+    Timestamps leave as epoch micros and the value sum as integer cents so
+    the hash is engine- and order-independent. Oracle: the classic
+    lag-and-cumsum gaps-and-islands formulation."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    s = sessionize(ev, key="user_id", ts_col="ts", gap="10 minutes")
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("session_start_us"),
+        F.unix_micros(F.col("session_last").cast("timestamp"))
+        .alias("session_last_us"),
+        "n_events",
+        "value_cents",
+    )
+
+
+_Q41_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) > INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_last_us,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------- q42
+
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each 'error' event picks the most recent 'purchase'
+    strictly before it (same user, (ts, event_id) order). Spark has no
+    ASOF JOIN; the engine's union-tag + single-window formulation
+    (operators/events.py) is one shuffle on user_id — no range join, no
+    per-row subquery. The oracle is the declarative LATERAL top-1 form."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import as_of_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase")
+    out = as_of_join(
+        left, right, key="user_id", ts_col="ts", tiebreak="event_id",
+        right_payload=("event_id", "value"), prefix="asof_",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "asof_event_id", "asof_value",
+    )
+
+
+_Q42_ORACLE = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       p.event_id AS asof_event_id, p.value AS asof_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT r.event_id, r.value
+  FROM events r
+  WHERE r.user_id = e.user_id AND r.event_type = 'purchase'
+    AND (r.ts < e.ts OR (r.ts = e.ts AND r.event_id < e.event_id))
+  ORDER BY r.ts DESC, r.event_id DESC
+  LIMIT 1
+) p ON true
+WHERE e.event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------- q43
+
+def q43_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical tile rollup (hypertable-rollup analogue): per-cell
+    point counts at levels 10→6, each coarser level reaggregated from the
+    previous level via the Morton parent identity — the raw table is
+    scanned ONCE. The oracle recomputes every level directly from raw
+    lon/lat, proving rollup ≡ rescan."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import tile_pyramid
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return tile_pyramid(pts, "lon", "lat", level=10, min_level=6)
+
+
+def _q43_oracle() -> str:
+    pts = synth.points_sql(D)
+    per_level = [
+        f"SELECT {lvl} AS level, {cell_sql('lon', 'lat', lvl)} AS cell, "
+        f"count(*) AS n FROM p GROUP BY 2"
+        for lvl in range(10, 5, -1)
+    ]
+    union = "\nUNION ALL\n".join(per_level)
+    return f"WITH p AS ({pts})\n{union}"
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1761,6 +1925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_checkpoint_resume": q37_checkpoint_resume,
         "q38_cosine_neardup_lsh": q38_cosine_neardup_lsh,
         "q39_simhash_neardup": q39_simhash_neardup,
+        "q40_dedup_clusters": q40_dedup_clusters,
+        "q41_sessionize": q41_sessionize,
+        "q42_asof_join": q42_asof_join,
+        "q43_tile_pyramid": q43_tile_pyramid,
     }
 
 
@@ -1806,4 +1974,8 @@ def oracle_sql() -> dict[str, str]:
         "q37_checkpoint_resume": _q37_oracle(),
         "q38_cosine_neardup_lsh": _q38_oracle(),
         "q39_simhash_neardup": _q39_oracle(),
+        "q40_dedup_clusters": _q40_oracle(),
+        "q41_sessionize": _Q41_ORACLE,
+        "q42_asof_join": _Q42_ORACLE,
+        "q43_tile_pyramid": _q43_oracle(),
     }

@@ -45,6 +45,35 @@ def make_pattern(words: list[str]) -> str:
     )
 
 
+# Characters whose presence at a word's start could break the factored
+# pattern's branch-disjointness argument (see make_pattern_fast).
+_UNSAFE_FIRST = set(". \\^$*+?()[]{}|")
+
+
+def make_pattern_fast(words: list[str]) -> str:
+    """Count-equivalent factored form of :func:`make_pattern`:
+    ``^(?:w1|w2|…)\\.*|\\.* (?:w1|w2|…)\\.*``.
+
+    Why it's safe: the reference's ``^w``-branches can only match where the
+    text position holds a word's first character, and its ``\\.* w``-branches
+    only where it holds ``.`` or a space — disjoint sets as long as no word
+    begins with ``.``/space (or a metachar that could match them). Within
+    each set, the factored inner alternation preserves the original word
+    order, so the winning branch — and therefore every non-overlapping match
+    span and the final count — is identical (pinned by a randomized
+    cross-check in tests/test_words.py). Java tries the cheap ``\\.* ``
+    prefix ONCE per position instead of once per word: ~12× fewer branch
+    attempts on word-free text, which is what the 100 TB corpus mostly is.
+
+    Falls back to the reference-shaped pattern when any word starts with an
+    unsafe character.
+    """
+    if not words or any(not w or w[0] in _UNSAFE_FIRST for w in words):
+        return make_pattern(words)
+    inner = "|".join(words)
+    return r"^(?:{0})\.*|\.* (?:{0})\.*".format(inner)
+
+
 def find_words_col(
     text: Column,
     suspect_words: list[str],
@@ -56,10 +85,10 @@ def find_words_col(
     ``if self.comment:`` truthiness check, osmcha/changeset.py:348).
     """
     lowered = F.lower(text)
-    suspect_n = F.regexp_count(lowered, F.lit(make_pattern(suspect_words)))
+    suspect_n = F.regexp_count(lowered, F.lit(make_pattern_fast(suspect_words)))
     if excluded_words:
         excluded_n = F.regexp_count(
-            lowered, F.lit(make_pattern(excluded_words))
+            lowered, F.lit(make_pattern_fast(excluded_words))
         )
         # lazy guard: whole-stage codegen only evaluates the otherwise
         # branch when suspect_n > 0, so the excluded-words regex never runs

@@ -120,6 +120,22 @@ def _xy_cols(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:
     )
 
 
+def parent_cell_col(cell: Column) -> Column:
+    """The level-(L-1) parent of a level-L cell id — drop one Morton bit
+    pair and decrement the level byte.
+
+    Identity with direct encoding (pinned in tests/test_geo.py):
+    ``parent(cell_col(lon, lat, L)) == cell_col(lon, lat, L-1)`` for every
+    coordinate, including clamped out-of-range ones — ``floor(x_L / 2) ==
+    x_{L-1}`` holds both for the floor expression and at the clamp edges
+    (``(2^L - 1) // 2 == 2^{L-1} - 1``). This is what makes hierarchical
+    rollups reaggregate from the previous level instead of rescanning raw
+    data (operators/tiles.py:tile_pyramid)."""
+    level = F.shiftright(cell, 56)
+    morton = cell.bitwiseAND(F.lit((1 << 56) - 1))
+    return F.shiftright(morton, 2).bitwiseOR(F.shiftleft(level - 1, 56))
+
+
 def _morton_from_xy(x: Column, y: Column, level: int) -> Column:
     return (
         _spread_col(x)

@@ -161,6 +161,10 @@ def _decode_png(data: bytes) -> np.ndarray:
     stride = w * 3
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     filters = rows[:, 0]
+    if not filters.any():
+        # all filter-0 scanlines (what our encoder emits): the raster is the
+        # payload verbatim — skip the per-row defilter loop entirely
+        return rows[:, 1:].reshape(h, w, 3).copy()
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = 3
     for y in range(h):

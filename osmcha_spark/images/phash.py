@@ -18,19 +18,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def ahash64(px: np.ndarray) -> int:
-    h, w, _ = px.shape
+def gray_cells_batch(px: np.ndarray) -> np.ndarray:
+    """(B, 8, 8) float64 block-mean grayscale cells of a same-shape
+    (B, H, W, 3) uint8 batch — steps 1-2 of the spec, amortized across
+    images. Integer pixel sums are exact in float64, so the means are
+    bit-identical however they're reduced (or batched)."""
+    _, h, w, _ = px.shape
     hc, wc = (h // 8) * 8, (w // 8) * 8
     if hc == 0 or wc == 0:
         raise ValueError("image smaller than 8x8")
-    p = px[:hc, :wc].astype(np.uint32)
-    gray = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
-    cells = gray.reshape(8, hc // 8, 8, wc // 8).mean(axis=(1, 3))
-    bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for i in range(64):
-        val |= bits[i] << np.uint64(i)
-    return int(val.view(np.int64))
+    p = px[:, :hc, :wc].astype(np.uint32)
+    gray = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    return gray.reshape(-1, 8, hc // 8, 8, wc // 8).mean(axis=(2, 4))
+
+
+def gray_cells(px: np.ndarray) -> np.ndarray:
+    """(8, 8) cells of one HxWx3 image (scalar twin of the batch form)."""
+    return gray_cells_batch(px[None])[0]
+
+
+def ahash64(px: np.ndarray) -> int:
+    return int(ahash64_batch(gray_cells_batch(px[None]))[0])
 
 
 def ahash64_batch(gray_cells: np.ndarray) -> np.ndarray:

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 from osmcha_spark.images.codec import decode_image, encode_image, psnr
-from osmcha_spark.images.phash import ahash64
+from osmcha_spark.images.phash import ahash64_batch, gray_cells
 
 
 @pandas_udf("w int, h int, pixels binary")
@@ -40,13 +40,22 @@ def decode_pixels_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
 
 @pandas_udf("long")
 def phash_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            ahash64(decode_image(bytes(b), f)) if b is not None else None
-            for b, f in zip(data, fmt)
-        ],
-        dtype="Int64",
-    )
+    # Per image: decode + 8×8 gray cell-means (the only per-row numpy work);
+    # the 64-bit packing runs ONCE per Arrow batch via ahash64_batch.
+    # Bit-identical to scalar ahash64: integer pixel sums are exact in
+    # float64, so cell means and the global mean don't depend on reduction
+    # order (see corpus._phash_batch) — pinned by tests against stored phash.
+    n = len(data)
+    cells = np.zeros((n, 8, 8), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for i, (b, f) in enumerate(zip(data, fmt)):
+        if b is None:
+            continue
+        cells[i] = gray_cells(decode_image(bytes(b), f))
+        valid[i] = True
+    out = pd.Series(ahash64_batch(cells), dtype="Int64")
+    out[~valid] = pd.NA
+    return out
 
 
 @pandas_udf("double")

@@ -1,0 +1,106 @@
+"""Event-stream batch operators: session windows and as-of joins.
+
+The reference models changeset review as one-shot scoring; a production
+corpus pipeline also needs the classic event-table operators Spark either
+ships natively (session windows) or lacks entirely (as-of join). Both are
+expressed as single-shuffle plans.
+
+- :func:`sessionize` — native ``F.session_window`` gap sessions: the
+  Spark-first form (one shuffle on the grouping key; in Structured
+  Streaming the same expression is incrementally maintained with
+  watermark-based state eviction).
+- :func:`as_of_join` — each left row picks the most recent right row
+  strictly before it (by (ts, tiebreak) lexicographic order) with the same
+  key. Spark has no ASOF JOIN; the scalable formulation is union-tag +
+  one window pass: tag both sides, sort each key's rows once, and carry
+  the last-seen right payload forward with ``last(..., ignorenulls)``.
+  ONE shuffle on the key — no range join, no per-row subquery, no
+  broadcast of either side — which is the shape that survives 100 TB
+  (a theta/range join here would be quadratic per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions per key: consecutive events ``gap`` or closer
+    merge; only a STRICTLY larger gap starts a new session (measured:
+    Spark merges an exact-gap pair — session windows [ts, ts+gap) close at
+    ``last+gap`` and an event AT that instant still joins; the oracle's
+    lag-and-cumsum formulation uses ``>`` to match, pinned by
+    tests/test_operators.py::test_sessionize_exact_gap_boundary).
+
+    Output: (key, session_start, session_last, n_events, value_cents) —
+    value summed in integer cents so the oracle hash is order-independent.
+    """
+    return (
+        events.groupBy(
+            F.col(key), F.session_window(F.col(ts_col), gap)
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col) * 100).cast("long").alias("value_cents"),
+        )
+        .drop("session_window")
+    )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    right_payload: tuple[str, ...] = ("event_id", "value"),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, the most recent right row with the same ``key``
+    that is STRICTLY before it in ((ts, tiebreak)) order; left rows with no
+    prior right row keep NULL payload (left-outer as-of).
+
+    Union-tag + single window pass (see module docstring). Right rows at
+    the exact same (ts, tiebreak) sort position are ordered after left
+    rows, so "strictly before" holds even under full ties.
+    """
+    r_cols = [
+        right[c].alias(f"{prefix}{c}") for c in right_payload
+    ]
+    r_tagged = right.select(
+        F.col(key), F.col(ts_col), F.col(tiebreak), F.lit(1).alias("_side"),
+        *r_cols,
+    )
+    l_tagged = left.select(
+        "*", F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, tiebreak, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in left.columns],
+        F.col("_side"),
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+            .alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.where(F.col("_side") == 0).drop("_side")

@@ -108,3 +108,45 @@ def cell_histogram(df: DataFrame, cell_col_name: str = "cell") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"))
     )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    level: int,
+    min_level: int,
+) -> DataFrame:
+    """Hierarchical tile rollup: per-cell point counts at every level from
+    ``level`` down to ``min_level``, each coarser level REAGGREGATED from
+    the previous one via :func:`~osmcha_spark.geo.cells.parent_cell_col`
+    (one narrow agg per level over #cells rows) instead of rescanning the
+    raw table per level — the shape that matters when the raw side is
+    100 TB and the level-L histogram is megabytes.
+
+    Output: (level int, cell long, n long). Correctness rests on the
+    parent/encode floor identity (see parent_cell_col docstring); the q43
+    oracle deliberately recomputes every level FROM RAW lon/lat, so the
+    gate proves the rollup path equals the rescan path.
+    """
+    from osmcha_spark.geo.cells import parent_cell_col
+
+    cur = (
+        points.select(
+            cell_col(F.col(lon_col), F.col(lat_col), level).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    levels = [cur.select(F.lit(level).alias("level"), "cell", "n")]
+    for lvl in range(level - 1, min_level - 1, -1):
+        cur = (
+            cur.select(parent_cell_col(F.col("cell")).alias("cell"), "n")
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+        )
+        levels.append(cur.select(F.lit(lvl).alias("level"), "cell", "n"))
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionByName(df)
+    return out

@@ -319,3 +319,32 @@ def test_pip_column_vs_numpy_volume(spark):
     got = {(r["lon"], r["lat"]): r["inside"] for r in got_rows}
     for x, y, w in zip(lon, lat, want):
         assert got[(x, y)] == bool(w), (x, y)
+
+
+def test_parent_cell_identity(spark):
+    """parent(cell_col(lon,lat,L)) == cell_col(lon,lat,L-1) for random and
+    edge coordinates (incl. out-of-range clamps) at several levels — the
+    identity tile_pyramid's reaggregation rests on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.geo.cells import cell_col, parent_cell_col
+
+    rng = random.Random(7)
+    coords = [
+        (rng.uniform(-200, 200), rng.uniform(-100, 100)) for _ in range(500)
+    ] + [(-180.0, -90.0), (180.0, 90.0), (0.0, 0.0), (179.9999999, 89.9999999)]
+    df = spark.createDataFrame(coords, "lon double, lat double")
+    for lvl in (3, 8, 12):
+        bad = (
+            df.select(
+                parent_cell_col(
+                    cell_col(F.col("lon"), F.col("lat"), lvl)
+                ).alias("p"),
+                cell_col(F.col("lon"), F.col("lat"), lvl - 1).alias("d"),
+            )
+            .where(F.col("p") != F.col("d"))
+            .count()
+        )
+        assert bad == 0, f"level {lvl}"

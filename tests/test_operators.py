@@ -457,3 +457,105 @@ def test_lsh_band_candidates_feed_exact_verify(spark):
         assert v == exact[k]
     twin_pairs = {(2 * i, 2 * i + 1) for i in range(20)}
     assert twin_pairs <= set(via)
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle-with-tail, and singleton: labels converge to the
+    min id of each component."""
+    from osmcha_spark.operators.components import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 0-1-2-3; triangle 4-5-6 with tail 6-7; 8, 9 singletons
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (6, 7)],
+        "a long, b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(verts, edges, id_col="doc_id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 4, 8: 8, 9: 9}
+
+    canon = {
+        r["doc_id"]: (r["is_canonical"], r["cluster_size"])
+        for r in dedup_keep_canonical(verts, edges).collect()
+    }
+    assert canon[0] == (True, 4) and canon[3] == (False, 4)
+    assert canon[4] == (True, 4) and canon[8] == (True, 1)
+
+
+def test_as_of_join_matches_bruteforce(spark):
+    """Union-tag + window as-of vs a per-row python brute force, including
+    equal-timestamp ties broken by event_id (strictly-before semantics)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.events import as_of_join
+
+    rng = random.Random(42)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                rng.randint(0, 4),          # user
+                rng.randint(0, 50),          # coarse ts (forces ties)
+                rng.choice(["error", "purchase", "view"]),
+                round(rng.uniform(0, 10), 2),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tsec long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+
+    left = df.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = df.where(F.col("event_type") == "purchase")
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in as_of_join(
+            left, right, right_payload=("event_id",)
+        ).collect()
+    }
+
+    purchases = [r for r in rows if r[3] == "purchase"]
+    for eid, uid, tsec, typ, _ in rows:
+        if typ != "error":
+            continue
+        cands = [
+            p for p in purchases
+            if p[1] == uid and (p[2], p[0]) < (tsec, eid)
+        ]
+        want = max(cands, key=lambda p: (p[2], p[0]))[0] if cands else None
+        assert got[eid] == want, eid
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """An event EXACTLY gap seconds after the previous one still merges
+    (session windows close at last+gap inclusive of that instant); one
+    second beyond the gap opens a new session — the boundary the q41
+    oracle's ``> INTERVAL`` comparison mirrors."""
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.events import sessionize
+
+    base = 1_700_000_000
+    rows = [
+        (1, base, 1.0),
+        (1, base + 600, 1.0),        # exactly 10 min later -> same session
+        (2, base, 1.0),
+        (2, base + 601, 1.0),        # 10:01 later -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec"))).drop("tsec")
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in sessionize(df, gap="10 minutes").collect()
+    }
+    assert got == {(1, 2), (2, 1)}

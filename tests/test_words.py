@@ -73,3 +73,44 @@ def test_parity_udf_path(spark):
     for text, excluded, expected in CASES:
         col = "hit" if excluded else "hit_noexcl"
         assert by_text[text][col] is expected, text
+
+
+def test_factored_pattern_count_equivalence():
+    """make_pattern_fast must produce the SAME non-overlapping match count
+    as the reference-shaped make_pattern on every input — 20k randomized
+    texts (word-free, word-embedded, dot/space-decorated) cross-checked
+    through CPython re, plus the fixture cases."""
+    import random
+    import re
+
+    from osmcha_spark.functions.words import make_pattern_fast
+
+    words = SUSPECT + list(EXCLUDED_WORDS)
+    ref = re.compile(make_pattern(words))
+    fast = re.compile(make_pattern_fast(words))
+    assert fast.pattern != ref.pattern  # the factored form actually engaged
+
+    rng = random.Random(1234)
+    alpha = "abcdefgh .xyzGOO"
+    for trial in range(20000):
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        if trial % 3 == 0:
+            w = rng.choice(words)
+            pos = rng.randint(0, len(t))
+            t = (t[:pos] + w + t[pos:]).lower()
+        a = sum(1 for _ in ref.finditer(t))
+        b = sum(1 for _ in fast.finditer(t))
+        assert a == b, (t, a, b)
+    for text, _, _ in CASES:
+        low = text.lower()
+        assert (
+            sum(1 for _ in ref.finditer(low))
+            == sum(1 for _ in fast.finditer(low))
+        ), text
+
+
+def test_factored_pattern_falls_back_on_unsafe_words():
+    from osmcha_spark.functions.words import make_pattern_fast
+
+    unsafe = ["ok", ".leading-dot"]
+    assert make_pattern_fast(unsafe) == make_pattern(unsafe)
