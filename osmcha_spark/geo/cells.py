@@ -33,16 +33,25 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# 64-bit part1by1 bit-spread (classic branch-free morton masks, public
+# domain folklore): supports up to 24-bit axis inputs (level ≤ 24, 48
+# payload bits < the 56-bit level-tag boundary). For ≤16-bit inputs the
+# extra shift-16 step is a no-op and every mask acts like its 32-bit
+# truncation, so cell ids at levels ≤ 16 are IDENTICAL to the narrow
+# implementation this replaced (pinned in tests/test_geo.py).
+MAX_LEVEL = 24
+
 _SPREAD_MASKS = [
-    (8, 0x00FF00FF),
-    (4, 0x0F0F0F0F),
-    (2, 0x33333333),
-    (1, 0x55555555),
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
 ]
 
 
 def _spread_col(v: Column) -> Column:
-    v = v.bitwiseAND(F.lit(0xFFFF))
+    v = v.bitwiseAND(F.lit(0xFFFFFF))
     for shift, mask in _SPREAD_MASKS:
         v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
     return v
@@ -64,7 +73,7 @@ def cell_col(lon: Column, lat: Column, level: int) -> Column:
 
 
 def _spread_sql(expr: str) -> str:
-    out = f"({expr} & 65535)"
+    out = f"({expr} & {0xFFFFFF})"
     for shift, mask in _SPREAD_MASKS:
         out = f"((({out} | ({out} << {shift}))) & {mask})"
     return out
@@ -86,9 +95,9 @@ def cell_sql(lon_expr: str, lat_expr: str, level: int) -> str:
 
 
 def _spread_np(v: np.ndarray) -> np.ndarray:
-    v = v & 0xFFFF
+    v = v & 0xFFFFFF
     for shift, mask in _SPREAD_MASKS:
-        v = (v | (v << shift)) & mask
+        v = (v | (v << shift)) & np.int64(mask)
     return v
 
 
@@ -109,8 +118,12 @@ def cell_level_for_radius(radius_deg: float) -> int:
     radius-bounded search. The binding axis is latitude: the grid maps a
     180° lat span to 2^L cells, so cell height = 180/2^L (half the lon
     width) — sizing by lon alone under-covers in lat."""
-    level = int(math.floor(math.log2(180.0 / radius_deg))) if radius_deg > 0 else 16
-    return max(0, min(16, level))
+    level = (
+        int(math.floor(math.log2(180.0 / radius_deg)))
+        if radius_deg > 0
+        else MAX_LEVEL
+    )
+    return max(0, min(MAX_LEVEL, level))
 
 
 def _xy_cols(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:

@@ -40,10 +40,16 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     level: int | None = None,
+    right_points: DataFrame | None = None,
 ) -> DataFrame:
     """(left_id, right_id, dist, rank) — the k nearest ``right`` points
-    within ``radius`` of each ``left`` point, excluding self."""
+    within ``radius`` of each ``left`` point, excluding self.
+
+    ``right_points`` (default: ``points`` — a self-join) lets the adaptive
+    driver below search a shrinking unresolved left side against the full
+    corpus."""
     level = level if level is not None else cell_level_for_radius(radius)
+    rights = points if right_points is None else right_points
 
     left = points.select(
         F.col(id_col).alias("left_id"),
@@ -53,7 +59,7 @@ def knn_join(
             neighbors_col(F.col(lon_col), F.col(lat_col), level)
         ).alias("cell"),
     )
-    right = points.select(
+    right = rights.select(
         F.col(id_col).alias("right_id"),
         F.col(lon_col).alias("rx"),
         F.col(lat_col).alias("ry"),
@@ -80,3 +86,54 @@ def knn_join(
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_join_adaptive(
+    points: DataFrame,
+    k: int,
+    radius: float,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    rounds: int = 3,
+    shrink: int = 4,
+) -> DataFrame:
+    """Exact kNN (identical output to :func:`knn_join`, pinned by
+    tests/test_plans.py) via expanding-ring search — the density-adaptive
+    plan for skewed corpora.
+
+    The flat cell join pays for the DENSEST region at the radius of the
+    SPARSEST: with hotspot skew, one urban cell holds thousands of points
+    and the equi-join emits ~density·9·cellarea candidates per point even
+    though the k nearest all sit within a tiny fraction of the radius.
+
+    Rounds search at radius/shrink^(rounds-1-i): a left point that finds
+    ≥ k neighbors within a small ring is RESOLVED there — anything outside
+    the ring is farther than its current k-th neighbor, so its top-k is
+    already exact. Dense points (the expensive ones) resolve in round 1 at
+    a fine cell level with ~shrink²× fewer candidates; only sparse points
+    — whose cells are near-empty and cheap — escalate toward the full
+    radius. Each round is the same one-shuffle cell join over a shrinking
+    left side; unresolved/result frames are localCheckpointed so round N's
+    plan doesn't re-execute round N-1.
+    """
+    radii = [radius / (shrink ** (rounds - 1 - i)) for i in range(rounds)]
+    unresolved = points
+    acc: DataFrame | None = None
+    for i, r in enumerate(radii):
+        topk = knn_join(
+            unresolved, k, r, id_col=id_col, lon_col=lon_col,
+            lat_col=lat_col, right_points=points,
+        )
+        if i == len(radii) - 1:
+            resolved = topk  # final round: emit partial (<k) lists too
+        else:
+            topk = topk.localCheckpoint()
+            done = topk.where(F.col("rank") == k).select("left_id")
+            resolved = topk.join(done, "left_id", "left_semi")
+            unresolved = unresolved.join(
+                done.select(F.col("left_id").alias(id_col)), id_col,
+                "left_anti",
+            ).localCheckpoint()
+        acc = resolved if acc is None else acc.unionByName(resolved)
+    return acc

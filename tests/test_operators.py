@@ -559,3 +559,23 @@ def test_sessionize_exact_gap_boundary(spark):
         for r in sessionize(df, gap="10 minutes").collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_knn_adaptive_equals_flat(spark):
+    """Expanding-ring kNN must return EXACTLY the flat cell-join's rows
+    (same pairs, same ranks) on the clustered synth points — the guarantee
+    that lets q44 reuse q06's brute-force oracle and the bench swap plans
+    by density."""
+    from osmcha_spark import synth
+    from osmcha_spark.operators.knn import knn_join, knn_join_adaptive
+
+    synth.register_synth_views(spark, "/root/testdata/sf0.001")
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    flat = knn_join(pts, k=3, radius=2.0).select(
+        "left_id", "right_id", "rank"
+    )
+    ad = knn_join_adaptive(pts, k=3, radius=2.0, rounds=2, shrink=8).select(
+        "left_id", "right_id", "rank"
+    )
+    assert flat.exceptAll(ad).count() == 0
+    assert ad.exceptAll(flat).count() == 0
