@@ -1882,6 +1882,248 @@ def q44_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "rank", "right_id", "dist")
 
 
+# --------------------------------------------------------------- q45
+
+def q45_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (streaming/sessions.py): the events table
+    replayed as two micro-batches (real events, then a far-future sentinel
+    file whose only job is to raise the watermark), session_window + 0s
+    watermark in append mode. The sentinel batch pushes the watermark past
+    every real session's close, so the emitted set is EXACTLY the batch
+    q41 session set (verified equal row-for-row) — the oracle is the same
+    gaps-and-islands SQL. Sentinel sessions themselves never close (their
+    end is past the final watermark) and are never emitted; the output
+    cutoff filter is defense-in-depth."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from osmcha_spark.streaming import (
+        run_session_stream,
+        sessionized_stream,
+    )
+
+    work = os.path.join(tempfile.gettempdir(), "osmcha_spark_q45_work")
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "value",
+        )
+    )
+
+    def _one_file(df, name):
+        tmp = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        return dest
+
+    f1 = _one_file(ev, "batch1.parquet")
+    # one sentinel per user at GLOBAL max + 2 days: every sentinel lands
+    # strictly after every real event, so the sentinel batch raises the
+    # watermark past each real session's close and the output filter can
+    # drop all sentinels with one global cutoff
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(ev.agg(F.max("ts").alias("mx")))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("mx")) + F.lit(86400_000_000 * 2)
+            ).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    f2 = _one_file(sentinel, "batch2.parquet")
+    # deterministic micro-batch order: the file source orders by
+    # modification time; force sentinel strictly later
+    now = os.path.getmtime(f1)
+    os.utime(f2, (now + 10, now + 10))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = run_session_stream(
+        sessionized_stream(stream), out_dir, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    # drop the sentinel sessions (the engine flushes remaining state at
+    # AvailableNow termination, so the far-future watermark-driver rows
+    # appear in the sink too — they start after every real event)
+    max_real_us = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("session_start_us"),
+        F.unix_micros(F.col("session_last").cast("timestamp"))
+        .alias("session_last_us"),
+        "n_events",
+        "value_cents",
+    ).where(F.col("session_start_us") <= F.lit(max_real_us))
+
+
+# Emitted streamed sessions == the batch session set (see q45 docstring),
+# so the oracle is q41's gaps-and-islands SQL verbatim.
+_Q45_ORACLE = _Q41_ORACLE
+
+
+# --------------------------------------------------------------- q46
+
+def q46_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles (sort-based `percentile`, linear interpolation at
+    rank p·(n-1)) of document length per language — the data-profiling
+    staple. Emitted in integer millis so the float interpolation hashes
+    portably (interpolated values are k/4-exact here)."""
+    _ensure(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.floor(q.getItem(0) * 1000).alias("p25_milli"),
+            F.floor(q.getItem(1) * 1000).alias("p50_milli"),
+            F.floor(q.getItem(2) * 1000).alias("p75_milli"),
+        )
+    )
+
+
+_Q46_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(floor(quantile_cont(n_chars, 0.25) * 1000) AS BIGINT) AS p25_milli,
+       CAST(floor(quantile_cont(n_chars, 0.50) * 1000) AS BIGINT) AS p50_milli,
+       CAST(floor(quantile_cont(n_chars, 0.75) * 1000) AS BIGINT) AS p75_milli
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------- q47
+
+def q47_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over (event_type, hour bucket): subtotal and
+    grand-total rows materialized in one pass — native Catalyst expand +
+    aggregate, the OLAP cube primitive SURVEY §2.5 listed as absent from
+    the reference."""
+    _ensure(spark, sf_dir)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+            .alias("hour_bucket"),
+            "value",
+        )
+        .rollup("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
+_Q47_ORACLE = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events
+GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT))
+"""
+
+
+# --------------------------------------------------------------- q48
+
+def q48_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (explicit value list, so the plan is a
+    single pass of conditional aggregation — no distinct-values pre-query);
+    oracle is the equivalent FILTERed aggregate."""
+    _ensure(spark, sf_dir)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    types = ["click", "view", "error", "signup", "purchase"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+_Q48_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------- q49
+
+def q49_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running analytics over the event stream: running value
+    total, event index, and gap to the previous event — lag/row_number/
+    running-sum windows in one pass. Values go through integer millis
+    BEFORE the running sum so the cumulative result is order- and
+    engine-exact (a running float sum is sequence-dependent)."""
+    _ensure(spark, sf_dir)
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.row_number().over(w).alias("event_idx"),
+        F.sum("value_milli").over(run).alias("running_milli"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .alias("gap_us"),
+    )
+
+
+_Q49_ORACLE = """
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       CAST(row_number() OVER w AS INTEGER) AS event_idx,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_milli,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1947,6 +2189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_asof_join": q42_asof_join,
         "q43_tile_pyramid": q43_tile_pyramid,
         "q44_knn_adaptive": q44_knn_adaptive,
+        "q45_streaming_sessions": q45_streaming_sessions,
+        "q46_quantiles": q46_quantiles,
+        "q47_rollup": q47_rollup,
+        "q48_pivot": q48_pivot,
+        "q49_running_totals": q49_running_totals,
     }
 
 
@@ -1997,4 +2244,9 @@ def oracle_sql() -> dict[str, str]:
         "q42_asof_join": _Q42_ORACLE,
         "q43_tile_pyramid": _q43_oracle(),
         "q44_knn_adaptive": _q06_oracle(),
+        "q45_streaming_sessions": _Q45_ORACLE,
+        "q46_quantiles": _Q46_ORACLE,
+        "q47_rollup": _Q47_ORACLE,
+        "q48_pivot": _Q48_ORACLE,
+        "q49_running_totals": _Q49_ORACLE,
     }

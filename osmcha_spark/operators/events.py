@@ -46,14 +46,22 @@ def sessionize(
         events.groupBy(
             F.col(key), F.session_window(F.col(ts_col), gap)
         )
-        .agg(
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_last"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col) * 100).cast("long").alias("value_cents"),
-        )
+        .agg(*session_aggs(ts_col, value_col))
         .drop("session_window")
     )
+
+
+def session_aggs(ts_col: str = "ts", value_col: str = "value"):
+    """The session output aggregates, shared by the batch operator above
+    and the streaming twin (streaming/sessions.py) so both emit the same
+    schema: start/last timestamps, event count, value in integer cents
+    (order-independent for the oracle hash)."""
+    return [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_last"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col) * 100).cast("long").alias("value_cents"),
+    ]
 
 
 def as_of_join(

@@ -17,11 +17,17 @@ from osmcha_spark.streaming.replication import (
     read_replication_stream,
     run_replication_stream,
 )
+from osmcha_spark.streaming.sessions import (
+    run_session_stream,
+    sessionized_stream,
+)
 from osmcha_spark.streaming.stateful import user_stats_stream
 
 __all__ = [
     "read_replication_stream",
     "analysed_stream",
     "run_replication_stream",
+    "run_session_stream",
+    "sessionized_stream",
     "user_stats_stream",
 ]

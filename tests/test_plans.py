@@ -134,3 +134,43 @@ def test_knn_is_pure_column(spark):
     plan = _plan(knn_join(pts, k=2, radius=1.0))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_as_of_join_plan_is_single_window(spark):
+    """The as-of join must plan as union + ONE Window pass — no
+    nested-loop/cartesian join and no Python eval (q42's 100 TB shape)."""
+    from osmcha_spark.operators.events import as_of_join
+
+    ev = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.when(F.col("id") % 3 == 0, "error").otherwise("purchase")
+        .alias("event_type"),
+        F.rand(1).alias("value"),
+    )
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase")
+    plan = _plan(as_of_join(left, right))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_tile_pyramid_scans_base_once(spark):
+    """The rollup must read the raw table exactly once: coarser levels
+    reaggregate the previous level, they don't rescan lon/lat."""
+    from osmcha_spark.operators.tiles import tile_pyramid
+
+    pts = spark.range(200).select(
+        (F.col("id") % 37).cast("double").alias("lon"),
+        (F.col("id") % 17).cast("double").alias("lat"),
+    )
+    plan = _plan(tile_pyramid(pts, "lon", "lat", level=10, min_level=7))
+    # one Range source feeds the level-10 agg; the 3 coarser levels appear
+    # as reaggregations, so the source-node count stays 1
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert plan.count("* Range") <= 1 or plan.count("Range (") <= 1

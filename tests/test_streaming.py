@@ -189,3 +189,74 @@ def test_stateful_user_stats_accumulate_across_restarts(spark, stream_dirs):
     assert {u: r["first_seen"] for u, r in got2.items()} == {
         u: got1[u]["first_seen"] for u in got1
     }
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """Streamed session_window (sentinel-closed, append mode) emits
+    exactly the batch sessionize result — the q45 equivalence at test
+    scale, including a session that ends exactly at the last real event."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.events import sessionize
+    from osmcha_spark.streaming import run_session_stream, sessionized_stream
+
+    base = 1_700_000_000
+    rows = [
+        (1, 10, base, 2.0), (2, 10, base + 120, 1.0),      # session A
+        (3, 10, base + 2000, 1.5),                          # session B
+        (4, 11, base + 50, 3.0), (5, 11, base + 2049, 0.5), # two sessions
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, tsec long, value double"
+    ).select(
+        "event_id", F.timestamp_seconds("tsec").alias("ts"),
+        "user_id", "value",
+    )
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+
+    def one_file(df, name, mtime):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        return dest
+
+    one_file(ev, "b1.parquet", base)
+    sentinel = spark.createDataFrame(
+        [(-1, base + 10 * 86400, 10, 0.0), (-1, base + 10 * 86400, 11, 0.0)],
+        "event_id long, tsec long, user_id long, value double",
+    ).select(
+        "event_id", F.timestamp_seconds("tsec").alias("ts"),
+        "user_id", "value",
+    )
+    one_file(sentinel, "b2.parquet", base + 100)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = run_session_stream(
+        sessionized_stream(stream), out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["session_start"].year < 2030  # sentinels never emit; belt+braces
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["value_cents"])
+        for r in sessionize(ev).collect()
+    }
+    assert got == want and len(want) == 4

@@ -96,6 +96,33 @@ def main() -> None:
         formatted(knn_join(pts, k=3, radius=2.0)),
     ))
 
+    from osmcha_spark.operators.events import as_of_join
+    from osmcha_spark.operators.tiles import tile_pyramid
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    aj = as_of_join(
+        ev.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        ),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    sections.append((
+        "as-of join (union-tag + single window pass)",
+        "expect: Union of the two filtered scans, ONE Window over "
+        "(user_id; ts, event_id, _side) — no BroadcastNestedLoopJoin, no "
+        "range join, no per-row subquery",
+        formatted(aj),
+    ))
+
+    pyr = tile_pyramid(pts, "lon", "lat", level=10, min_level=6)
+    sections.append((
+        "tile pyramid rollup (levels 10→6)",
+        "expect: the raw scan feeds ONLY the level-10 HashAggregate; every "
+        "coarser level reaggregates the previous level's cells via the "
+        "Morton parent projection (no repeated base scans)",
+        formatted(pyr),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
