@@ -2124,6 +2124,95 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --------------------------------------------------------------- q50
+
+def q50_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split + nested deterministic
+    sample over documents (operators/sampling.py): assignment is a pure
+    function of the doc id, so membership survives reruns, repartitioning
+    and engine changes — the property randomSplit/sample lack. Output is
+    the per-(split, sampled) breakdown with an id-sum checksum proving
+    row-level agreement, not just counts."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    split = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    sampled = deterministic_sample(docs, "doc_id", 0.25).select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    return (
+        split.join(sampled, "doc_id", "left")
+        .groupBy("split", F.coalesce("in_sample", F.lit(False)).alias(
+            "in_sample"
+        ))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+def _q50_oracle() -> str:
+    from osmcha_spark.operators.sampling import hash_bucket_sql
+
+    split_b = hash_bucket_sql("doc_id", "split")
+    sample_b = hash_bucket_sql("doc_id", "sample")
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN ({split_b}) < 8000 THEN 'train'
+              WHEN ({split_b}) < 9000 THEN 'val'
+              WHEN ({split_b}) < 10000 THEN 'test'
+              ELSE 'rest' END AS split,
+         ({sample_b}) < 2500 AS in_sample
+  FROM documents
+)
+SELECT split, in_sample,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM tagged GROUP BY split, in_sample
+"""
+
+
+# --------------------------------------------------------------- q51
+
+def q51_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over the binary image column: decode
+    → brightness/contrast/sharpness (integer-milli spec, images/
+    features.py) recomputed distributed through the Arrow UDF; the oracle
+    reads the generation-time stored columns — recompute must equal
+    storage bit-for-bit, every format including the lossy one (features
+    are computed from re-decoded bytes on both sides)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.udfs import image_features_udf
+
+    imgs = spark.read.parquet(os.path.join(FIXTURE_DIR, "images.parquet"))
+    feats = imgs.select(
+        "image_id", "fmt",
+        image_features_udf(F.col("bytes"), F.col("fmt")).alias("f"),
+    )
+    return feats.select(
+        "image_id", "fmt",
+        F.col("f.brightness_milli").alias("brightness_milli"),
+        F.col("f.contrast_milli").alias("contrast_milli"),
+        F.col("f.sharpness_milli").alias("sharpness_milli"),
+    )
+
+
+def _q51_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return (
+        f"SELECT image_id, fmt, brightness_milli, contrast_milli, "
+        f"sharpness_milli FROM read_parquet('{path}')"
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2194,6 +2283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_rollup": q47_rollup,
         "q48_pivot": q48_pivot,
         "q49_running_totals": q49_running_totals,
+        "q50_split_sample": q50_split_sample,
+        "q51_image_features": q51_image_features,
     }
 
 
@@ -2249,4 +2340,6 @@ def oracle_sql() -> dict[str, str]:
         "q47_rollup": _Q47_ORACLE,
         "q48_pivot": _Q48_ORACLE,
         "q49_running_totals": _Q49_ORACLE,
+        "q50_split_sample": _q50_oracle(),
+        "q51_image_features": _q51_oracle(),
     }

@@ -230,12 +230,18 @@ def run_bench(spark, sf_dir: str) -> dict:
     # the stage (measured)
     big_cs = wide(replicate(cs_wide, "id")).persist()
     big_cs.count()
+    # counts is FACT-sized (one row per changeset) — at 100 TB this join is
+    # a sort-merge, never a broadcast. Locally the 48 MB side sneaks under
+    # the 128 MB dim threshold and the per-action rebuild of a 1.2M-row
+    # driver-side hash relation flickers 2.6-9 s (measured); the merge hint
+    # pins the honest, stable plan. The users join below stays broadcast.
     big_ac = wide(
         replicate(
             spark.sql(synth.actions_counts_sql(synth.SPARK)), "changeset_id"
         )
     ).persist()
     big_ac.count()
+    big_ac = big_ac.hint("merge")
     users = spark.sql(synth.users_sql(synth.SPARK)).persist()
     users.count()
     # JIT the giant rule-projection codegen once (first compilation of the

@@ -313,15 +313,28 @@ def generate_images(
 
 def write_images_parquet(path: str, n: int) -> None:
     """Driver-side small-scale writer (test fixtures) — same rows as the
-    distributed generator by construction."""
+    distributed generator by construction, plus generation-time expected
+    feature columns (brightness/contrast/sharpness, images/features.py)
+    computed from the RE-DECODED bytes so they equal what a consumer of
+    the binary column recomputes — exact even for the lossy fmt."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from osmcha_spark.images.codec import decode_image
+    from osmcha_spark.images.features import image_features
+
     rows = [row_for(i) for i in range(n)]
+    for r in rows:
+        br, ct, sh = image_features(decode_image(r["bytes"], r["fmt"]))
+        r["brightness_milli"] = br
+        r["contrast_milli"] = ct
+        r["sharpness_milli"] = sh
     schema = pa.schema([
         ("image_id", pa.string()), ("bytes", pa.binary()),
         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
         ("caption", pa.string()), ("phash", pa.int64()),
         ("lon", pa.float64()), ("lat", pa.float64()),
+        ("brightness_milli", pa.int64()), ("contrast_milli", pa.int64()),
+        ("sharpness_milli", pa.int64()),
     ])
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)

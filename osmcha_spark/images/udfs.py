@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 from osmcha_spark.images.codec import decode_image, encode_image, psnr
-from osmcha_spark.images.phash import ahash64_batch, gray_cells
+from osmcha_spark.images.phash import ahash64_batch, gray_cells_batch
 
 
 @pandas_udf("w int, h int, pixels binary")
@@ -38,21 +38,36 @@ def decode_pixels_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+_GRAY_CHUNK = 1024  # ≤ ~37 MB of stacked 64×64 pixels per vectorized call
+
+
 @pandas_udf("long")
 def phash_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
-    # Per image: decode + 8×8 gray cell-means (the only per-row numpy work);
-    # the 64-bit packing runs ONCE per Arrow batch via ahash64_batch.
+    # Per image only the decode runs scalar; the gray cell-means are
+    # computed in same-shape stacks (chunked) and the 64-bit packing once
+    # per Arrow batch — the two tails that dominated the per-image cost.
     # Bit-identical to scalar ahash64: integer pixel sums are exact in
-    # float64, so cell means and the global mean don't depend on reduction
-    # order (see corpus._phash_batch) — pinned by tests against stored phash.
+    # float64, so cell/global means don't depend on reduction order or
+    # batching (see corpus._phash_batch) — pinned by tests against the
+    # stored phash column.
     n = len(data)
     cells = np.zeros((n, 8, 8), dtype=np.float64)
     valid = np.zeros(n, dtype=bool)
+    groups: dict[tuple, tuple[list, list]] = {}
     for i, (b, f) in enumerate(zip(data, fmt)):
         if b is None:
             continue
-        cells[i] = gray_cells(decode_image(bytes(b), f))
+        px = decode_image(bytes(b), f)
+        idxs, imgs = groups.setdefault(px.shape, ([], []))
+        idxs.append(i)
+        imgs.append(px)
         valid[i] = True
+    for idxs, imgs in groups.values():
+        for lo in range(0, len(idxs), _GRAY_CHUNK):
+            chunk = slice(lo, lo + _GRAY_CHUNK)
+            cells[np.asarray(idxs[chunk])] = gray_cells_batch(
+                np.stack(imgs[chunk])
+            )
     out = pd.Series(ahash64_batch(cells), dtype="Int64")
     out[~valid] = pd.NA
     return out
@@ -121,3 +136,22 @@ def resize_block_udf(factor: int, out_fmt: str = "ppm"):
         return pd.Series(out)
 
     return _resize
+
+
+@pandas_udf("brightness_milli long, contrast_milli long, sharpness_milli long")
+def image_features_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """decode → brightness/contrast/sharpness (images/features.py — the
+    single shared spec also used by the fixture writer, so recomputed
+    values must equal the stored columns exactly)."""
+    from osmcha_spark.images.features import image_features
+
+    out = []
+    for b, f in zip(data, fmt):
+        if b is None:
+            out.append({"brightness_milli": None, "contrast_milli": None,
+                        "sharpness_milli": None})
+            continue
+        br, ct, sh = image_features(decode_image(bytes(b), f))
+        out.append({"brightness_milli": br, "contrast_milli": ct,
+                    "sharpness_milli": sh})
+    return pd.DataFrame(out)

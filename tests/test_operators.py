@@ -579,3 +579,31 @@ def test_knn_adaptive_equals_flat(spark):
     )
     assert flat.exceptAll(ad).count() == 0
     assert ad.exceptAll(flat).count() == 0
+
+
+def test_deterministic_split_and_sample_properties(spark):
+    """Content-addressed splitting: (1) partition of the id space, (2)
+    invariant under repartitioning, (3) lower-rate samples nest inside
+    higher-rate ones, (4) ratios near the weights."""
+    from osmcha_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    # repartitioning must not move any row
+    s2 = split_assign(df.repartition(17), "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.exceptAll(s2).count() == 0
+
+    small = {r["doc_id"] for r in
+             deterministic_sample(df, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in
+           deterministic_sample(df, "doc_id", 0.3).collect()}
+    assert small <= big
+    assert abs(len(big) / 5000 - 0.3) < 0.03
