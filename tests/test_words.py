@@ -114,3 +114,34 @@ def test_factored_pattern_falls_back_on_unsafe_words():
 
     unsafe = ["ok", ".leading-dot"]
     assert make_pattern_fast(unsafe) == make_pattern(unsafe)
+
+
+def test_fast_column_path_vs_python_oracle_randomized(spark):
+    """The JAVA regex with the factored pattern must agree with the
+    CPython oracle running the reference-shaped pattern on randomized
+    texts — guards the factoring against engine-level alternation
+    differences, not just CPython-vs-CPython equivalence."""
+    import random
+
+    rng = random.Random(99)
+    words = SUSPECT
+    texts = []
+    alpha = "abcdefgh .xyz"
+    for trial in range(300):
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        if trial % 2 == 0:
+            w = rng.choice(words + list(EXCLUDED_WORDS))
+            pos = rng.randint(0, len(t))
+            t = t[:pos] + w + t[pos:]
+        texts.append(t)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: r["hit"]
+        for r in df.select(
+            "text",
+            find_words_col(F.col("text"), words, EXCLUDED_WORDS).alias("hit"),
+        ).collect()
+    }
+    for t in texts:
+        want = oracle_py.find_words(t, words, EXCLUDED_WORDS)
+        assert got[t] is want, t
