@@ -2213,6 +2213,89 @@ def _q51_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------- q52
+
+def q52_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-analysis (operators/incremental.py): a stale prior
+    snapshot (comments_count overwritten with the -1 marker) merged with a
+    fresh re-analysis batch (ids ≡ 0 mod 7) via last-writer-wins upsert —
+    the replication-update pattern as one anti-join + union. The oracle
+    states the post-merge truth directly: fresh values where the batch
+    touched, stale everywhere else."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.incremental import upsert
+    from osmcha_spark.plans.analyse import normalize_changesets
+
+    fresh = normalize_changesets(synth.changesets_df(spark, sf_dir)).select(
+        "id", "editor", "comment", "comments_count"
+    )
+    prior = fresh.select(
+        "id", "editor", "comment",
+        F.lit(-1).alias("comments_count"),
+        F.lit("prior").alias("src"),
+    )
+    updates = fresh.where(F.col("id") % 7 == 0).select(
+        "id", "editor", "comment", "comments_count",
+        F.lit("fresh").alias("src"),
+    )
+    return upsert(prior, updates, "id")
+
+
+def _q52_oracle() -> str:
+    return f"""
+WITH fresh AS ({_q02_oracle()})
+SELECT id, editor, comment,
+       CASE WHEN id % 7 = 0 THEN comments_count ELSE -1 END
+         AS comments_count,
+       CASE WHEN id % 7 = 0 THEN 'fresh' ELSE 'prior' END AS src
+FROM fresh
+"""
+
+
+# --------------------------------------------------------------- q53
+
+def q53_decode_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault containment on the binary column: every 13th image's bytes
+    are replaced with garbage before the decode stage; decode_safe_udf
+    must convert those to (ok=false) rows instead of failing the task,
+    and decode every untouched image to its stored dims. The oracle
+    predicts the exact per-row outcome from the id and stored columns."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.udfs import decode_safe_udf
+
+    imgs = spark.read.parquet(os.path.join(FIXTURE_DIR, "images.parquet"))
+    idx = F.substring("image_id", 4, 12).cast("long")
+    poisoned = imgs.withColumn(
+        "bytes",
+        F.when(idx % 13 == 0, F.lit(b"\x89GARBAGE-NOT-AN-IMAGE")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    d = poisoned.select(
+        "image_id",
+        decode_safe_udf(F.col("bytes"), F.col("fmt")).alias("d"),
+    )
+    return d.select(
+        "image_id",
+        F.col("d.ok").alias("ok"),
+        F.col("d.w").alias("w"),
+        F.col("d.h").alias("h"),
+    )
+
+
+def _q53_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return f"""
+SELECT image_id,
+       CAST(substring(image_id, 4, 12) AS BIGINT) % 13 <> 0 AS ok,
+       CASE WHEN CAST(substring(image_id, 4, 12) AS BIGINT) % 13 <> 0
+            THEN w END AS w,
+       CASE WHEN CAST(substring(image_id, 4, 12) AS BIGINT) % 13 <> 0
+            THEN h END AS h
+FROM read_parquet('{path}')
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2285,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_running_totals": q49_running_totals,
         "q50_split_sample": q50_split_sample,
         "q51_image_features": q51_image_features,
+        "q52_incremental_upsert": q52_incremental_upsert,
+        "q53_decode_robust": q53_decode_robust,
     }
 
 
@@ -2342,4 +2427,6 @@ def oracle_sql() -> dict[str, str]:
         "q49_running_totals": _Q49_ORACLE,
         "q50_split_sample": _q50_oracle(),
         "q51_image_features": _q51_oracle(),
+        "q52_incremental_upsert": _q52_oracle(),
+        "q53_decode_robust": _q53_oracle(),
     }

@@ -155,3 +155,25 @@ def image_features_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
         out.append({"brightness_milli": br, "contrast_milli": ct,
                     "sharpness_milli": sh})
     return pd.DataFrame(out)
+
+
+@pandas_udf("ok boolean, w int, h int, err string")
+def decode_safe_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Fault-tolerant decode: a corrupt/truncated/mislabeled image yields
+    (ok=false, err=<reason>) instead of failing the task — at 10^12 rows
+    some inputs WILL be bad and one poison row must not kill a stage.
+    Valid rows return the decoded dims for downstream verification."""
+    out = []
+    for b, f in zip(data, fmt):
+        if b is None:
+            out.append({"ok": False, "w": None, "h": None,
+                        "err": "null bytes"})
+            continue
+        try:
+            px = decode_image(bytes(b), f)
+            out.append({"ok": True, "w": int(px.shape[1]),
+                        "h": int(px.shape[0]), "err": None})
+        except Exception as e:  # noqa: BLE001 — the point is containment
+            out.append({"ok": False, "w": None, "h": None,
+                        "err": f"{type(e).__name__}: {e}"[:80]})
+    return pd.DataFrame(out)
