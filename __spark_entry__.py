@@ -1406,11 +1406,12 @@ def q35_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_replication_stream,
     )
 
-    # Fixed work dir, wiped on entry: the returned DataFrame lazily reads
-    # the output parquet, so the dir must outlive this call — reusing one
-    # deterministic path bounds /tmp growth across repeated gate runs
-    # (ADVICE r1) instead of leaking a fresh mkdtemp per invocation.
-    work = os.path.join(tempfile.gettempdir(), "osmcha_spark_q35_work")
+    # Per-PID work dir, wiped on entry: the returned DataFrame lazily reads
+    # the output parquet, so the dir must outlive this call — one
+    # deterministic path per process bounds /tmp growth across repeated
+    # gate runs (ADVICE r1) without letting two concurrent runs (pytest +
+    # check_oracles) rmtree each other's in-flight checkpoints.
+    work = os.path.join(tempfile.gettempdir(), f"osmcha_spark_q35_work_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     in_dir = os.path.join(work, "in")
     out_dir = os.path.join(work, "out")
@@ -1542,7 +1543,9 @@ def q37_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from osmcha_spark.checkpoint import StagedPipeline, config_hash
 
-    work = os.path.join(tempfile.gettempdir(), "osmcha_spark_q37_work")
+    work = os.path.join(
+        tempfile.gettempdir(), f"osmcha_spark_q37_work_{os.getpid()}"
+    )
     shutil.rmtree(work, ignore_errors=True)
     cfg = config_hash({"q": 37})
     src = os.path.join(FIXTURE_DIR, "changesets.parquet")
@@ -1904,7 +1907,7 @@ def q45_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionized_stream,
     )
 
-    work = os.path.join(tempfile.gettempdir(), "osmcha_spark_q45_work")
+    work = os.path.join(tempfile.gettempdir(), f"osmcha_spark_q45_work_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
@@ -2296,6 +2299,65 @@ FROM read_parquet('{path}')
 """
 
 
+# --------------------------------------------------------------- q54
+
+def q54_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState user-stats operator through the gate
+    (CLAUDE.md convention: every operator gets a queries()+oracle pair;
+    this one was pytest-only): the reference replication fixture streamed
+    once, per-uid running (count, suspect_count, first_seen, new-mapper)
+    from the keyed state store. Oracle = the same aggregates in batch SQL
+    over the fixture changesets parquet."""
+    _ensure(spark, sf_dir)
+    import shutil
+    import tempfile
+
+    from osmcha_spark.streaming import (
+        read_replication_stream,
+        user_stats_stream,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"osmcha_spark_q54_work_{os.getpid()}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    shutil.copy(REPLICATION_FIXTURE, os.path.join(in_dir, "000001.osm.gz"))
+
+    rows: list = []
+    stats = user_stats_stream(read_replication_stream(spark, in_dir))
+    q = (
+        stats.writeStream.foreachBatch(
+            lambda df, epoch: rows.extend(df.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        rows,
+        "uid string, changesets_count long, suspect_count long, "
+        "first_seen string, is_new_mapper boolean",
+    )
+
+
+def _q54_oracle() -> str:
+    cs_path = os.path.join(FIXTURE_DIR, "changesets.parquet")
+    return f"""
+SELECT uid,
+       count(*) AS changesets_count,
+       0 AS suspect_count,
+       min(created_at) AS first_seen,
+       count(*) <= 50 AS is_new_mapper
+FROM read_parquet('{cs_path}')
+WHERE id = 31982803 OR id BETWEEN 31984152 AND 31984188
+GROUP BY uid
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2370,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_image_features": q51_image_features,
         "q52_incremental_upsert": q52_incremental_upsert,
         "q53_decode_robust": q53_decode_robust,
+        "q54_user_stats_stateful": q54_user_stats_stateful,
     }
 
 
@@ -2429,4 +2492,5 @@ def oracle_sql() -> dict[str, str]:
         "q51_image_features": _q51_oracle(),
         "q52_incremental_upsert": _q52_oracle(),
         "q53_decode_robust": _q53_oracle(),
+        "q54_user_stats_stateful": _q54_oracle(),
     }

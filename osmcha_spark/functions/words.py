@@ -45,9 +45,16 @@ def make_pattern(words: list[str]) -> str:
     )
 
 
-# Characters whose presence at a word's start could break the factored
-# pattern's branch-disjointness argument (see make_pattern_fast).
+# Factoring-safety guards (see make_pattern_fast):
+# - first char must not be '.'/' ' (or a metachar that could match them),
+#   or the ^-branches and the "\.* "-branches stop being disjoint;
+# - NO word may contain '|' (it would split into extra TOP-LEVEL
+#   alternatives in the reference form but stay inside the group in the
+#   factored form — different anchoring, different counts), a backslash
+#   (a trailing one would escape the factored group's ')'), or grouping/
+#   anchor metachars whose scope changes inside "(?:...)".
 _UNSAFE_FIRST = set(". \\^$*+?()[]{}|")
+_UNSAFE_ANYWHERE = set("|\\()[]{}^$")
 
 
 def make_pattern_fast(words: list[str]) -> str:
@@ -68,7 +75,12 @@ def make_pattern_fast(words: list[str]) -> str:
     Falls back to the reference-shaped pattern when any word starts with an
     unsafe character.
     """
-    if not words or any(not w or w[0] in _UNSAFE_FIRST for w in words):
+    if not words or any(
+        not w
+        or w[0] in _UNSAFE_FIRST
+        or any(ch in _UNSAFE_ANYWHERE for ch in w)
+        for w in words
+    ):
         return make_pattern(words)
     inner = "|".join(words)
     return r"^(?:{0})\.*|\.* (?:{0})\.*".format(inner)

@@ -9,7 +9,7 @@ hash join with pushdown-able int64 keys.
 
 Spec (ours, deterministic, golden-pinned):
 
-- level ``L`` in [0, 16]; grid is ``2^L × 2^L`` over lon ∈ [-180, 180],
+- level ``L`` in [0, 24] (MAX_LEVEL; 48 payload bits); grid is ``2^L × 2^L`` over lon ∈ [-180, 180],
   lat ∈ [-90, 90] (equirectangular — adequate for an index; exact predicates
   always re-check).
 - ``x = clamp(floor((lon+180)/360 * 2^L), 0, 2^L-1)``, same for ``y`` with

@@ -81,19 +81,23 @@ def as_of_join(
     the exact same (ts, tiebreak) sort position are ordered after left
     rows, so "strictly before" holds even under full ties.
     """
-    r_cols = [
-        right[c].alias(f"{prefix}{c}") for c in right_payload
-    ]
+    # The payload travels as ONE struct: the struct is non-null for every
+    # right row even when individual fields are null, so last(ignorenulls)
+    # always picks the whole most-recent right row. Carrying fields
+    # independently would let a genuinely-NULL field fall through to an
+    # OLDER right row's value — a torn row mixing two right rows.
+    payload = F.struct(
+        *[right[c].alias(c) for c in right_payload]
+    )
     r_tagged = right.select(
         F.col(key), F.col(ts_col), F.col(tiebreak), F.lit(1).alias("_side"),
-        *r_cols,
+        payload.alias("_payload"),
     )
     l_tagged = left.select(
         "*", F.lit(0).alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in right_payload
-        ],
+        F.lit(None).cast(
+            r_tagged.schema["_payload"].dataType
+        ).alias("_payload"),
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
@@ -105,10 +109,15 @@ def as_of_join(
     carried = unioned.select(
         *[c for c in left.columns],
         F.col("_side"),
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w)
-            .alias(f"{prefix}{c}")
-            for c in right_payload
-        ],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
-    return carried.where(F.col("_side") == 0).drop("_side")
+    return (
+        carried.where(F.col("_side") == 0)
+        .select(
+            *[c for c in left.columns],
+            *[
+                F.col(f"_payload.{c}").alias(f"{prefix}{c}")
+                for c in right_payload
+            ],
+        )
+    )

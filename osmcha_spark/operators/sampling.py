@@ -24,8 +24,13 @@ _BUCKETS = 10_000
 
 
 def _hash_bucket_col(id_col: Column, salt: str) -> Column:
-    hx = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
-    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint") % _BUCKETS
+    # the repo's single sanctioned portable string hash — one
+    # implementation site (operators/dedup.py), not a re-derivation
+    from osmcha_spark.operators.dedup import md5_long_col
+
+    return (
+        md5_long_col(F.concat(id_col.cast("string"), F.lit(salt))) % _BUCKETS
+    )
 
 
 def hash_bucket_sql(id_expr: str, salt: str) -> str:

@@ -181,7 +181,10 @@ def cosine_near_dup_pairs(
         "__blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
     )
     rb = right.withColumn(
-        "__blk", (F.col("b") % n_blocks).cast("int")
+        # pmod, not %: Spark % keeps the dividend's sign, so a negative id
+        # would land outside the 0..n_blocks-1 explode range and its pairs
+        # would silently vanish from the "exact" result
+        "__blk", F.pmod(F.col("b"), F.lit(n_blocks)).cast("int")
     )
     return (
         lb.join(rb, "__blk")

@@ -48,7 +48,6 @@ def run_session_stream(
     sessions: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
-    max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
     """Sink emitted (watermark-closed) sessions to parquet, checkpointed;
     AvailableNow drains the input directory then stops."""

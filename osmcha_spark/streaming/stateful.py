@@ -62,11 +62,14 @@ def _update_user_stats(
         if "is_suspect" in pdf.columns:
             suspects += int(pdf["is_suspect"].fillna(False).sum())
         if "created_at" in pdf.columns and len(pdf):
-            batch_min = pdf["created_at"].dropna().min()
-            if batch_min is not None and (
-                first_seen is None or batch_min < first_seen
-            ):
-                first_seen = batch_min
+            vals = pdf["created_at"].dropna()
+            # emptiness check, not `is not None`: pandas min() over an
+            # empty series returns float NaN, which would poison the
+            # string-typed state field (str < float TypeError later)
+            if len(vals):
+                batch_min = vals.min()
+                if first_seen is None or batch_min < first_seen:
+                    first_seen = batch_min
 
     if state.exists:
         prev_n, prev_suspects, prev_first = state.get

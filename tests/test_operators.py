@@ -607,3 +607,28 @@ def test_deterministic_split_and_sample_properties(spark):
            deterministic_sample(df, "doc_id", 0.3).collect()}
     assert small <= big
     assert abs(len(big) / 5000 - 0.3) < 0.03
+
+
+def test_as_of_join_null_payload_not_torn(spark):
+    """A NULL field in the most recent right row must stay NULL — the
+    whole-row struct carry may not backfill it from an OLDER right row
+    (torn-row bug caught in review)."""
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.events import as_of_join
+
+    rows = [
+        (10, 1, 1, "purchase", 5.0),
+        (20, 1, 2, "purchase", None),   # most recent purchase: NULL value
+        (30, 1, 3, "error", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tsec long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_seconds("tsec"))
+    left = df.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = df.where(F.col("event_type") == "purchase")
+    r = as_of_join(left, right, right_payload=("event_id", "value")).collect()
+    assert len(r) == 1
+    assert r[0]["asof_event_id"] == 20 and r[0]["asof_value"] is None
