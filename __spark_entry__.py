@@ -2358,6 +2358,45 @@ GROUP BY uid
 """
 
 
+# --------------------------------------------------------------- q55
+
+def q55_flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship entry() composition — AOI spatial filter → full
+    suspicion analysis (the reference's primary workflow:
+    ``ChangesetList(file, geojson)`` then ``Analyse`` each) — through the
+    oracle gate, not just the driver's ≥0-rows smoke check. Oracle = q01's
+    rule SQL restricted to q03's AOI id set."""
+    _ensure(spark, sf_dir)
+    cs = synth.changesets_df(spark, sf_dir)
+    min_lon, min_lat, max_lon, max_lat = NYC_AOI
+    ring = [
+        (min_lon, min_lat), (max_lon, min_lat), (max_lon, max_lat),
+        (min_lon, max_lat), (min_lon, min_lat),
+    ]
+    in_aoi = filter_by_aoi(cs, ring)
+    counts = spark.sql(synth.actions_counts_sql(synth.SPARK))
+    users = spark.sql(synth.users_sql(synth.SPARK))
+    out = analyse(in_aoi, counts, users)
+    return out.select(
+        "id",
+        "is_suspect",
+        "powerfull_editor",
+        _reasons_csv_col().alias("reasons"),
+        F.col("create").alias("n_create"),
+        F.col("modify").alias("n_modify"),
+        F.col("delete").alias("n_delete"),
+        "comments_count",
+    )
+
+
+def _q55_oracle() -> str:
+    return f"""
+WITH analysed AS ({_q01_oracle()}),
+in_aoi AS ({_q03_oracle()})
+SELECT a.* FROM analysed a JOIN in_aoi USING (id)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2433,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_incremental_upsert": q52_incremental_upsert,
         "q53_decode_robust": q53_decode_robust,
         "q54_user_stats_stateful": q54_user_stats_stateful,
+        "q55_flagship_report": q55_flagship_report,
     }
 
 
@@ -2493,4 +2533,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_incremental_upsert": _q52_oracle(),
         "q53_decode_robust": _q53_oracle(),
         "q54_user_stats_stateful": _q54_oracle(),
+        "q55_flagship_report": _q55_oracle(),
     }
