@@ -84,6 +84,29 @@ def _reasons_csv_col() -> F.Column:
     )
 
 
+def _work_dir(tag: str) -> str:
+    """Per-PID scratch dir for the streaming/checkpoint gate queries:
+    concurrency-safe (two runs can't rmtree each other's in-flight
+    checkpoints) AND bounded (dead siblings — same tag, other PID, older
+    than an hour — are reaped on entry, so repeated gate runs don't grow
+    /tmp; ADVICE r1)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    base = tempfile.gettempdir()
+    for old in _glob.glob(os.path.join(base, f"osmcha_spark_{tag}_work_*")):
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    work = os.path.join(base, f"osmcha_spark_{tag}_work_{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    return work
+
+
 def _ensure(spark: SparkSession, sf_dir: str) -> None:
     ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1411,8 +1434,7 @@ def q35_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic path per process bounds /tmp growth across repeated
     # gate runs (ADVICE r1) without letting two concurrent runs (pytest +
     # check_oracles) rmtree each other's in-flight checkpoints.
-    work = os.path.join(tempfile.gettempdir(), f"osmcha_spark_q35_work_{os.getpid()}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = _work_dir("q35")
     in_dir = os.path.join(work, "in")
     out_dir = os.path.join(work, "out")
     os.makedirs(in_dir)
@@ -1543,10 +1565,7 @@ def q37_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from osmcha_spark.checkpoint import StagedPipeline, config_hash
 
-    work = os.path.join(
-        tempfile.gettempdir(), f"osmcha_spark_q37_work_{os.getpid()}"
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    work = _work_dir("q37")
     cfg = config_hash({"q": 37})
     src = os.path.join(FIXTURE_DIR, "changesets.parquet")
 
@@ -1907,8 +1926,7 @@ def q45_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionized_stream,
     )
 
-    work = os.path.join(tempfile.gettempdir(), f"osmcha_spark_q45_work_{os.getpid()}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = _work_dir("q45")
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
 
@@ -2317,10 +2335,7 @@ def q54_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_stats_stream,
     )
 
-    work = os.path.join(
-        tempfile.gettempdir(), f"osmcha_spark_q54_work_{os.getpid()}"
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    work = _work_dir("q54")
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     shutil.copy(REPLICATION_FIXTURE, os.path.join(in_dir, "000001.osm.gz"))
