@@ -2412,6 +2412,48 @@ SELECT a.* FROM analysed a JOIN in_aoi USING (id)
 """
 
 
+# --------------------------------------------------------------- q56
+
+def q56_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf·idf
+    (operators/text.py:tfidf_topk) — integer milli-idf so the score is
+    engine-exact; ties broken by ascending term."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import tfidf_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tfidf_topk(docs, k=5)
+    return out.select(
+        "doc_id", "term", "tf", "score_milli",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+_Q56_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf * ((n.n * 1000) // df.df) AS BIGINT) AS score_milli
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_milli DESC, term
+  ) AS rnk FROM scored
+)
+SELECT doc_id, term, tf, score_milli, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2488,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_decode_robust": q53_decode_robust,
         "q54_user_stats_stateful": q54_user_stats_stateful,
         "q55_flagship_report": q55_flagship_report,
+        "q56_tfidf": q56_tfidf,
     }
 
 
@@ -2549,4 +2592,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_decode_robust": _q53_oracle(),
         "q54_user_stats_stateful": _q54_oracle(),
         "q55_flagship_report": _q55_oracle(),
+        "q56_tfidf": _Q56_ORACLE,
     }

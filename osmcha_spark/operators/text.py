@@ -15,7 +15,7 @@ All pure Column expressions (JVM, codegen, oracle-expressible):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -127,3 +127,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         ),
     )
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf — the relevance
+    staple of corpus analytics.
+
+    idf is the INTEGER form ``(N·1000) div df`` (milli-scaled reciprocal
+    document frequency) rather than ``ln(N/df)``: monotone in the same
+    direction, and integer-exact across engines — two libm ``ln``
+    implementations can differ in the last ulp, which a value-hashed
+    oracle would surface as flaky mismatches at floor() boundaries.
+
+    Plan: explode(split) → (doc, term) counts (one shuffle, partial agg)
+    → df per term (second agg on the already-reduced tf table, NOT the
+    raw token stream) → join tf⋈df on term (vocabulary-sized right side;
+    AQE picks broadcast when it fits) → per-doc top-k window. Ties break
+    by ascending term for determinism.
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "term").select(
+        id_col, "term", "tf",
+        (F.col("tf") * F.expr(f"({n_docs} * 1000) div df"))
+        .alias("score_milli"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_milli"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
