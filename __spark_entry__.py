@@ -2454,6 +2454,38 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+# --------------------------------------------------------------- q57
+
+def q57_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (event_type, user bucket): all four grouping-set
+    combinations in one expand+aggregate pass — q47's rollup sibling,
+    completing the grouping-sets surface."""
+    _ensure(spark, sf_dir)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            "value",
+        )
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
+_Q57_ORACLE = """
+SELECT event_type,
+       user_id % 10 AS user_bucket,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2531,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_user_stats_stateful": q54_user_stats_stateful,
         "q55_flagship_report": q55_flagship_report,
         "q56_tfidf": q56_tfidf,
+        "q57_cube": q57_cube,
     }
 
 
@@ -2593,4 +2626,5 @@ def oracle_sql() -> dict[str, str]:
         "q54_user_stats_stateful": _q54_oracle(),
         "q55_flagship_report": _q55_oracle(),
         "q56_tfidf": _Q56_ORACLE,
+        "q57_cube": _Q57_ORACLE,
     }

@@ -40,7 +40,7 @@ def test_queries_have_oracles():
     # not SQL-portable; q36 is its oracle-checked twin) — a regression
     # dropping any other oracle must fail here (ADVICE r1).
     assert set(qs) - set(oracles) == {"q24_lsh_ann"}
-    assert len(qs) >= 56
+    assert len(qs) >= 57
 
 
 @pytest.mark.parametrize(
