@@ -87,21 +87,30 @@ def _reasons_csv_col() -> F.Column:
 def _work_dir(tag: str) -> str:
     """Per-PID scratch dir for the streaming/checkpoint gate queries:
     concurrency-safe (two runs can't rmtree each other's in-flight
-    checkpoints) AND bounded (dead siblings — same tag, other PID, older
-    than an hour — are reaped on entry, so repeated gate runs don't grow
-    /tmp; ADVICE r1)."""
+    checkpoints) AND bounded (dead siblings are reaped on entry, so
+    repeated gate runs don't grow /tmp; ADVICE r1). Liveness is keyed on
+    the PID embedded in the dir name, not mtime alone (ADVICE r2): a
+    sibling whose PID is still alive is never touched, however old its
+    dir looks; one whose PID is gone is reaped immediately. Legacy
+    fixed-name dirs from the pre-PID scheme are reaped too."""
     import glob as _glob
     import shutil
     import tempfile
-    import time as _time
 
     base = tempfile.gettempdir()
+    shutil.rmtree(  # pre-r2 fixed-name scheme: reap on sight
+        os.path.join(base, f"osmcha_spark_{tag}_work"), ignore_errors=True
+    )
     for old in _glob.glob(os.path.join(base, f"osmcha_spark_{tag}_work_*")):
+        pid_s = old.rsplit("_", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
         try:
-            if _time.time() - os.path.getmtime(old) > 3600:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
+            os.kill(int(pid_s), 0)  # signal 0: existence check only
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except (OSError, PermissionError):
+            pass  # alive (or unknowable) — leave it
     work = os.path.join(base, f"osmcha_spark_{tag}_work_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     return work

@@ -51,10 +51,14 @@ def make_pattern(words: list[str]) -> str:
 # - NO word may contain '|' (it would split into extra TOP-LEVEL
 #   alternatives in the reference form but stay inside the group in the
 #   factored form — different anchoring, different counts), a backslash
-#   (a trailing one would escape the factored group's ')'), or grouping/
-#   anchor metachars whose scope changes inside "(?:...)".
+#   (a trailing one would escape the factored group's ')'), grouping/
+#   anchor metachars whose scope changes inside "(?:...)", or a
+#   quantifier (*, +, ?): a quantifier in position 2 makes the word's
+#   FIRST char optional (e.g. 'a* b', 'a*.x'), so the word can match text
+#   starting with space/dot and the ^-set vs '\.* '-set disjointness the
+#   factoring relies on breaks at position 0 (ADVICE r2).
 _UNSAFE_FIRST = set(". \\^$*+?()[]{}|")
-_UNSAFE_ANYWHERE = set("|\\()[]{}^$")
+_UNSAFE_ANYWHERE = set("|\\()[]{}^$*+?")
 
 
 def make_pattern_fast(words: list[str]) -> str:

@@ -14,10 +14,34 @@ replication batch rewrites only the partitions it touches; table formats
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def upsert(prior: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def upsert(
+    prior: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str | None = None,
+) -> DataFrame:
     """Rows in ``updates`` replace same-``key`` rows in ``prior``; all
-    other prior rows pass through. Schemas must match by name."""
+    other prior rows pass through. Schemas must match by name.
+
+    PRECONDITION: ``updates`` must be key-unique — with duplicate keys in
+    a single batch, EVERY copy survives the union (last-writer-wins is
+    between batches, not within one; ADVICE r2). Pass ``version_col`` to
+    have the operator enforce it: per key, only the row with the highest
+    ``version_col`` (ties broken arbitrarily) enters the merge — one
+    extra shuffle on the key, the max-by agg."""
+    if version_col is not None:
+        updates = (
+            updates.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in updates.columns if c != key]),
+                    F.col(version_col),
+                ).alias("_row")
+            )
+            .select(key, "_row.*")
+        )
     keep = prior.join(updates.select(key), key, "left_anti")
     return updates.unionByName(keep)

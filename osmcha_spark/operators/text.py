@@ -29,6 +29,11 @@ _LANG_ORDER = ["en", "de", "fr", "es", "pt"]
 
 
 def tokens_col(text: Column) -> Column:
+    """Lowercased ``\\s+``-split tokens (any whitespace run is one
+    separator). NOTE: :func:`tfidf_topk` deliberately uses a DIFFERENT
+    tokenizer (single-space split, case-preserving) to stay character-
+    for-character equal to its SQL oracle's ``string_split(text, ' ')``
+    — do not "unify" one onto the other without updating the oracles."""
     return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
 
 

@@ -90,10 +90,27 @@ OSM_REPLICATION_BASE = (
 )
 
 
-def replication_url(seq: int, base: str = OSM_REPLICATION_BASE) -> str:
+def replication_base() -> str:
+    """Default replication endpoint, honoring the ``OSM_SERVER_URL`` env
+    override the same way the reference does for its API base
+    (osmcha/changeset.py:34-38: ``environ.get('OSM_SERVER_URL', ...)``
+    resolved at import; here resolved per call so tests can monkeypatch).
+    With the var set, replication lives under
+    ``$OSM_SERVER_URL/replication/changesets``."""
+    import os
+
+    server = os.environ.get("OSM_SERVER_URL")
+    if server:
+        return f"{server.rstrip('/')}/replication/changesets"
+    return OSM_REPLICATION_BASE
+
+
+def replication_url(seq: int, base: str | None = None) -> str:
     """Sequence number → replication file URL: seq 2703456 lives at
     ``<base>/002/703/456.osm.gz`` (three zero-padded path segments of the
-    9-digit sequence)."""
+    9-digit sequence). ``base`` defaults to :func:`replication_base`
+    (env-overridable)."""
+    base = base if base is not None else replication_base()
     s = f"{seq:09d}"
     return f"{base}/{s[0:3]}/{s[3:6]}/{s[6:9]}.osm.gz"
 
@@ -101,7 +118,7 @@ def replication_url(seq: int, base: str = OSM_REPLICATION_BASE) -> str:
 def fetch_replication(
     seqs: "int | tuple[int, int] | list[int]",
     dest_dir: str,
-    base: str = OSM_REPLICATION_BASE,
+    base: str | None = None,
 ) -> list[str]:
     """Driver-side download of replication files (SURVEY §2.1 S2) —
     mirrors ``ChangesetList.read_file``'s urlretrieve-to-tmpdir path

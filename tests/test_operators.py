@@ -632,3 +632,27 @@ def test_as_of_join_null_payload_not_torn(spark):
     r = as_of_join(left, right, right_payload=("event_id", "value")).collect()
     assert len(r) == 1
     assert r[0]["asof_event_id"] == 20 and r[0]["asof_value"] is None
+
+
+def test_upsert_version_col_enforces_lww_within_batch(spark):
+    """ADVICE r2: a batch with duplicate keys would keep EVERY copy
+    (unionByName after anti-join). With ``version_col`` the operator
+    dedups the batch to the max-version row per key before merging."""
+    from osmcha_spark.operators.incremental import upsert
+
+    prior = spark.createDataFrame(
+        [(1, "old", 0), (2, "old", 0)], "id long, v string, ver long"
+    )
+    updates = spark.createDataFrame(
+        [(1, "mid", 5), (1, "new", 9), (3, "ins", 1)],
+        "id long, v string, ver long",
+    )
+    got = {
+        (r["id"], r["v"], r["ver"])
+        for r in upsert(prior, updates, "id", version_col="ver").collect()
+    }
+    assert got == {(1, "new", 9), (2, "old", 0), (3, "ins", 1)}
+    # without version_col the duplicate-key batch keeps both copies
+    # (documented precondition, not silently fixed)
+    n = upsert(prior, updates, "id").count()
+    assert n == 4

@@ -260,3 +260,27 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
         for r in sessionize(ev).collect()
     }
     assert got == want and len(want) == 4
+
+
+def test_osm_server_url_env_override(monkeypatch):
+    """Reference parity (osmcha/changeset.py:34-38): OSM_SERVER_URL
+    redirects the endpoint; replication files resolve under
+    $OSM_SERVER_URL/replication/changesets. Unset → the public planet
+    endpoint."""
+    from osmcha_spark.sources.replication import (
+        OSM_REPLICATION_BASE,
+        replication_base,
+        replication_url,
+    )
+
+    monkeypatch.delenv("OSM_SERVER_URL", raising=False)
+    assert replication_base() == OSM_REPLICATION_BASE
+    monkeypatch.setenv("OSM_SERVER_URL", "https://mirror.example/")
+    assert replication_base() == (
+        "https://mirror.example/replication/changesets"
+    )
+    assert replication_url(245) == (
+        "https://mirror.example/replication/changesets/000/000/245.osm.gz"
+    )
+    # explicit base still wins over the env var
+    assert replication_url(245, "file:///m").startswith("file:///m/000/")

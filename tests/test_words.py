@@ -116,6 +116,19 @@ def test_factored_pattern_falls_back_on_unsafe_words():
     assert make_pattern_fast(unsafe) == make_pattern(unsafe)
 
 
+def test_factored_pattern_falls_back_on_quantified_words():
+    """ADVICE r2: a quantifier can make a word's first literal char
+    optional ('a* b' matches text starting with a space), voiding the
+    position-0 disjointness argument the factoring's safety proof rests
+    on. The guard now enforces its own invariant: any word containing
+    *, + or ? (anywhere) forces the reference-shaped fallback, which is
+    exact by construction."""
+    from osmcha_spark.functions.words import make_pattern_fast
+
+    for words in (["a* b", "ok"], ["a*.x"], ["w+ord"], ["ma?ybe", "zz"]):
+        assert make_pattern_fast(words) == make_pattern(words), words
+
+
 def test_fast_column_path_vs_python_oracle_randomized(spark):
     """The JAVA regex with the factored pattern must agree with the
     CPython oracle running the reference-shaped pattern on randomized
