@@ -581,6 +581,32 @@ def test_knn_adaptive_equals_flat(spark):
     assert ad.exceptAll(flat).count() == 0
 
 
+def test_knn_adaptive_reliable_checkpoint_mode(spark, tmp_path):
+    """The durable mode (checkpoint_dir → reliable df.checkpoint to
+    shared storage; VERDICT r2) must emit the identical result set, and
+    must actually write round state under the given dir."""
+    import os
+
+    from osmcha_spark import synth
+    from osmcha_spark.operators.knn import knn_join, knn_join_adaptive
+
+    synth.register_synth_views(spark, "/root/testdata/sf0.001")
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    flat = knn_join(pts, k=3, radius=2.0).select(
+        "left_id", "right_id", "rank"
+    )
+    ck = str(tmp_path / "knn_ckpt")
+    ad = knn_join_adaptive(
+        pts, k=3, radius=2.0, rounds=2, shrink=8, checkpoint_dir=ck
+    ).select("left_id", "right_id", "rank")
+    assert flat.exceptAll(ad).count() == 0
+    assert ad.exceptAll(flat).count() == 0
+    walked = [
+        os.path.join(r, f) for r, _, fs in os.walk(ck) for f in fs
+    ]
+    assert walked, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
 def test_deterministic_split_and_sample_properties(spark):
     """Content-addressed splitting: (1) partition of the id space, (2)
     invariant under repartitioning, (3) lower-rate samples nest inside
