@@ -1824,7 +1824,7 @@ SELECT user_id,
        epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts)) AS session_last_us,
        count(*) AS n_events,
-       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM sess GROUP BY user_id, sid
 """
 
@@ -2066,7 +2066,8 @@ def q47_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("event_type", "hour_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("value_cents"),
         )
     )
 
@@ -2075,7 +2076,7 @@ _Q47_ORACLE = """
 SELECT event_type,
        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        count(*) AS n_events,
-       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT))
 """
@@ -2482,7 +2483,8 @@ def q57_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "user_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("value_cents"),
         )
     )
 
@@ -2491,7 +2493,7 @@ _Q57_ORACLE = """
 SELECT event_type,
        user_id % 10 AS user_bucket,
        count(*) AS n_events,
-       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY CUBE (event_type, user_id % 10)
 """

@@ -54,13 +54,20 @@ def sessionize(
 def session_aggs(ts_col: str = "ts", value_col: str = "value"):
     """The session output aggregates, shared by the batch operator above
     and the streaming twin (streaming/sessions.py) so both emit the same
-    schema: start/last timestamps, event count, value in integer cents
-    (order-independent for the oracle hash)."""
+    schema: start/last timestamps, event count, value in integer cents.
+
+    Cents are rounded PER ROW and summed as integers (the q49 pattern,
+    ADVICE r2) — ``round(sum(double)·100)`` is reduction-order-dependent
+    in the last ulp, so at large scale two engines (or two shuffles) can
+    round a .5-boundary sum to different integers; an integer sum is
+    associative and exact. The q41/q45/q47/q57 oracles state the same
+    per-row form."""
     return [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_last"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(value_col) * 100).cast("long").alias("value_cents"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .alias("value_cents"),
     ]
 
 
