@@ -2332,15 +2332,18 @@ FROM read_parquet('{path}')
 # --------------------------------------------------------------- q54
 
 def q54_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The applyInPandasWithState user-stats operator through the gate
-    (CLAUDE.md convention: every operator gets a queries()+oracle pair;
-    this one was pytest-only): the reference replication fixture streamed
-    once, per-uid running (count, suspect_count, first_seen, new-mapper)
-    from the keyed state store. Oracle = the same aggregates in batch SQL
-    over the fixture changesets parquet."""
+    """The applyInPandasWithState user-stats operator through the gate:
+    the reference replication fixture streamed once, ENRICHED with
+    ``is_suspect`` via a stream-static join against the batch analyse of
+    the same fixture (VERDICT r2: the raw stream never carried
+    ``is_suspect``, so the suspect tally inside _update_user_stats was
+    oracle-invisible and '0 AS suspect_count' would have passed a
+    stuck-at-zero bug). Per-uid running (count, suspect_count,
+    first_seen, new-mapper) comes from the keyed state store; the oracle
+    derives suspect_count from the fixture's rule columns through the
+    same q20 rule SQL — non-trivially non-zero on this fixture."""
     _ensure(spark, sf_dir)
     import shutil
-    import tempfile
 
     from osmcha_spark.streaming import (
         read_replication_stream,
@@ -2352,12 +2355,53 @@ def q54_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(in_dir)
     shutil.copy(REPLICATION_FIXTURE, os.path.join(in_dir, "000001.osm.gz"))
 
-    rows: list = []
-    stats = user_stats_stream(read_replication_stream(spark, in_dir))
+    cs_fix = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "changesets.parquet")
+    ).select(
+        "id", "user", "uid", "created_at", "comments_count",
+        "min_lon", "min_lat", "max_lon", "max_lat", "tags",
+    )
+    # The 37 non-replication scenario rows (the ones carrying the suspect
+    # cases) ride in as a SECOND replication file, serialized back to the
+    # wire format — so the stream covers all 62 fixture changesets and the
+    # state kernel's suspect tally is exercised non-trivially.
+    from osmcha_spark.sources.replication import read_replication
+
+    repl_ids = {
+        r["id"]
+        for r in read_replication(spark, REPLICATION_FIXTURE)
+        .select("id")
+        .collect()
+    }
+    extra = [
+        r.asDict()
+        for r in cs_fix.collect()
+        if r["id"] not in repl_ids
+    ]
+    _rows_to_replication_gz(extra, os.path.join(in_dir, "000002.osm.gz"))
+
+    actions = spark.read.parquet(os.path.join(FIXTURE_DIR, "actions.parquet"))
+    users = spark.read.parquet(os.path.join(FIXTURE_DIR, "users.parquet"))
+    flags = analyse(cs_fix, action_counts(actions), users).select(
+        "id", "is_suspect"
+    )
+
+    stream = read_replication_stream(spark, in_dir).join(
+        F.broadcast(flags), "id"
+    )  # stream-static enrichment: per-row rule verdicts reach the state
+
+    # keep the LAST emitted row per uid (update mode re-emits a uid's row
+    # each micro-batch it appears in; the final one carries the cumulative
+    # state, whatever batching the file source picked)
+    final: dict = {}
+
+    def _sink(df, epoch):
+        for r in df.collect():
+            final[r["uid"]] = r
+
+    stats = user_stats_stream(stream)
     q = (
-        stats.writeStream.foreachBatch(
-            lambda df, epoch: rows.extend(df.collect())
-        )
+        stats.writeStream.foreachBatch(_sink)
         .outputMode("update")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
@@ -2365,23 +2409,56 @@ def q54_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.createDataFrame(
-        rows,
+        list(final.values()),
         "uid string, changesets_count long, suspect_count long, "
         "first_seen string, is_new_mapper boolean",
     )
 
 
+def _rows_to_replication_gz(rows: list[dict], path: str) -> None:
+    """Serialize changeset rows back to the replication wire format
+    (gzipped ``<osm><changeset …><tag …/></changeset></osm>``) — the
+    inverse of sources/replication.py:_parse_file, for gate harnesses
+    that need scenario rows to ARRIVE as a stream."""
+    import gzip
+    import math
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("osm")
+    for r in rows:
+        attrs = {
+            "id": str(r["id"]),
+            "user": r["user"] or "",
+            "uid": r["uid"] or "",
+            "created_at": r["created_at"] or "",
+            "comments_count": str(r["comments_count"]),
+        }
+        for a in ("min_lon", "min_lat", "max_lon", "max_lat"):
+            v = r[a]
+            if v is not None and not (
+                isinstance(v, float) and math.isnan(v)
+            ):
+                attrs[a] = repr(float(v))
+        ch = ET.SubElement(root, "changeset", attrs)
+        for k, v in (r["tags"] or {}).items():
+            ET.SubElement(ch, "tag", {"k": k, "v": v})
+    with gzip.open(path, "wb") as f:
+        f.write(ET.tostring(root, encoding="utf-8"))
+
+
 def _q54_oracle() -> str:
     cs_path = os.path.join(FIXTURE_DIR, "changesets.parquet")
     return f"""
-SELECT uid,
+WITH analysed AS ({_q20_oracle()})
+SELECT c.uid,
        count(*) AS changesets_count,
-       0 AS suspect_count,
-       min(created_at) AS first_seen,
+       CAST(sum(CASE WHEN a.is_suspect THEN 1 ELSE 0 END) AS BIGINT)
+         AS suspect_count,
+       min(c.created_at) AS first_seen,
        count(*) <= 50 AS is_new_mapper
-FROM read_parquet('{cs_path}')
-WHERE id = 31982803 OR id BETWEEN 31984152 AND 31984188
-GROUP BY uid
+FROM read_parquet('{cs_path}') c
+JOIN analysed a ON a.id = c.id
+GROUP BY c.uid
 """
 
 
