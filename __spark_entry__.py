@@ -2576,6 +2576,90 @@ GROUP BY CUBE (event_type, user_id % 10)
 """
 
 
+# --------------------------------------------------------------- q58
+
+def q58_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-scale upsert WRITE path (operators/incremental.py:
+    upsert_partitioned — VERDICT r2 item 1, previously prose-only): a
+    prior snapshot written partitioned by ``part = id % 4``, then a fresh
+    batch touching ONLY partition 1 (ids ≡ 1 mod 8) merged in with
+    dynamic partition overwrite. The gate asserts BOTH halves of the
+    contract: (a) post-merge contents equal the oracle's stated truth —
+    fresh values where the batch touched, stale elsewhere; (b) the three
+    untouched partitions' data files are BYTE-IDENTICAL across the merge
+    (size+md5 manifest compared before/after; a full-table rewrite or a
+    static overwrite would fail it), which is what bounds the merge cost
+    at 100 TB."""
+    _ensure(spark, sf_dir)
+    import hashlib
+
+    from osmcha_spark.operators.incremental import upsert_partitioned
+    from osmcha_spark.plans.analyse import normalize_changesets
+
+    work = _work_dir("q58")
+    snap = os.path.join(work, "snapshot")
+
+    fresh = normalize_changesets(synth.changesets_df(spark, sf_dir)).select(
+        "id", "editor", "comment", "comments_count"
+    )
+    part = F.pmod(F.col("id"), F.lit(4)).cast("int").alias("part")
+    prior = fresh.select(
+        "id", "editor", "comment",
+        F.lit(-1).alias("comments_count"),
+        F.lit("prior").alias("src"),
+        part,
+    )
+    prior.write.partitionBy("part").parquet(snap)
+
+    def _manifest(only_untouched: bool) -> dict[str, tuple[int, str]]:
+        out: dict[str, tuple[int, str]] = {}
+        for root, _, files in os.walk(snap):
+            if only_untouched and "part=1" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                with open(p, "rb") as fh:
+                    blob = fh.read()
+                out[os.path.relpath(p, snap)] = (
+                    len(blob), hashlib.md5(blob).hexdigest()
+                )
+        return out
+
+    before = _manifest(only_untouched=True)
+
+    updates = fresh.where(F.col("id") % 8 == 1).select(
+        "id", "editor", "comment", "comments_count",
+        F.lit("fresh").alias("src"),
+        part,
+    )
+    upsert_partitioned(updates, snap, key="id", partition_col="part")
+
+    after = _manifest(only_untouched=True)
+    if before != after:
+        raise RuntimeError(
+            "untouched partitions were rewritten by the merge: "
+            f"{sorted(set(before) ^ set(after))[:5]}"
+        )
+    return spark.read.parquet(snap).select(
+        "id", "editor", "comment", "comments_count", "src",
+        F.col("part").cast("int").alias("part"),
+    )
+
+
+def _q58_oracle() -> str:
+    return f"""
+WITH fresh AS ({_q02_oracle()})
+SELECT id, editor, comment,
+       CASE WHEN id % 8 = 1 THEN comments_count ELSE -1 END
+         AS comments_count,
+       CASE WHEN id % 8 = 1 THEN 'fresh' ELSE 'prior' END AS src,
+       CAST(id % 4 AS INTEGER) AS part
+FROM fresh
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2654,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_flagship_report": q55_flagship_report,
         "q56_tfidf": q56_tfidf,
         "q57_cube": q57_cube,
+        "q58_partitioned_upsert": q58_partitioned_upsert,
     }
 
 
@@ -2717,4 +2802,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_flagship_report": _q55_oracle(),
         "q56_tfidf": _Q56_ORACLE,
         "q57_cube": _Q57_ORACLE,
+        "q58_partitioned_upsert": _q58_oracle(),
     }

@@ -709,3 +709,62 @@ def test_frac_guard_matches_int_guard_and_builds_lazily(spark, docs_df):
     }
     assert {tuple(r) for r in fr.collect()} == via_int
     assert tf.count() > 0
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """upsert_partitioned (VERDICT r2 item 1): dynamic partition
+    overwrite must leave untouched partitions' files byte-identical,
+    produce the merged contents, and honor version_col dedup — all in
+    reliable-checkpoint mode (q58 gates the localCheckpoint default)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.incremental import upsert_partitioned
+
+    snap = str(tmp_path / "snap")
+    prior = spark.range(40).select(
+        F.col("id"),
+        F.lit("old").alias("v"),
+        F.lit(0).alias("ver"),
+        F.pmod("id", F.lit(4)).cast("int").alias("part"),
+    )
+    prior.write.partitionBy("part").parquet(snap)
+
+    def manifest():
+        out = {}
+        for root, _, files in os.walk(snap):
+            if "part=2" in root:
+                continue  # the one partition the batch touches
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, snap)] = hashlib.md5(
+                            fh.read()
+                        ).hexdigest()
+        return out
+
+    before = manifest()
+    # both updates land in part=2 (2%4 == 102%4 == 2); id 2 arrives twice
+    # with different versions — version_col must keep ver=2 only
+    updates = spark.createDataFrame(
+        [(2, "mid", 1, 2), (2, "new", 2, 2), (102, "ins", 1, 2)],
+        "id long, v string, ver int, part int",
+    )
+    upsert_partitioned(
+        updates, snap, key="id", partition_col="part",
+        version_col="ver", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert manifest() == before, "untouched partitions were rewritten"
+    got = {
+        r["id"]: (r["v"], r["part"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert len(got) == 41  # 40 prior + 1 insert
+    assert got[2] == ("new", 2)        # updated, max version won
+    assert got[102] == ("ins", 2)      # inserted into the touched part
+    assert got[0] == ("old", 0) and got[7] == ("old", 3)  # untouched
