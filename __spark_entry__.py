@@ -2660,6 +2660,161 @@ FROM fresh
 """
 
 
+# --------------------------------------------------------------- q59
+
+def q59_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessions under GENUINE late data (VERDICT r2 item 7 —
+    q45 proves watermark-closed emission; this gate pins the DROP/INCLUDE
+    boundary). Users ≡ 0 mod 5 have ALL their events delivered two
+    micro-batches after everyone else's, when the late-event watermark
+    (which lags eviction by one batch — pinned with the boundary
+    semantics by tests/test_streaming.py::
+    test_session_stream_late_data_boundary) sits at max(on-time ts) - 3d:
+    a late row survives iff its would-be session end (ts + 10min gap) is
+    STRICTLY past the watermark. Per-user batch delivery means a kept
+    late row can never gap-merge with an already-evicted session, so the
+    emitted set equals the batch sessionization of exactly the kept
+    subset — which is what the oracle states. The gate self-checks that
+    both the dropped and the kept late sets are non-empty."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import (
+        run_session_stream,
+        sessionized_stream,
+    )
+
+    GAP, DELAY = "10 minutes", "3 days"
+    work = _work_dir("q59")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "value",
+        )
+    )
+    on_time = ev.where(F.col("user_id") % 5 != 0)
+    late = ev.where(F.col("user_id") % 5 == 0)
+    t_o = on_time.agg(F.max("ts")).collect()[0][0]  # gate harness scalar
+    wm_us = int(t_o.timestamp() * 1_000_000) - 3 * 86400 * 1_000_000
+
+    n_kept = late.where(
+        F.unix_micros("ts") + 600 * 1_000_000 > wm_us
+    ).count()
+    n_dropped = late.count() - n_kept
+    if n_kept == 0 or n_dropped == 0:
+        raise RuntimeError(
+            f"late-data gate degenerate: kept={n_kept} dropped={n_dropped}"
+        )
+
+    def _one_file(df, name, bump):
+        tmp = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (_MTIME_BASE + bump, _MTIME_BASE + bump))
+
+    import time as _time
+
+    _MTIME_BASE = _time.time()
+    _one_file(on_time, "b1.parquet", 0)
+    # filler: keeps the late-event watermark advancing without touching
+    # any real user's state (user -1 at the on-time max instant)
+    filler = spark.createDataFrame(
+        [(-1, t_o, -1, 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    _one_file(filler, "b2.parquet", 10)
+    _one_file(late, "b3.parquet", 20)
+    sentinel = (
+        ev.select("user_id").distinct()
+        .unionByName(spark.createDataFrame([(-1,)], "user_id long"))
+        .distinct()
+        .crossJoin(ev.agg(F.max("ts").alias("mx")))
+        .select(
+            F.lit(-2).cast("long").alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("mx")) + F.lit(30 * 86400 * 1_000_000)
+            ).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    _one_file(sentinel, "b4.parquet", 30)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = run_session_stream(
+        sessionized_stream(stream, gap=GAP, delay=DELAY),
+        out_dir, os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    max_real_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("session_start_us"),
+        F.unix_micros(F.col("session_last").cast("timestamp"))
+        .alias("session_last_us"),
+        "n_events",
+        "value_cents",
+    ).where(F.col("session_start_us") <= F.lit(max_real_us))
+
+
+_Q59_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE user_id % 5 <> 0
+),
+l AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE user_id % 5 = 0
+),
+wm AS (SELECT max(ts) - INTERVAL '3 days' AS w FROM o),
+kept AS (
+  SELECT user_id, event_id, ts, value FROM o
+  UNION ALL
+  SELECT -1 AS user_id, -1 AS event_id,
+         (SELECT max(ts) FROM o) AS ts, 0.0 AS value
+  UNION ALL
+  SELECT user_id, event_id, ts, value FROM l
+  WHERE ts + INTERVAL '10 minutes' > (SELECT w FROM wm)
+),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) > INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM kept
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_last_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2739,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_tfidf": q56_tfidf,
         "q57_cube": q57_cube,
         "q58_partitioned_upsert": q58_partitioned_upsert,
+        "q59_streaming_late_data": q59_streaming_late_data,
     }
 
 
@@ -2803,4 +2959,5 @@ def oracle_sql() -> dict[str, str]:
         "q56_tfidf": _Q56_ORACLE,
         "q57_cube": _Q57_ORACLE,
         "q58_partitioned_upsert": _q58_oracle(),
+        "q59_streaming_late_data": _Q59_ORACLE,
     }

@@ -284,3 +284,81 @@ def test_osm_server_url_env_override(monkeypatch):
     )
     # explicit base still wins over the env var
     assert replication_url(245, "file:///m").startswith("file:///m/000/")
+
+
+def test_session_stream_late_data_boundary(spark, tmp_path):
+    """Pins Spark's late-data semantics for streaming session windows
+    (measured on this build; the q59 oracle encodes exactly this):
+
+    - the LATE-EVENT filter uses the watermark lagged ONE batch behind
+      the eviction watermark (plan shows both: `Append, <late>, <evict>`),
+      so a late row arriving in the very next micro-batch after the
+      high-watermark event is still accepted;
+    - once the late watermark is in effect, an input row is dropped iff
+      its would-be session END (ts + gap) <= watermark — the boundary
+      row with end == wm is DROPPED, end == wm+1s survives.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.streaming import run_session_stream, sessionized_stream
+
+    work = str(tmp_path / "w")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    def one_file(rows, name, mt):
+        df = spark.createDataFrame(
+            rows, "event_id long, tsec long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_seconds("tsec").alias("ts"),
+            "user_id", "value",
+        )
+        tmp = os.path.join(work, "stage_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mt, mt))
+
+    t0 = time.time()
+    base = 1_700_000_000
+    # b1: max ts base+600; delay 120s => wm = base+480. gap 60s.
+    one_file([(1, base, 1, 1.0), (2, base + 600, 1, 1.0)], "b1.parquet", t0)
+    # b2: arrives ONE batch after the high event — late filter still at 0,
+    # so even an ancient row is accepted (the one-batch lag)
+    one_file([(10, base - 50000, 50, 1.0)], "b2.parquet", t0 + 10)
+    # b3: late filter now wm=base+480; session end = ts+60 vs wm:
+    #   u3 end 479 < wm -> drop, u4 end 480 == wm -> drop,
+    #   u5 end 481 > wm -> keep
+    one_file(
+        [(4, base + 419, 3, 1.0), (5, base + 420, 4, 1.0),
+         (6, base + 421, 5, 1.0)],
+        "b3.parquet", t0 + 20,
+    )
+    one_file([(9, base + 999_999, 99, 0.0)], "b4.parquet", t0 + 30)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = run_session_stream(
+        sessionized_stream(stream, gap="1 minutes", delay="120 seconds"),
+        os.path.join(work, "out"),
+        os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["user_id"]
+        for r in spark.read.parquet(os.path.join(work, "out")).collect()
+    )
+    # user 1: two sessions; 50 accepted via the one-batch lag; 5 via the
+    # strict > boundary; 3 and 4 dropped; 99 (sentinel) never closes
+    assert got == [1, 1, 5, 50], got
