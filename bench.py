@@ -128,18 +128,22 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     # min-of-2 by default: this box's run-to-run variance is ±40% (virtio
     # disk + shared page cache); the minimum is the steady-state number.
+    # Repeats are interleaved at the SUITE level (round 3): host-side
+    # interference arrives in bursts lasting tens of seconds, so two
+    # back-to-back reps of one query often BOTH land inside a burst and
+    # min-of-2 still records a 3-10× outlier (measured: analyse 3.5 s
+    # isolated, 14 s in a burst). Running the whole suite per round and
+    # taking the per-query min across rounds decorrelates the burst from
+    # any single query.
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
+    _suite: list[tuple[str, object]] = []
 
-    def best(fn):
-        """min-of-N timing: the steady-state number a scheduler would see."""
-        times, n = [], None
-        for _ in range(repeat):
-            t, n = _timed(fn)
-            times.append(t)
-        return min(times), n
+    def register(name, fn):
+        _suite.append((name, fn))
+        return fn
 
     from osmcha_spark.geo.cells import cell_col
 
@@ -173,8 +177,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         assert bad == 0, f"{bad} lossless decode mismatches"
         return n_imgs
 
-    t, n = best(decode_q)
-    results["decode_phash"] = round(t, 3)
+    register("decode_phash", decode_q)
 
     # --- caption scoring: the suspect-word rule over the caption column
     from osmcha_spark.config import RulesConfig
@@ -188,9 +191,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         )
         return imgs.select("caption").where(F.coalesce(hit, F.lit(False))).count()
 
-    t, n = best(caption_q)
-    results["caption_score"] = round(t, 3)
-    extras["suspect_captions"] = n
+    register("caption_score", caption_q)
 
     # --- tile pipeline: cells → raster↔vector join (lon/lat pruned scan).
     # The polyfilled changeset side is the small dim here — broadcast it
@@ -208,10 +209,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         joined = tile_changeset_join(tiles, cs, 7, broadcast_dim=True)
         return joined.count() + n_imgs
 
-    t, n = best(tile_pipeline)
-    results["tile_pipeline"] = round(t, 3)
-    extras["tiles_join_rows"] = n
-    extras["tiles_join_rows_per_sec"] = round(n / t, 1)
+    register("tile_pipeline", tile_pipeline)
 
     # --- full rule pipeline, input replicated 8× (id-remapped, untimed
     # prep) so the projection work dominates task dispatch
@@ -255,11 +253,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         out = analyse(big_cs, big_ac, users)
         return out.where(F.col("is_suspect")).count()
 
-    t, n = best(analyse_q)
-    results["analyse"] = round(t, 3)
-    extras["suspect_rows"] = n
-    big_cs.unpersist()
-    big_ac.unpersist()
+    register("analyse", analyse_q)
 
     # --- kNN proximity over the corpus geo anchors (hotspot-skewed).
     # Plan selection by density: above ~1M points the hotspot cells are
@@ -279,9 +273,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             ).count()
         return knn_join(pts, k=3, radius=0.01).count()
 
-    t, n = best(knn_q)
-    results["knn"] = round(t, 3)
-    extras["knn_rows"] = n
+    register("knn", knn_q)
 
     # --- phash near-dup over the corpus phash column
     def neardup_q():
@@ -289,9 +281,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             imgs.select("image_id", "phash"), max_hamming=3
         ).count()
 
-    t, n = best(neardup_q)
-    results["phash_neardup"] = round(t, 3)
-    extras["neardup_pairs"] = n
+    register("phash_neardup", neardup_q)
 
     # --- MinHash signatures over documents (replicated 16×)
     docs0 = wide(
@@ -307,8 +297,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     def minhash_q():
         return minhash_signatures(docs).count()
 
-    t, n = best(minhash_q)
-    results["minhash"] = round(t, 3)
+    register("minhash", minhash_q)
 
     # --- ANN brute top-k
     emb = wide(
@@ -319,8 +308,28 @@ def run_bench(spark, sf_dir: str) -> dict:
         q = emb.where(F.col("vec_id") < 100)
         return brute_topk(emb, q, k=5).count()
 
-    t, n = best(ann_q)
-    results["ann"] = round(t, 3)
+    register("ann", ann_q)
+
+    # --- timing: suite-level interleaved rounds, per-query min
+    ns: dict[str, int] = {}
+    for _round in range(repeat):
+        for name, fn in _suite:
+            t, n = _timed(fn)
+            if name not in results or t < results[name]:
+                results[name] = t
+            ns[name] = n
+    results = {k: round(v, 3) for k, v in results.items()}
+    big_cs.unpersist()
+    big_ac.unpersist()
+
+    extras["suspect_captions"] = ns["caption_score"]
+    extras["tiles_join_rows"] = ns["tile_pipeline"]
+    extras["tiles_join_rows_per_sec"] = round(
+        ns["tile_pipeline"] / results["tile_pipeline"], 1
+    )
+    extras["suspect_rows"] = ns["analyse"]
+    extras["knn_rows"] = ns["knn"]
+    extras["neardup_pairs"] = ns["phash_neardup"]
 
     return {"queries": results, **extras}
 
