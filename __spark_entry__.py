@@ -2416,34 +2416,10 @@ def q54_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rows_to_replication_gz(rows: list[dict], path: str) -> None:
-    """Serialize changeset rows back to the replication wire format
-    (gzipped ``<osm><changeset …><tag …/></changeset></osm>``) — the
-    inverse of sources/replication.py:_parse_file, for gate harnesses
-    that need scenario rows to ARRIVE as a stream."""
-    import gzip
-    import math
-    import xml.etree.ElementTree as ET
+    """Gate-harness alias for the package's wire-format serializer."""
+    from osmcha_spark.sources.replication import write_replication_gz
 
-    root = ET.Element("osm")
-    for r in rows:
-        attrs = {
-            "id": str(r["id"]),
-            "user": r["user"] or "",
-            "uid": r["uid"] or "",
-            "created_at": r["created_at"] or "",
-            "comments_count": str(r["comments_count"]),
-        }
-        for a in ("min_lon", "min_lat", "max_lon", "max_lat"):
-            v = r[a]
-            if v is not None and not (
-                isinstance(v, float) and math.isnan(v)
-            ):
-                attrs[a] = repr(float(v))
-        ch = ET.SubElement(root, "changeset", attrs)
-        for k, v in (r["tags"] or {}).items():
-            ET.SubElement(ch, "tag", {"k": k, "v": v})
-    with gzip.open(path, "wb") as f:
-        f.write(ET.tostring(root, encoding="utf-8"))
+    write_replication_gz(rows, path)
 
 
 def _q54_oracle() -> str:

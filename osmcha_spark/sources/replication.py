@@ -149,3 +149,35 @@ def fetch_replication(
         urlretrieve(replication_url(seq, base), local)
         out.append(local)
     return out
+
+
+def write_replication_gz(rows: "list[dict]", path: str) -> None:
+    """Serialize changeset rows back to the replication wire format
+    (gzipped ``<osm><changeset …><tag …/></changeset></osm>``) — the
+    inverse of :func:`_parse_file`, for harnesses and tests that need
+    scenario rows to ARRIVE as a replication batch. ``rows`` follow the
+    CHANGESETS_SCHEMA field names; bbox attrs are omitted when None/NaN
+    (the relation-only changeset shape)."""
+    import math
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("osm")
+    for r in rows:
+        attrs = {
+            "id": str(r["id"]),
+            "user": r["user"] or "",
+            "uid": r["uid"] or "",
+            "created_at": r["created_at"] or "",
+            "comments_count": str(r["comments_count"]),
+        }
+        for a in ("min_lon", "min_lat", "max_lon", "max_lat"):
+            v = r.get(a)
+            if v is not None and not (
+                isinstance(v, float) and math.isnan(v)
+            ):
+                attrs[a] = repr(float(v))
+        ch = ET.SubElement(root, "changeset", attrs)
+        for k, v in (r.get("tags") or {}).items():
+            ET.SubElement(ch, "tag", {"k": k, "v": v})
+    with gzip.open(path, "wb") as f:
+        f.write(ET.tostring(root, encoding="utf-8"))

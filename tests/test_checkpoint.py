@@ -172,3 +172,98 @@ def test_spark_submit_dedup_job_runs_and_resumes(tmp_path):
                                "kept_canonical")} == \
            {k: r1[k] for k in ("docs", "exact_groups", "near_dup_pairs",
                                "kept_canonical")}
+
+
+def test_spark_submit_incremental_merge_bounded_rewrite(tmp_path, spark):
+    """Deployment path for the minutely-replication merge
+    (tools/job_incremental_pipeline.py): submit #1 bootstraps the
+    bucket-partitioned verdict snapshot from the reference replication
+    fixture; submit #2 merges a one-changeset update batch (comments_count
+    bumped) and must (a) leave every other bucket's files byte-identical,
+    (b) update exactly that row, (c) keep the snapshot row count."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    zip_path = str(tmp_path / "osmcha_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "make_pyfiles_zip.py"),
+         zip_path],
+        check=True, capture_output=True,
+    )
+    snap = str(tmp_path / "snap")
+    aux = os.path.join(repo, "tests", "data")
+
+    def submit(repl):
+        proc = subprocess.run(
+            [spark_submit, "--master", "local[4]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--py-files", zip_path,
+             os.path.join(repo, "tools", "job_incremental_pipeline.py"),
+             "--replication-dir", repl,
+             "--aux-dir", aux, "--snapshot", snap],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("JOB_RESULT ")][-1]
+        return json.loads(line[len("JOB_RESULT "):])
+
+    r1 = submit("/root/reference/tests/245.osm.gz")
+    assert r1["bootstrap"] and r1["snapshot_rows"] == 25
+
+    # craft the update batch: changeset 31982803 re-fetched with a bumped
+    # comments_count (the row a reviewer commented on)
+    from osmcha_spark.sources.replication import (
+        read_replication,
+        write_replication_gz,
+    )
+
+    row = [
+        r.asDict()
+        for r in read_replication(
+            spark, "/root/reference/tests/245.osm.gz"
+        ).collect()
+        if r["id"] == 31982803
+    ][0]
+    row["comments_count"] = "99"
+    batch_dir = tmp_path / "batch2"
+    batch_dir.mkdir()
+    write_replication_gz([row], str(batch_dir / "000002.osm.gz"))
+
+    touched_bucket = 31982803 % 8
+
+    def manifest():
+        out = {}
+        for root, _, files in os.walk(snap):
+            if f"bucket={touched_bucket}" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, snap)] = hashlib.md5(
+                            fh.read()
+                        ).hexdigest()
+        return out
+
+    before = manifest()
+    r2 = submit(str(batch_dir))
+    assert not r2["bootstrap"]
+    assert r2["touched_buckets"] == 1
+    assert r2["snapshot_rows"] == 25  # update, not insert
+    assert manifest() == before, "untouched buckets were rewritten"
+
+    got = spark.read.parquet(snap).where("id = 31982803").collect()
+    assert len(got) == 1 and got[0]["comments_count"] == 99
