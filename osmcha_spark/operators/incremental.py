@@ -62,11 +62,14 @@ def upsert_partitioned(
     module docstring promises — dynamic partition overwrite made real).
 
     Plan: (1) restrict the prior snapshot to affected partitions with a
-    broadcast semi-join on ``partition_col`` — at cluster scale Spark's
-    dynamic partition pruning turns this into a partition-pruned scan, so
-    untouched partitions are never READ either; (2) the same anti-join +
-    union merge as :func:`upsert`; (3) write with
-    ``partitionOverwriteMode=dynamic``, which replaces exactly the
+    literal ``IN`` filter on ``partition_col`` built from the batch's
+    distinct partition values — a metadata-scale collect (the operator is
+    already an action: it writes), and unlike a semi-join it GUARANTEES
+    partition pruning in the scan (``PartitionFilters: part IN (…)``,
+    pinned by tests/test_plans.py; measured: the bare semi-join form gets
+    no dynamic pruning locally), so untouched partitions are never READ;
+    (2) the same anti-join + union merge as :func:`upsert`; (3) write
+    with ``partitionOverwriteMode=dynamic``, which replaces exactly the
     partitions present in the merged frame and leaves every other
     partition's files byte-untouched (gated by q58: untouched partition
     files are asserted byte-identical across the merge).
@@ -85,10 +88,10 @@ def upsert_partitioned(
     """
     spark = updates.sparkSession
     prior = spark.read.parquet(path)
-    affected = updates.select(partition_col).distinct()
-    prior_affected = prior.join(
-        F.broadcast(affected), partition_col, "left_semi"
-    )
+    affected_vals = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    prior_affected = prior.where(F.col(partition_col).isin(affected_vals))
     merged = upsert(prior_affected, updates, key, version_col=version_col)
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -174,3 +174,26 @@ def test_tile_pyramid_scans_base_once(spark):
     # as reaggregations, so the source-node count stays 1
     assert plan.count("Scan ExistingRDD") <= 1
     assert plan.count("* Range") <= 1 or plan.count("Range (") <= 1
+
+
+def test_upsert_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """The partitioned-upsert read path must reach the scan as a literal
+    partition filter (PartitionFilters: part IN/EQ …) so untouched
+    partitions are never read — measured: the semi-join formulation gets
+    no dynamic pruning in local mode, which is why the operator collects
+    the metadata-scale partition list and filters with isin."""
+    import os
+
+    snap = str(tmp_path / "snap")
+    prior = spark.range(1000).select(
+        "id", F.lit("x").alias("v"),
+        F.pmod("id", F.lit(8)).cast("int").alias("part"),
+    )
+    prior.write.partitionBy("part").parquet(snap)
+    pr = spark.read.parquet(snap)
+    pruned = pr.where(F.col("part").isin([5]))
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    # the literal must reach the partition filter, not a post-scan Filter
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "5" in pf_line.split("PartitionFilters")[1].split("]")[0] + "]"
