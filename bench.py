@@ -161,6 +161,12 @@ def run_bench(spark, sf_dir: str) -> dict:
         ).parquet(corpus_dir)
     imgs = spark.read.parquet(corpus_dir)
     n_imgs = imgs.count()
+    # Cache-regime pinning (untimed prep): touch every bytes page once so
+    # BOTH scaling legs measure the host-cache-resident regime — without
+    # this, whichever leg runs second re-reads the corpus from the host
+    # disk and decode_phash records I/O (measured 69 s vs 12 s at 2M),
+    # not compute. See BENCH/BASELINE.md "host-cache regime".
+    imgs.agg(F.sum(F.length("bytes"))).collect()
 
     # --- decode: scan bytes → vectorized decode → recompute phash →
     # validate against the stored column (exact for lossless fmts)
