@@ -2791,6 +2791,57 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# --------------------------------------------------------------- q60
+
+def q60_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range-containment) join — each event matched to every
+    derived maintenance window containing its timestamp. A bare
+    ``ts BETWEEN start AND end`` join has no equi-key, so Spark plans a
+    BroadcastNestedLoopJoin (O(n·m), a scale killer); the engine's
+    fixed-width bucketing rewrite (operators/ranges.py) is one shuffled
+    equi-join and EXACT — each qualifying pair meets in exactly the
+    point's bucket. Windows are derived deterministically from every
+    37th event (1–23 min long, < the 5-min bucket × sequence fan-out
+    cap), so both engines see identical inputs. Oracle: the declarative
+    BETWEEN join DuckDB plans as its native interval join."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.ranges import interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    iv = ev.where(F.col("event_id") % 37 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.lit(1) + F.col("event_id") % 23) * F.lit(60_000_000)
+        ).alias("end_us"),
+    )
+    out = interval_join(pts, iv, bucket_width=300_000_000)
+    return out.select(
+        "event_id", "user_id", "ts_us", "interval_id", "start_us", "end_us"
+    )
+
+
+_Q60_ORACLE = """
+WITH pts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+iv AS (
+  SELECT event_id AS interval_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + (1 + event_id % 23) * 60000000 AS end_us
+  FROM events WHERE event_id % 37 = 0
+)
+SELECT p.event_id, p.user_id, p.ts_us, i.interval_id, i.start_us, i.end_us
+FROM pts p JOIN iv i ON p.ts_us BETWEEN i.start_us AND i.end_us
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2871,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_cube": q57_cube,
         "q58_partitioned_upsert": q58_partitioned_upsert,
         "q59_streaming_late_data": q59_streaming_late_data,
+        "q60_interval_join": q60_interval_join,
     }
 
 
@@ -2936,4 +2988,5 @@ def oracle_sql() -> dict[str, str]:
         "q57_cube": _Q57_ORACLE,
         "q58_partitioned_upsert": _q58_oracle(),
         "q59_streaming_late_data": _Q59_ORACLE,
+        "q60_interval_join": _Q60_ORACLE,
     }

@@ -768,3 +768,59 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(
     assert got[2] == ("new", 2)        # updated, max version won
     assert got[102] == ("ins", 2)      # inserted into the touched part
     assert got[0] == ("old", 0) and got[7] == ("old", 3)  # untouched
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketed interval join ≡ naive cross-filter on hostile inputs:
+    inclusive ends, ts exactly on bucket boundaries, negative axis
+    values, intervals spanning many buckets, zero-length intervals, and
+    points matching nothing. Also pins duplicate-freeness (each pair
+    once, with no distinct() in the operator)."""
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.ranges import interval_join
+
+    W = 100
+    pts_rows = [
+        (1, -250), (2, -200), (3, -1), (4, 0), (5, 1),
+        (6, 99), (7, 100), (8, 101), (9, 500), (10, 9999),
+        (11, 200), (12, 300), (13, 301),
+    ]
+    iv_rows = [
+        (100, -300, -200),   # negative interval, inclusive end hits pt 2
+        (101, -50, 150),     # spans the 0 boundary, 3 buckets
+        (102, 100, 100),     # zero-length exactly on a bucket edge
+        (103, 0, 950),       # long interval: ~10 buckets wide
+        (104, 200, 300),     # both ends on bucket edges
+        (105, 5000, 6000),   # matches nothing
+        # open-ended-sentinel shape: 10^13 buckets wide at W=1 — without
+        # the points-range clamp this would hard-fail sequence()'s 2^31
+        # element cap; with it, fan-out is bounded by the points' span
+        (106, -(10**13), 10**13),
+        (107, 10**12, 10**13),  # huge AND wholly outside the point range
+    ]
+    pts = spark.createDataFrame(pts_rows, "event_id long, ts_us long")
+    iv = spark.createDataFrame(
+        iv_rows, "interval_id long, start_us long, end_us long"
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(pts, iv, bucket_width=W).collect()
+    }
+    expect = {
+        (p, i)
+        for (p, t) in pts_rows
+        for (i, s, e) in iv_rows
+        if s <= t <= e
+    }
+    assert got == expect
+    # duplicate-freeness: a pair meets in exactly one bucket
+    n = interval_join(pts, iv, bucket_width=W).count()
+    assert n == len(expect)
+    # bucket width never changes the answer, only the candidate count
+    for w in (1, 7, 1000, 10**9):
+        alt = {
+            (r["event_id"], r["interval_id"])
+            for r in interval_join(pts, iv, bucket_width=w).collect()
+        }
+        assert alt == expect, f"bucket_width={w} changed the result"

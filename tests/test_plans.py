@@ -197,3 +197,43 @@ def test_upsert_partitioned_scan_prunes_partitions(spark, tmp_path):
     # the literal must reach the partition filter, not a post-scan Filter
     pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "5" in pf_line.split("PartitionFilters")[1].split("]")[0] + "]"
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The point⋈interval join must be a hash/sort-merge EQUI-join on
+    the bucket — a bare BETWEEN predicate would plan the two fact sides
+    as BroadcastNestedLoopJoin, the O(n·m) shape q60 exists to avoid.
+    The ONE sanctioned nested-loop node is the 1-row points-bounds
+    broadcast (the tfidf_topk lazy-bound pattern: single-row build side,
+    one comparison per interval), so the pin is: every join line that
+    touches `_bucket` is an equi-join, and at most one BNLJ exists whose
+    condition only references the bounds/interval columns."""
+    from osmcha_spark.operators.ranges import interval_join
+
+    pts = spark.range(200).select(
+        F.col("id").alias("event_id"), (F.col("id") * 1000).alias("ts_us")
+    )
+    iv = spark.range(20).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 9000).alias("start_us"),
+        (F.col("id") * 9000 + 5000).alias("end_us"),
+    )
+    plan = _plan(interval_join(pts, iv))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the main join carries the bucket as an equi-key
+    equi = [
+        ln for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "HashJoin" in ln) and "_bucket" in ln
+    ]
+    assert equi, f"no bucket equi-join in plan:\n{plan}"
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) <= 1
+    # the bounds join must not involve the point side's rows
+    assert all("ts_us" not in ln and "event_id" not in ln for ln in bnlj)
+    # the hinted variant turns the main join into a map-side hash join
+    bplan = _plan(interval_join(pts, iv, broadcast_intervals=True))
+    assert any(
+        "BroadcastHashJoin" in ln and "_bucket" in ln
+        for ln in bplan.splitlines()
+    )
