@@ -2842,6 +2842,39 @@ FROM pts p JOIN iv i ON p.ts_us BETWEEN i.start_us AND i.end_us
 """
 
 
+# --------------------------------------------------------------- q61
+
+def q61_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum sampling (operators/sampling.py) — 25 docs
+    per (lang, source) stratum by content-addressed hash order, the
+    balanced-eval-set primitive. Membership is a pure function of row
+    identity (md5(id,salt), id), so engine and oracle agree row-for-row
+    with no seed in sight."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sampling import stratified_take
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = stratified_take(
+        docs, ["lang", "source"], n=25, id_col="doc_id", salt="strat"
+    )
+    return out.select("doc_id", "lang", "source", "strat_rank")
+
+
+_Q61_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY CAST('0x' || substring(
+                      md5(concat(CAST(doc_id AS VARCHAR), 'strat')), 1, 15
+                    ) AS BIGINT) ASC, doc_id ASC
+         ) AS strat_rank
+  FROM documents
+)
+SELECT doc_id, lang, source, strat_rank FROM ranked WHERE strat_rank <= 25
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2923,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_partitioned_upsert": q58_partitioned_upsert,
         "q59_streaming_late_data": q59_streaming_late_data,
         "q60_interval_join": q60_interval_join,
+        "q61_stratified_take": q61_stratified_take,
     }
 
 
@@ -2989,4 +3023,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_partitioned_upsert": _q58_oracle(),
         "q59_streaming_late_data": _Q59_ORACLE,
         "q60_interval_join": _Q60_ORACLE,
+        "q61_stratified_take": _Q61_ORACLE,
     }

@@ -82,3 +82,46 @@ def deterministic_sample(
     return df.where(
         _hash_bucket_col(F.col(id_col), salt) < F.lit(int(round(rate * _BUCKETS)))
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by
+    content-addressed hash order — the balanced-sampling primitive
+    (class-balanced eval sets, per-language calibration corpora) that
+    ``sampleBy`` can't give you: fraction-based sampling only hits n in
+    expectation, and its membership moves when the table is
+    repartitioned or appended to. Here the per-stratum ranking key is
+    ``(md5-hash(id, salt), id)`` — a pure function of row identity — so
+    reruns, engines, and cluster sizes agree row-for-row, and a stratum
+    gaining new rows only ever displaces the highest-hash survivors.
+
+    Plan: one shuffle on the strata (window partition), row_number, and
+    the rank filter folds into the Window node — no join, no second
+    pass. Skewed strata are the classic window hot-key; at 100 TB cap
+    pathological strata first (this is a top-n, so a per-partition
+    map-side pre-rank + re-rank would bound them; Spark's windowed
+    top-n already stops at the limit within each partition's sort).
+
+    Output: the input columns plus ``strat_rank`` (1-based within the
+    stratum), so callers can tighten n later without resampling.
+    """
+    from pyspark.sql import Window
+
+    from osmcha_spark.operators.dedup import md5_long_col
+
+    key = md5_long_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("strat_rank", F.row_number().over(w))
+        .where(F.col("strat_rank") <= F.lit(int(n)))
+    )

@@ -824,3 +824,59 @@ def test_interval_join_matches_bruteforce(spark):
             for r in interval_join(pts, iv, bucket_width=w).collect()
         }
         assert alt == expect, f"bucket_width={w} changed the result"
+
+
+def test_stratified_take_exact_n_and_stability(spark):
+    """Exactly min(n, |stratum|) per stratum; membership invariant under
+    repartitioning; appending rows only displaces highest-hash
+    survivors (the nested property fraction sampling lacks)."""
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.sampling import stratified_take
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.when(F.col("id") % 7 == 0, "tiny").otherwise("big").alias("source"),
+    )
+    out = stratified_take(df, ["lang", "source"], n=10, id_col="doc_id")
+    sizes = {
+        (r["lang"], r["source"]): r["n"]
+        for r in out.groupBy("lang", "source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    strata = {
+        (r["lang"], r["source"]): r["n"]
+        for r in df.groupBy("lang", "source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert sizes == {k: min(10, v) for k, v in strata.items()}
+
+    ids = {r["doc_id"] for r in out.collect()}
+    re_ids = {
+        r["doc_id"]
+        for r in stratified_take(
+            df.repartition(13), ["lang", "source"], n=10, id_col="doc_id"
+        ).collect()
+    }
+    assert ids == re_ids, "membership moved under repartitioning"
+
+    # appending rows never ADMITS a previously-rejected row
+    bigger = df.unionByName(
+        spark.range(200, 260).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+            F.lit("big").alias("source"),
+        )
+    )
+    grown = {
+        r["doc_id"]
+        for r in stratified_take(
+            bigger, ["lang", "source"], n=10, id_col="doc_id"
+        ).collect()
+    }
+    assert grown - ids <= set(range(200, 260)), (
+        "an old row entered the sample because OTHER rows were appended"
+    )
