@@ -2875,6 +2875,55 @@ SELECT doc_id, lang, source, strat_rank FROM ranked WHERE strat_rank <= 25
 """
 
 
+# --------------------------------------------------------------- q62
+
+def q62_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration (operators/similarity.py:kmeans_step) — the
+    IVF/PQ codebook-training primitive: assign every vector to its
+    nearest deterministic seed centroid (id % 25 == 0, quantized squared
+    L2, ties to lowest centroid id), then emit the updated codebook flat
+    as (centroid_id, idx, n_members, sum_q). All-integer, so the oracle
+    match is exact; the mean stays un-divided because integer division
+    of negative sums is dialect-divergent."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.similarity import kmeans_step
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return kmeans_step(emb, centroid_stride=25).select(
+        "centroid_id", "idx", "n_members", "sum_q"
+    )
+
+
+_Q62_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, val, idx FROM flat WHERE vec_id % 25 = 0),
+d2 AS (
+  SELECT f.vec_id AS id, c.cid,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM flat f JOIN cent c ON f.idx = c.idx
+  GROUP BY f.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT a.cid AS centroid_id, f.idx,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(f.val) AS BIGINT) AS sum_q
+FROM assign a JOIN flat f ON f.vec_id = a.id
+GROUP BY a.cid, f.idx
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2957,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_streaming_late_data": q59_streaming_late_data,
         "q60_interval_join": q60_interval_join,
         "q61_stratified_take": q61_stratified_take,
+        "q62_kmeans_step": q62_kmeans_step,
     }
 
 
@@ -3024,4 +3074,5 @@ def oracle_sql() -> dict[str, str]:
         "q59_streaming_late_data": _Q59_ORACLE,
         "q60_interval_join": _Q60_ORACLE,
         "q61_stratified_take": _Q61_ORACLE,
+        "q62_kmeans_step": _Q62_ORACLE,
     }

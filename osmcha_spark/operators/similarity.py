@@ -231,6 +231,50 @@ def ivf_assign(
     return cents, assigned
 
 
+def kmeans_step(
+    corpus: DataFrame,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration over the corpus — the codebook-training
+    primitive behind every IVF/PQ index (:func:`ivf_assign` is the
+    assignment half; this adds the centroid UPDATE). Seeds are the same
+    deterministic ``id % stride == 0`` codebook, so the step — unlike
+    RNG-seeded k-means — is reproducible in any engine and
+    oracle-checkable value-for-value.
+
+    Output is the updated codebook in FLAT form, one row per
+    (centroid, dimension): ``centroid_id, idx`` (1-based), ``n_members``
+    and ``sum_q`` = Σ quantized-component — the un-divided numerator, so
+    everything is int64 and summation-order-free (the mean is
+    ``sum_q / n_members``; division is left to the caller because
+    integer division of NEGATIVE sums is dialect-divergent — Spark
+    ``div`` truncates toward zero, DuckDB ``//`` floors). Callers
+    iterating to convergence reassemble arrays with
+    ``array_sort(collect_list(struct(idx, …)))``; the gate keeps the
+    flat form because it hashes without array-ordering hazards.
+
+    Plan: broadcast codebook → per-row argmin (groupBy(id) min-struct,
+    map-side combinable) → posexplode to (cid, idx) → one agg with
+    partial aggregation. The explode is ×dim, but the (cid, idx) group
+    count is k·dim — tiny — so the shuffle after partial combine moves
+    at most #partitions · k · dim rows regardless of corpus size. At
+    100 TB that is the textbook distributed-k-means shape.
+    """
+    _, assigned = ivf_assign(corpus, centroid_stride, id_col, vec_col)
+    flat = assigned.select(
+        "centroid_id", F.posexplode("qv").alias("pos", "val")
+    )
+    return (
+        flat.groupBy("centroid_id", (F.col("pos") + 1).alias("idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("val").alias("sum_q"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -880,3 +880,46 @@ def test_stratified_take_exact_n_and_stability(spark):
     assert grown - ids <= set(range(200, 260)), (
         "an old row entered the sample because OTHER rows were appended"
     )
+
+
+def test_kmeans_step_invariants(spark):
+    """Every vector lands in exactly one cluster (idx=1 member counts sum
+    to N), seeds assign to themselves (their own d2 is 0), and the flat
+    codebook has exactly k·dim rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.similarity import kmeans_step
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_step(emb, centroid_stride=30)
+    rows = out.collect()
+    k = 120 // 30
+    assert len(rows) == k * 8
+    per_cid = {
+        r["centroid_id"]: r["n_members"] for r in rows if r["idx"] == 1
+    }
+    assert sum(per_cid.values()) == 120
+    # a seed is distance-0 from itself, so every seed cluster is nonempty
+    assert all(per_cid.get(c, 0) >= 1 for c in (0, 30, 60, 90))
+    # brute-force the assignment in numpy (same quantization)
+    q = np.round(vecs.astype(np.float64) * 1024).astype(np.int64)
+    cents = q[[0, 30, 60, 90]]
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # argmin ties → lowest index = lowest cid
+    expect_counts = {
+        c: int((assign == i).sum()) for i, c in enumerate((0, 30, 60, 90))
+    }
+    assert per_cid == expect_counts
+    expect_sum = {
+        (c, j + 1): int(q[assign == i, j].sum())
+        for i, c in enumerate((0, 30, 60, 90))
+        for j in range(8)
+    }
+    got_sum = {(r["centroid_id"], r["idx"]): r["sum_q"] for r in rows}
+    assert got_sum == expect_sum
