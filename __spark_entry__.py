@@ -2924,6 +2924,203 @@ GROUP BY a.cid, f.idx
 """
 
 
+# --------------------------------------------------------------- q63
+
+def q63_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/curation.py:scrub_pii): emails / URLs /
+    phone numbers → typed placeholders + per-category audit counts.
+    The documents table carries no PII, so the gate synthesizes it
+    deterministically IN the query (same CASE/concat arithmetic in both
+    engines — the synth.py pattern): per doc_id, 0-2 emails, 0-1 URLs,
+    0-1 phones are appended, and the scrubber must find exactly those.
+    The regexes live in the Java∩RE2 subset so oracle == engine."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import scrub_pii
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pii = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            " CASE WHEN doc_id % 3 > 0 THEN concat(' contact user',"
+            "   CAST(doc_id AS STRING), '@mail.example.com') ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN concat(' cc admin',"
+            "   CAST(doc_id AS STRING), '@ops.example.net') ELSE '' END,"
+            " CASE WHEN doc_id % 2 = 0 THEN concat(' see https://ex',"
+            "   CAST(doc_id % 7 AS STRING), '.example.org/p?id=',"
+            "   CAST(doc_id AS STRING)) ELSE '' END,"
+            " CASE WHEN doc_id % 5 > 0 THEN concat(' call +1-202-555-',"
+            "   lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)"
+        ).alias("text"),
+    )
+    return scrub_pii(pii)
+
+
+def _q63_oracle() -> str:
+    from osmcha_spark.operators.curation import EMAIL_RE, PHONE_RE, URL_RE
+
+    return f"""
+WITH pii AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 > 0 THEN concat(' contact user',
+             CAST(doc_id AS VARCHAR), '@mail.example.com') ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN concat(' cc admin',
+             CAST(doc_id AS VARCHAR), '@ops.example.net') ELSE '' END,
+           CASE WHEN doc_id % 2 = 0 THEN concat(' see https://ex',
+             CAST(doc_id % 7 AS VARCHAR), '.example.org/p?id=',
+             CAST(doc_id AS VARCHAR)) ELSE '' END,
+           CASE WHEN doc_id % 5 > 0 THEN concat(' call +1-202-555-',
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END
+         ) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{URL_RE}', '<URL>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM pii
+"""
+
+
+# --------------------------------------------------------------- q64
+
+def q64_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality (operators/curation.py:
+    repetition_stats): top-2-gram share of each document as an exact
+    integer per-mille. Only the winning COUNT is emitted (never the
+    bigram), so max ties can't destabilize the hash."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import repetition_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return repetition_stats(docs)
+
+
+_Q64_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS n_tokens FROM toks
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM toks
+), big AS (
+  SELECT a.doc_id, concat(a.w, ' ', b.w) AS bigram
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.top_c, 0) AS BIGINT) AS top_bigram_n,
+       CAST(CASE WHEN b.n_tokens > 0
+            THEN (coalesce(t.top_c, 0) * 2000) // b.n_tokens
+            ELSE 0 END AS BIGINT) AS rep2_permille
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------- q65
+
+def q65_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/curation.py:pack_chunks): documents
+    concatenated in content-addressed order within 8 hash shards, cut
+    into 256-token chunks; emits each doc's stream offset and chunk
+    span. The layout is a pure function of row identity — rerun /
+    engine / cluster-size stable."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import pack_chunks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pack_chunks(docs, budget=256, n_shards=8)
+
+
+_Q65_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST('0x' || substring(
+           md5(concat(CAST(doc_id AS VARCHAR), 'pack')), 1, 15
+         ) AS BIGINT) AS k,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, k % 8 AS shard, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY k % 8 ORDER BY k ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM base
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS token_start,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS first_chunk,
+       CAST((cum - 1) // 256 AS BIGINT) AS last_chunk
+FROM packed
+"""
+
+
+# --------------------------------------------------------------- q66
+
+def q66_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py:decontaminate):
+    training docs sharing ≥ 10 distinct 8-gram token shingles with an
+    eval doc. The eval set is derived IN the query as the first 240
+    chars of every 10th document — genuine containment, so the
+    asymmetric check must flag exactly the source docs (plus any true
+    n-gram collisions, which both engines see identically since the
+    shingle STRINGS are compared — the engine's 60-bit shingle hash has
+    a ~2^-60 false-collision rate, accepted and documented)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    eval_set = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.expr("substring(text, 1, 240)").alias("text")
+    )
+    return decontaminate(docs, eval_set, k=8, min_shared=10)
+
+
+_Q66_ORACLE = """
+WITH tr AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+), ev AS (
+  SELECT doc_id AS eval_id,
+         string_split(trim(substring(text, 1, 240)), ' ') AS t
+  FROM documents WHERE doc_id % 10 = 0
+), trpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM tr WHERE len(t) >= 8
+), trs AS (
+  SELECT DISTINCT doc_id AS train_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS s
+  FROM trpos
+), evpos AS (
+  SELECT eval_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM ev WHERE len(t) >= 8
+), evs AS (
+  SELECT DISTINCT eval_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS s
+  FROM evpos
+)
+SELECT r.train_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM trs r JOIN evs e USING (s)
+GROUP BY r.train_id, e.eval_id
+HAVING count(*) >= 10
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3007,6 +3204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_interval_join": q60_interval_join,
         "q61_stratified_take": q61_stratified_take,
         "q62_kmeans_step": q62_kmeans_step,
+        "q63_pii_scrub": q63_pii_scrub,
+        "q64_repetition": q64_repetition,
+        "q65_pack_chunks": q65_pack_chunks,
+        "q66_decontaminate": q66_decontaminate,
     }
 
 
@@ -3075,4 +3276,8 @@ def oracle_sql() -> dict[str, str]:
         "q60_interval_join": _Q60_ORACLE,
         "q61_stratified_take": _Q61_ORACLE,
         "q62_kmeans_step": _Q62_ORACLE,
+        "q63_pii_scrub": _q63_oracle(),
+        "q64_repetition": _Q64_ORACLE,
+        "q65_pack_chunks": _Q65_ORACLE,
+        "q66_decontaminate": _Q66_ORACLE,
     }

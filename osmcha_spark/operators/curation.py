@@ -1,0 +1,247 @@
+"""Training-data curation operators — the scrub / filter / pack / and
+decontaminate stages a large-scale LLM corpus pipeline runs between raw
+text and the trainer. All pure Column expressions (JVM, codegen,
+oracle-expressible); no Python crossing anywhere.
+
+- **scrub_pii** — regexp normalization of emails / URLs / phone numbers
+  to typed placeholder tokens, plus per-category hit counts (audit
+  surface). The patterns are deliberately in the Java∩RE2 regex subset
+  so the DuckDB oracle runs the identical expressions.
+- **repetition_stats** — the Gopher-style repetition quality signal
+  (Rae et al. 2021, §A1.1 "repetitious text"): fraction of tokens
+  accounted for by the single most-frequent 2-gram, as an exact integer
+  per-mille so engine ≡ oracle bit-for-bit.
+- **pack_chunks** — sequence packing: documents are concatenated in a
+  deterministic content-addressed order within hash shards and cut into
+  fixed token-budget chunks (the GPT-style pretraining layout). Emits
+  each document's global token offset and the chunk span it lands in.
+- **decontaminate** — eval-set containment scan: k-gram token shingles
+  of every training doc equi-joined against the eval set's shingles;
+  pairs sharing ≥ ``min_shared`` distinct shingles are flagged. This is
+  benchmark-decontamination (the n-gram overlap check every published
+  model card describes), not symmetric near-dup — q09/q22 cover that.
+
+Scale shapes (100 TB):
+- scrub_pii / repetition base are pure projections (no shuffle; the
+  bigram count is explode → two partial-agg groupBys on doc_id-prefixed
+  keys — map-side combine bounds the shuffle by distinct bigrams/doc).
+- pack_chunks is ONE shuffle (window over hash shards); shard count is
+  the parallelism knob and the order key is content-addressed, so the
+  layout is rerun/cluster-size stable — rescaling the cluster does not
+  re-deal the corpus.
+- decontaminate explodes distinct shingles per side and equi-joins on
+  the shingle hash: the eval side is tiny in practice (benchmarks, not
+  corpora) so Spark broadcasts it; cost is O(train shingles). A df cap
+  on the eval side (stop-shingle guard, as jaccard_pairs) applies if an
+  eval doc is pathological.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from osmcha_spark.operators.dedup import md5_long_col
+
+# Java∩RE2 subset: char classes, alternation-free, bounded quantifiers
+# only where both engines agree. DuckDB needs the 'g' flag for
+# replace-all; Spark's regexp_replace is always global.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[A-Za-z0-9./?=&_%-]+"
+PHONE_RE = "\\+[0-9][0-9-]{5,}[0-9]"
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_phones, scrubbed): replace every
+    email / URL / phone-number match with ``<EMAIL>`` / ``<URL>`` /
+    ``<PHONE>`` and count the hits per category on the ORIGINAL text.
+
+    Replacement order matters and is part of the contract: emails first
+    (so the URL pattern never eats a mailto-adjacent form), then URLs,
+    then phones. Counts are computed on the input text, so a URL that
+    contains a phone-shaped path segment is counted once per category —
+    the audit counts answer "how much PII did the scrubber see", not
+    "how many tokens did it emit"."""
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, URL_RE, "<URL>")
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def _space_tokens(text: Column) -> Column:
+    """Single-space split of the trimmed text — the ORACLE-EXACT
+    tokenizer (DuckDB ``string_split(trim(text), ' ')``), same variant
+    tfidf_topk uses; ``text.tokens_col`` (``\\s+``) is the engine-side
+    analysis tokenizer. Do not unify (see tokens_col docstring)."""
+    return F.split(F.trim(text), " ")
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, top_bigram_n, rep2_permille): the most
+    frequent token 2-gram's share of the document, as the exact integer
+    ``(top_bigram_n * 2 * 1000) div n_tokens`` (Gopher drops documents
+    above ~200‰). Documents with < 2 tokens emit (n, 0, 0).
+
+    Only the COUNT of the winning bigram is emitted, never the bigram
+    itself, so max-count ties cannot make the result order-dependent."""
+    toks = _space_tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.explode_outer(bigrams).alias("bigram"),
+    )
+    per_bigram = exploded.groupBy("doc_id", "n_tokens", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = per_bigram.groupBy("doc_id", "n_tokens").agg(
+        F.max(
+            F.when(F.col("bigram").isNotNull(), F.col("c")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("top_bigram_n")
+    )
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_n",
+        F.when(F.col("n_tokens") > 0, F.expr("(top_bigram_n * 2000) div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rep2_permille"),
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence packing: concatenate documents in content-addressed
+    order within ``n_shards`` hash shards and cut the token stream into
+    ``budget``-token chunks. Emits per document::
+
+        (doc_id, shard, n_tokens, token_start, first_chunk, last_chunk)
+
+    where ``token_start`` is the document's offset in its shard's
+    stream, ``first_chunk = token_start div budget`` and ``last_chunk =
+    (token_start + n_tokens - 1) div budget`` — a document spanning a
+    boundary is split across chunks, exactly as a pretraining loader
+    does. The order key is ``(md5(doc_id, salt), doc_id)``: a pure
+    function of row identity, so the layout is independent of input
+    partitioning and cluster size, and reruns agree row-for-row.
+
+    ONE shuffle (the per-shard window). Token counts use the
+    oracle-exact single-space tokenizer."""
+    toks = _space_tokens(F.col(text_col))
+    key = md5_long_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (key % F.lit(int(n_shards))).alias("shard"),
+        key.alias("_k"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("token_start"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "token_start",
+        F.expr(f"token_start div {int(budget)}").cast("long").alias("first_chunk"),
+        F.expr(
+            f"(token_start + n_tokens - 1) div {int(budget)}"
+        ).cast("long").alias("last_chunk"),
+    )
+
+
+def shingle_hashes(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """(out_id, h): DISTINCT 60-bit hashes of the document's k-gram
+    token shingles, exploded. Documents with < k tokens emit nothing.
+    The hash is md5-prefix of the space-joined shingle string — both
+    sides of a decontamination join use the same function, so a shared
+    string always collides; a FALSE collision (two different shingles,
+    one 60-bit hash) perturbs a count with probability ~2^-60 per pair
+    and is accepted (document-level thresholding absorbs it)."""
+    toks = _space_tokens(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: md5_long_col(F.concat_ws(" ", F.slice(toks, i, k))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        F.col(id_col).alias(out_id), F.explode(sh).alias("h")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = 8,
+    min_shared: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """(train_id, eval_id, n_shared): training documents sharing ≥
+    ``min_shared`` DISTINCT k-gram token shingles with an eval-set
+    document — the benchmark-contamination check. Asymmetric by design:
+    a short eval prompt fully contained in a long training doc scores
+    its full shingle count, where Jaccard (q09) would dilute it to
+    near-zero.
+
+    Shape: distinct-shingle explode on both sides, equi-join on the
+    60-bit shingle hash, count per pair, threshold. The eval side is
+    broadcast (benchmarks are small); train-side cost is linear in
+    corpus shingles. At 100 TB the join ships only eval-matching
+    shingles — everything else dies at the broadcast-hash probe."""
+    tr = shingle_hashes(train, k, text_col=text_col, out_id="train_id")
+    ev = shingle_hashes(eval_set, k, text_col=text_col, out_id="eval_id")
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
