@@ -237,3 +237,39 @@ def test_interval_join_is_equi_not_nested_loop(spark):
         "BroadcastHashJoin" in ln and "_bucket" in ln
         for ln in bplan.splitlines()
     )
+
+
+def test_curation_plans_are_python_free_and_shaped(spark):
+    """The curation stages' scale claims, pinned: scrub/repetition base
+    are Python-free; pack_chunks shuffles exactly once (the per-shard
+    window); decontaminate probes the eval side via BroadcastHashJoin."""
+    from osmcha_spark.operators.curation import (
+        decontaminate, pack_chunks, repetition_stats, scrub_pii,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 17).cast("string"),
+                 F.lit(" a b c d e f g h i j k")).alias("text"),
+    )
+    for df in (scrub_pii(docs), repetition_stats(docs),
+               pack_chunks(docs, budget=64, n_shards=4)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    # scrub is a pure projection: no exchange at all
+    assert "Exchange" not in _plan(scrub_pii(docs))
+
+    # pack_chunks: exactly ONE shuffle — the window's hashpartitioning
+    # on shard (spark.range input has no prior exchange)
+    pack_plan = _plan(pack_chunks(docs, budget=64, n_shards=4))
+    exchanges = [ln for ln in pack_plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, pack_plan
+
+    # decontaminate: eval side broadcast, join keyed on the shingle hash
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    dplan = _plan(decontaminate(docs, ev, k=4, min_shared=2))
+    assert any("BroadcastHashJoin" in ln and "h#" in ln
+               for ln in dplan.splitlines()), dplan
+    assert "CartesianProduct" not in dplan
