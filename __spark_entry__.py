@@ -3121,6 +3121,51 @@ HAVING count(*) >= 10
 """
 
 
+# --------------------------------------------------------------- q67
+
+def q67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py:kmv_distinct):
+    distinct whitespace tokens per language, estimated from the k=128
+    smallest 40-bit md5 hashes. Deterministic — the estimate is a pure
+    integer function of the input set, so unlike HLL the ORACLE CHECKS
+    THE VALUES (exact below k, `(k-1)*2^40 div kth_min` above)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sketches import kmv_distinct
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    return kmv_distinct(toks, ["lang"], "tok", k=128, bits=40)
+
+
+_Q67_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT DISTINCT lang,
+         CAST('0x' || substring(md5(tok), 1, 10) AS BIGINT) AS h
+  FROM tok
+), ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rn
+  FROM hashed
+), kept AS (
+  SELECT lang, h FROM ranked WHERE rn <= 128
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(h) AS BIGINT) AS kth_min,
+       CAST(CASE WHEN count(*) < 128 THEN count(*)
+            ELSE (127 * 1099511627776) // max(h) END AS BIGINT)
+         AS est_distinct
+FROM kept
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3208,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_repetition": q64_repetition,
         "q65_pack_chunks": q65_pack_chunks,
         "q66_decontaminate": q66_decontaminate,
+        "q67_kmv_distinct": q67_kmv_distinct,
     }
 
 
@@ -3280,4 +3326,5 @@ def oracle_sql() -> dict[str, str]:
         "q64_repetition": _Q64_ORACLE,
         "q65_pack_chunks": _Q65_ORACLE,
         "q66_decontaminate": _Q66_ORACLE,
+        "q67_kmv_distinct": _Q67_ORACLE,
     }

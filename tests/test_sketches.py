@@ -1,0 +1,112 @@
+"""KMV distinct-count sketch: exactness below k, estimator accuracy and
+determinism above k, merge law, and the per-partition top-k plan shape."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from osmcha_spark.operators.sketches import kmv_distinct
+
+
+def _docs(spark, n_distinct, copies=3):
+    return (
+        spark.range(n_distinct * copies)
+        .select(
+            F.lit("g").alias("grp"),
+            (F.col("id") % n_distinct).cast("string").alias("v"),
+        )
+    )
+
+
+def test_exact_below_k(spark):
+    out = kmv_distinct(_docs(spark, 37), ["grp"], "v", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_kept == 37 and r.est_distinct == 37
+
+
+def test_estimator_above_k_within_tolerance(spark):
+    # 5000 distinct, k=256 → relative std error ~1/sqrt(254) ≈ 6.3%
+    r = kmv_distinct(_docs(spark, 5000), ["grp"], "v", k=256).collect()[0]
+    assert r.n_kept == 256
+    assert abs(r.est_distinct - 5000) / 5000 < 0.25, r.est_distinct
+
+
+def test_deterministic_under_repartition(spark):
+    docs = _docs(spark, 1000)
+    a = kmv_distinct(docs, ["grp"], "v", k=128).collect()[0]
+    b = kmv_distinct(docs.repartition(13), ["grp"], "v", k=128).collect()[0]
+    assert (a.n_kept, a.kth_min, a.est_distinct) == (
+        b.n_kept, b.kth_min, b.est_distinct
+    )
+
+
+def test_merge_law(spark):
+    """Sketch(A ∪ B) == sketch over the union of the two surviving hash
+    sets — the property that lets a rollup combine per-partition
+    sketches without rescanning raw data."""
+    left = _docs(spark, 800).where(F.col("v").cast("long") % 2 == 0)
+    right = _docs(spark, 800).where(F.col("v").cast("long") % 3 == 0)
+    k = 64
+    whole = kmv_distinct(left.unionByName(right), ["grp"], "v", k=k).collect()[0]
+
+    # merge: union the kept (grp, h) rows of each side's stage-2 output,
+    # re-take the k smallest distinct hashes
+    from osmcha_spark.operators.sketches import kmv_hash_col
+
+    def kept_hashes(df):
+        return (
+            df.select("grp", kmv_hash_col(F.col("v"), 40).alias("h"))
+            .distinct()
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("grp").orderBy("h")
+                ),
+            )
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    merged = (
+        kept_hashes(left).unionByName(kept_hashes(right))
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy("h")
+            ),
+        )
+        .where(F.col("_rn") <= k)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth_min"))
+        .collect()[0]
+    )
+    assert (whole.n_kept, whole.kth_min) == (merged.n_kept, merged.kth_min)
+
+
+def test_rank_filter_becomes_window_group_limit(spark):
+    """The scale claim: rank<=k folds into a per-partition top-k
+    (WindowGroupLimit), so per-group state is O(k) not O(distinct)."""
+    multi = (
+        _docs(spark, 500)
+        .withColumn("grp", (F.col("v").cast("long") % 5).cast("string"))
+    )
+    plan = kmv_distinct(
+        multi, ["grp"], "v", k=32
+    )._jdf.queryExecution().executedPlan().toString()
+    # Partial limit runs BEFORE the per-group exchange: the second
+    # shuffle carries at most k rows per group per input partition
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parameter_guards(spark):
+    docs = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        kmv_distinct(docs, ["grp"], "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_distinct(docs, ["grp"], "v", k=1 << 23, bits=40)
+    from osmcha_spark.operators.sketches import kmv_hash_col
+    with pytest.raises(ValueError):
+        kmv_hash_col(F.col("v"), bits=13)
