@@ -123,6 +123,41 @@ def main() -> None:
         formatted(pyr),
     ))
 
+    from osmcha_spark.operators.curation import decontaminate, pack_chunks
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sections.append((
+        "sequence packing (content-addressed chunk layout)",
+        "expect: exactly ONE Exchange (hashpartitioning on shard) feeding "
+        "the running-sum Window; everything else is projection — the "
+        "layout is a pure function of row identity",
+        formatted(pack_chunks(docs, budget=256, n_shards=8)),
+    ))
+
+    ev_set = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.expr("substring(text, 1, 240)").alias("text")
+    )
+    sections.append((
+        "benchmark decontamination (k-gram shingle containment)",
+        "expect: BroadcastHashJoin on the 60-bit shingle hash h (eval side "
+        "broadcast), train shingles never shuffled — non-matching shingles "
+        "die at the broadcast-hash probe",
+        formatted(decontaminate(docs, ev_set, k=8, min_shared=10)),
+    ))
+
+    from osmcha_spark.operators.sketches import kmv_distinct
+
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    sections.append((
+        "KMV distinct-count sketch (per-lang token cardinality)",
+        "expect: map-side-combined distinct on (lang, h), then "
+        "WindowGroupLimit Partial BEFORE the per-group Exchange (second "
+        "shuffle carries ≤ k rows per group per partition) and Final after",
+        formatted(kmv_distinct(toks, ["lang"], "tok", k=128, bits=40)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
