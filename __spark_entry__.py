@@ -3166,6 +3166,48 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------- q68
+
+def q68_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by DLT priority sampling
+    (operators/sampling.py:priority_sample): 100 docs weighted by
+    n_chars, each with the unbiased subset-sum estimator
+    ``est_w = max(w, τ)``. Priorities are pure integers
+    (``(w<<40) div (md5_40(id)+1)``), so the oracle checks VALUES —
+    the sample set, the priorities, and the estimator — not just
+    plausibility."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sampling import priority_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return priority_sample(docs, "doc_id", "n_chars", k=100, salt="prio")
+
+
+_Q68_ORACLE = """
+WITH pr AS (
+  SELECT doc_id,
+         greatest(least(n_chars, 1048576), 1) AS w,
+         (greatest(least(n_chars, 1048576), 1) * 1099511627776)
+           // (CAST('0x' || substring(
+                 md5(concat(CAST(doc_id AS VARCHAR), 'prio')), 1, 10)
+               AS BIGINT) + 1) AS priority
+  FROM documents
+), top AS (
+  SELECT doc_id, w, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn,
+         count(*) OVER () AS n,
+         min(priority) OVER () AS minp
+  FROM (SELECT * FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 101)
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS w,
+       CAST(priority AS BIGINT) AS priority,
+       CAST(greatest(w, CASE WHEN n = 101 THEN minp ELSE 0 END) AS BIGINT)
+         AS est_w
+FROM top WHERE rn <= 100
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3254,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_pack_chunks": q65_pack_chunks,
         "q66_decontaminate": q66_decontaminate,
         "q67_kmv_distinct": q67_kmv_distinct,
+        "q68_priority_sample": q68_priority_sample,
     }
 
 
@@ -3327,4 +3370,5 @@ def oracle_sql() -> dict[str, str]:
         "q65_pack_chunks": _Q65_ORACLE,
         "q66_decontaminate": _Q66_ORACLE,
         "q67_kmv_distinct": _Q67_ORACLE,
+        "q68_priority_sample": _Q68_ORACLE,
     }

@@ -84,6 +84,86 @@ def deterministic_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "prio",
+    max_weight: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement by priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    ``q = w / u`` for a uniform ``u``, the k highest-priority rows are
+    the sample, and the estimator ``ŵ = max(w, τ)`` (τ = the (k+1)-th
+    priority, 0 if the population is ≤ k) makes ``sum(ŵ)`` an unbiased
+    estimate of the population's total weight from just the sample —
+    the subset-sum primitive behind weighted corpus subsampling
+    ("keep 100k docs, longer docs proportionally more likely, but
+    token-count totals still estimable").
+
+    Determinism (the repo's content-addressed discipline, same as
+    :func:`deterministic_sample`): ``u`` is not RNG but the row's 40-bit
+    md5 hash, so ``q = (w << 40) div (h + 1)`` is a pure INTEGER function
+    of row identity — rerun/engine/cluster-size stable, and the DuckDB
+    oracle (q68) checks values, not plausibility. ``w`` is clamped to
+    [1, 2^20] to keep ``w << 40 < 2^62`` (synth.py's integer-portability
+    bound).
+
+    Plan shape (100 TB): the priority is a pure Column projection; the
+    global top-(k+1) is ``orderBy().limit()``, which Spark plans as
+    ``TakeOrderedAndProject`` — each partition keeps only its local
+    top-(k+1) in a bounded heap and the driver merges k+1-sized lists,
+    so there is NO global sort and NO full shuffle (pinned by
+    tests/test_plans.py). The (k+1)-row frame then computes τ with a
+    single-partition window — safe because the frame is k+1 rows by
+    construction, not data-sized.
+
+    Reference counterpart: none (osmcha never samples); mandated by the
+    training-pipeline inventory (SURVEY §2.11).
+    """
+    from pyspark.sql import Window
+
+    if not 0 < k < 1_000_000:
+        raise ValueError("k must be a positive, driver-mergeable size")
+    w = F.greatest(
+        F.least(F.col(weight_col).cast("long"), F.lit(int(max_weight))),
+        F.lit(1),
+    )
+    # integer division (`div`, truncating) so the priority matches
+    # DuckDB's `//` bit-for-bit — hence the expr form.
+    prio = df.select(
+        F.col(id_col),
+        w.alias("w"),
+        F.expr(
+            f"(greatest(least(cast({weight_col} as long), "
+            f"{int(max_weight)}L), 1L) * {1 << 40}L) div "
+            f"(cast(conv(substring(md5(concat(cast({id_col} as string), "
+            f"'{salt}')), 1, 10), 16, 10) as long) + 1L)"
+        ).cast("long").alias("priority"),
+    )
+    top = prio.orderBy(F.desc("priority"), F.asc(id_col)).limit(k + 1)
+    win = Window.partitionBy()  # k+1 rows max — bounded by construction
+    ranked = top.select(
+        "*",
+        F.row_number()
+        .over(win.orderBy(F.desc("priority"), F.asc(id_col)))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(win).alias("_n"),
+        F.min("priority").over(win).alias("_minp"),
+    )
+    tau = F.when(F.col("_n") == k + 1, F.col("_minp")).otherwise(F.lit(0))
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .select(
+            id_col,
+            "w",
+            "priority",
+            F.greatest(F.col("w"), tau).cast("long").alias("est_w"),
+        )
+    )
+
+
 def stratified_take(
     df: DataFrame,
     strata_cols: list[str],

@@ -273,3 +273,25 @@ def test_curation_plans_are_python_free_and_shaped(spark):
     assert any("BroadcastHashJoin" in ln and "h#" in ln
                for ln in dplan.splitlines()), dplan
     assert "CartesianProduct" not in dplan
+
+
+def test_priority_sample_is_take_ordered_not_global_sort(spark):
+    """priority_sample's global top-k must plan as TakeOrderedAndProject
+    (per-partition bounded heaps merged on the driver), NOT a full sort
+    — a Sort+Exchange(rangepartitioning) over the fact table would be
+    the 100-TB scale killer the operator exists to avoid. The τ window
+    runs on the k+1-row frame only, after the limit."""
+    from osmcha_spark.operators.sampling import priority_sample
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_chars")
+    )
+    out = priority_sample(docs, "doc_id", "n_chars", k=25)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) == 25
+    # estimator: est_w = max(w, tau) >= w, and tau is the 26th priority
+    assert all(r.est_w >= r.w for r in rows)
