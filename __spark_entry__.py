@@ -3208,6 +3208,91 @@ FROM top WHERE rn <= 100
 """
 
 
+# --------------------------------------------------------------- q69
+
+def q69_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank + 16-way curriculum shards over documents by
+    (n_chars, doc_id) — operators/rank.py's two-level bucketed rank:
+    one fact-sized shuffle, NO single-partition global sort (the empty
+    PARTITION BY the oracle's spelling implies). Shard is the integer
+    split (rank-1)*16 div N on BOTH sides (deliberately not NTILE —
+    see rank.py's docstring)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.rank import global_rank
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = global_rank(
+        docs, "n_chars", "doc_id", bucket_width=50, n_shards=16
+    )
+    return out.select("doc_id", "n_chars", "g_rank", "shard")
+
+
+_Q69_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS g_rank,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(g_rank AS BIGINT) AS g_rank,
+       CAST(((g_rank - 1) * 16) // n AS BIGINT) AS shard
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------- q70
+
+def q70_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals (operators/events.py:scd2_history):
+    each user's event_type change-log collapsed to [valid_from,
+    valid_to) reigns, valid_to NULL for the current value. One shuffle
+    on the key (plan-pinned). (user_id, ts) is unique in the synth
+    events table, so the (ts, value) order is total and both engines
+    agree row-for-row."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import scd2_history
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    obs = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    return scd2_history(obs, "user_id", "ts_us", "event_type")
+
+
+_Q70_ORACLE = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_type ASC
+         ) AS prev
+  FROM events
+), opens AS (
+  SELECT *, CASE WHEN prev IS NULL OR event_type <> prev
+                 THEN 1 ELSE 0 END AS op
+  FROM obs
+), isl AS (
+  SELECT *, sum(op) OVER (
+              PARTITION BY user_id ORDER BY ts_us ASC, event_type ASC
+              ROWS UNBOUNDED PRECEDING
+            ) AS island
+  FROM opens
+), agg AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         min(ts_us) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from ASC
+       ) AS valid_to,
+       n_obs
+FROM agg
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3297,6 +3382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_decontaminate": q66_decontaminate,
         "q67_kmv_distinct": q67_kmv_distinct,
         "q68_priority_sample": q68_priority_sample,
+        "q69_global_rank": q69_global_rank,
+        "q70_scd2": q70_scd2,
     }
 
 
@@ -3371,4 +3458,6 @@ def oracle_sql() -> dict[str, str]:
         "q66_decontaminate": _Q66_ORACLE,
         "q67_kmv_distinct": _Q67_ORACLE,
         "q68_priority_sample": _Q68_ORACLE,
+        "q69_global_rank": _Q69_ORACLE,
+        "q70_scd2": _Q70_ORACLE,
     }

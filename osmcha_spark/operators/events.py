@@ -128,3 +128,73 @@ def as_of_join(
             ],
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse a change log into SCD type-2 validity intervals — the
+    dimension-history primitive (Kimball's slowly-changing-dimension
+    type 2) that turns "every observation of (key, value)" into
+    "each value's [valid_from, valid_to) reign per key".
+
+    Semantics (gaps-and-islands): order each key's rows by
+    ``(ts_col, tiebreak_col)``; a row OPENS a new interval iff its value
+    differs from the previous row's (or it is the key's first row);
+    ``valid_from`` = the opening row's ts, ``valid_to`` = the next
+    opening row's ts (exclusive), NULL for the key's current value.
+    Re-observations of an unchanged value extend the current interval —
+    they do not fragment it.
+
+    Plan shape (100 TB): ONE shuffle on the key. Both windows — the
+    ``lag`` that finds change points and the ``lead`` that closes
+    intervals — share the same ``PARTITION BY key ORDER BY ts``
+    partitioning, so Catalyst plans a single Exchange and sorts once
+    (pinned by tests/test_plans.py). No join, no subquery — the classic
+    self-join spelling of SCD2 is quadratic per key and is exactly what
+    this avoids.
+
+    Ties: ``tiebreak_col`` (default the value itself) makes the order
+    total when one key has several rows at the same ts — required for
+    run-for-run determinism, same discipline as as_of_join above.
+
+    Reference counterpart: none — osmcha re-scores snapshots statefully
+    (osmcha/changeset.py:360-380 keeps only the latest metadata);
+    engine-side requirement for incremental corpora (SURVEY §2.11).
+
+    Output: (key_col, value_col, valid_from, valid_to, n_obs) — n_obs =
+    number of observations the interval collapsed.
+    """
+    tb = tiebreak_col or value_col
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tb).asc()
+    )
+    opens = (
+        df.withColumn("_prev", F.lag(F.col(value_col)).over(w))
+        .withColumn(
+            "_open",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col(value_col) != F.col("_prev")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_island", F.sum("_open").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    islands = opens.groupBy(key_col, "_island").agg(
+        # all rows in an island share the value by construction; min is
+        # the order-insensitive way to say "the value"
+        F.min(F.col(value_col)).alias(value_col),
+        F.min(F.col(ts_col)).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    iw = Window.partitionBy(key_col).orderBy(F.col("valid_from").asc())
+    return islands.withColumn(
+        "valid_to", F.lead("valid_from").over(iw)
+    ).select(key_col, value_col, "valid_from", "valid_to", "n_obs")

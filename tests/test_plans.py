@@ -295,3 +295,78 @@ def test_priority_sample_is_take_ordered_not_global_sort(spark):
     assert len(rows) == 25
     # estimator: est_w = max(w, tau) >= w, and tau is the 26th priority
     assert all(r.est_w >= r.w for r in rows)
+
+
+def test_global_rank_has_no_global_sort_and_is_lazy(spark):
+    """global_rank's scale claims, pinned: the fact-sized shuffle is the
+    bucket window's hashpartitioning(_bkt) — the plan must NOT contain a
+    rangepartitioning (global sort) over the fact table, and the
+    single-partition exchanges are bucket-level/1-row sides only. The
+    whole thing (offsets and N included) is lazy — building the frame
+    launches no job. Result equals the naive global row_number."""
+    from osmcha_spark.operators.rank import global_rank
+    from pyspark.sql import Window
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 400).alias("score")
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("rank-lazy", "laziness check")
+    try:
+        out = global_rank(docs, "score", "doc_id", bucket_width=32,
+                          n_shards=8)
+        assert list(sc.statusTracker().getJobIdsForGroup("rank-lazy")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    plan = _plan(out)
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(_bkt" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    naive = docs.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+        ).alias("g_rank"),
+    )
+    got = {(r.doc_id, r.g_rank) for r in out.select("doc_id", "g_rank").collect()}
+    want = {(r.doc_id, r.g_rank) for r in naive.collect()}
+    assert got == want
+    shards = out.groupBy("shard").count().collect()
+    assert {r.shard for r in shards} == set(range(8))
+    assert all(r["count"] == 125 for r in shards)
+
+
+def test_scd2_history_is_single_shuffle(spark):
+    """scd2_history's scale claim, pinned: the island groupBy and both
+    windows all cluster on (or by a superset of) the key, so the whole
+    operator runs on ONE Exchange — hashpartitioning(key). A second
+    fact-sized exchange would mean the gaps-and-islands decomposition
+    stopped reusing the window's partitioning."""
+    from osmcha_spark.operators.events import scd2_history
+
+    df = spark.range(300).select(
+        (F.col("id") % 11).alias("k"),
+        (F.col("id") * 10).alias("ts"),
+        (F.expr("id div 30") % 4).cast("string").alias("v"),
+    )
+    out = scd2_history(df, "k", "ts", "v")
+    plan = _plan(out)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(k#" in exchanges[0], plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # unchanged re-observations extend, not fragment: 300 rows, value
+    # changes every 30 rows per 11-key stripe -> far fewer intervals
+    rows = out.collect()
+    assert 0 < len(rows) < 150
+    # every non-final interval closes exactly where the next one opens
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for seq in by_key.values():
+        seq.sort(key=lambda r: r.valid_from)
+        for a, b in zip(seq, seq[1:]):
+            assert a.valid_to == b.valid_from
+        assert seq[-1].valid_to is None
