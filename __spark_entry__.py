@@ -3293,6 +3293,141 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------- q71
+
+def q71_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloom.py): events rows whose
+    user_id appears in the derived dim (users hitting user_id %% 97 == 0),
+    with the fact side pruned by 3 broadcast bitmap probes BEFORE its
+    shuffle. Bloom filters have no false negatives and the final
+    leftsemi removes false positives, so the result is bit-for-bit the
+    plain semi-join — the oracle is the plain IN subquery, sketch-free."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.bloom import bloom_semi_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dim = ev.where(F.col("user_id") % 97 == 0)
+    return bloom_semi_join(
+        ev.select("event_id", "user_id"), dim, "user_id"
+    ).select("event_id", "user_id")
+
+
+_Q71_ORACLE = """
+SELECT event_id, user_id FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE user_id % 97 = 0)
+"""
+
+
+# --------------------------------------------------------------- q72
+
+def q72_ring_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area + centroid numerators (geo/metrics.py) over
+    deterministic staircase polygons — per doc_id, a CCW rectilinear
+    skyline of k = 4 + doc_id%%5 columns whose widths/heights come from
+    md5 integers, so BOTH engines synthesize the identical polygon
+    (the q63 in-query-synthesis pattern) and the integer metrics match
+    value-for-value. area2 must equal 2·Σ w_j·h_j by construction —
+    pinned in tests/test_geo.py."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.geo.metrics import ring_metrics
+
+    def _md5i(*parts):
+        return F.conv(
+            F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10
+        ).cast("long")
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    k = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    idx = F.sequence(F.lit(0), k - 1)
+    ws = F.transform(
+        idx,
+        lambda j: F.lit(1) + _md5i(did, F.lit("w"), j.cast("string")) % 9,
+    )
+    hs = F.transform(
+        idx,
+        lambda j: F.lit(1) + _md5i(did, F.lit("h"), j.cast("string")) % 7,
+    )
+    # xs[j] = Σ ws[0..j-1], j = 0..k (0-based via F.get)
+    xs = F.transform(
+        F.sequence(F.lit(0), k),
+        lambda j: F.aggregate(
+            F.slice(ws, 1, j), F.lit(0).cast("long"), lambda a, b: a + b
+        ),
+    )
+
+    def _v(x, y):
+        return F.struct(
+            x.cast("long").alias("x"), y.cast("long").alias("y")
+        )
+
+    bottom = F.array(
+        _v(F.lit(0), F.lit(0)), _v(F.get(xs, k), F.lit(0))
+    )
+    top = F.flatten(
+        F.transform(
+            F.reverse(idx),
+            lambda jr: F.array(
+                _v(F.get(xs, jr + 1), F.get(hs, jr)),
+                _v(F.get(xs, jr), F.get(hs, jr)),
+            ),
+        )
+    )
+    rings = docs.select("doc_id", F.concat(bottom, top).alias("ring"))
+    return ring_metrics(rings, "ring").select(
+        "doc_id", "n_verts", "area2", "cx6", "cy6"
+    )
+
+
+_Q72_ORACLE = """
+WITH ks AS (SELECT doc_id, 4 + doc_id % 5 AS k FROM documents),
+series AS (SELECT unnest(range(0, 8)) AS j),
+steps AS (
+  SELECT ks.doc_id, ks.k, series.j,
+         1 + CAST('0x' || substring(md5(concat(CAST(ks.doc_id AS VARCHAR),
+             'w', CAST(series.j AS VARCHAR))), 1, 15) AS BIGINT) % 9 AS w,
+         1 + CAST('0x' || substring(md5(concat(CAST(ks.doc_id AS VARCHAR),
+             'h', CAST(series.j AS VARCHAR))), 1, 15) AS BIGINT) % 7 AS h
+  FROM ks JOIN series ON series.j < ks.k
+),
+xs AS (
+  SELECT *,
+         sum(w) OVER (PARTITION BY doc_id ORDER BY j ASC) AS xhi,
+         sum(w) OVER (PARTITION BY doc_id ORDER BY j ASC) - w AS xlo
+  FROM steps
+),
+verts AS (
+  SELECT doc_id, 0 AS seq, CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y
+  FROM ks
+  UNION ALL
+  SELECT doc_id, 1 AS seq, CAST(sum(w) AS BIGINT), CAST(0 AS BIGINT)
+  FROM steps GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 2 + 2 * (k - 1 - j) AS seq, CAST(xhi AS BIGINT),
+         CAST(h AS BIGINT)
+  FROM xs
+  UNION ALL
+  SELECT doc_id, 3 + 2 * (k - 1 - j) AS seq, CAST(xlo AS BIGINT),
+         CAST(h AS BIGINT)
+  FROM xs
+),
+p AS (
+  SELECT doc_id, x, y,
+         coalesce(lead(x) OVER w, first_value(x) OVER w) AS xn,
+         coalesce(lead(y) OVER w, first_value(y) OVER w) AS yn
+  FROM verts WINDOW w AS (PARTITION BY doc_id ORDER BY seq ASC)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_verts,
+       CAST(sum(x * yn - xn * y) AS BIGINT) AS area2,
+       CAST(sum((x + xn) * (x * yn - xn * y)) AS BIGINT) AS cx6,
+       CAST(sum((y + yn) * (x * yn - xn * y)) AS BIGINT) AS cy6
+FROM p GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3384,6 +3519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_priority_sample": q68_priority_sample,
         "q69_global_rank": q69_global_rank,
         "q70_scd2": q70_scd2,
+        "q71_bloom_semi_join": q71_bloom_semi_join,
+        "q72_ring_metrics": q72_ring_metrics,
     }
 
 
@@ -3460,4 +3597,6 @@ def oracle_sql() -> dict[str, str]:
         "q68_priority_sample": _Q68_ORACLE,
         "q69_global_rank": _Q69_ORACLE,
         "q70_scd2": _Q70_ORACLE,
+        "q71_bloom_semi_join": _Q71_ORACLE,
+        "q72_ring_metrics": _Q72_ORACLE,
     }

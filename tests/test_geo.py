@@ -348,3 +348,70 @@ def test_parent_cell_identity(spark):
             .count()
         )
         assert bad == 0, f"level {lvl}"
+
+
+def test_ring_metrics_shoelace_properties(spark):
+    """geo/metrics.py invariants: (1) a rectangle's metrics are exact in
+    closed form, (2) open and closed (duplicated last vertex) rings
+    agree, (3) reversing orientation flips every sign, (4) degenerate
+    rings give area2 = 0, (5) the plan is a pure projection — no
+    Exchange, no Python."""
+    from osmcha_spark.geo.metrics import ring_metrics
+
+    def ring_df(pts):
+        rows = [(1, [{"x": x, "y": y} for x, y in pts])]
+        return spark.createDataFrame(
+            rows, "id long, ring array<struct<x:long,y:long>>"
+        )
+
+    # rectangle (0,0)-(10,4): 2A = 80, centroid (5,2) -> cx6=6A*5=1200
+    rect = [(0, 0), (10, 0), (10, 4), (0, 4)]
+    r = ring_metrics(ring_df(rect), "ring").collect()[0]
+    assert (r.area2, r.cx6, r.cy6) == (80, 1200, 480)
+    assert r.cx6 / (3 * r.area2) == 5.0 and r.cy6 / (3 * r.area2) == 2.0
+
+    closed = ring_metrics(ring_df(rect + [rect[0]]), "ring").collect()[0]
+    assert (closed.area2, closed.cx6, closed.cy6) == (80, 1200, 480)
+
+    rev = ring_metrics(ring_df(rect[::-1]), "ring").collect()[0]
+    assert (rev.area2, rev.cx6, rev.cy6) == (-80, -1200, -480)
+
+    line = ring_metrics(ring_df([(0, 0), (5, 5)]), "ring").collect()[0]
+    assert line.area2 == 0
+
+    plan = (
+        ring_metrics(ring_df(rect), "ring")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q72_staircase_area_is_sum_of_columns(spark):
+    """The q72 gate polygon's shoelace area must equal the constructive
+    answer 2*sum(w_j*h_j) — ties the generic shoelace fold to an
+    independently-known ground truth on 500 polygons."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod.q72_ring_metrics(spark, sf)
+    expect = spark.sql(
+        """
+        WITH ks AS (SELECT doc_id, 4 + doc_id % 5 AS k
+                    FROM parquet.`{sf}/documents.parquet`),
+        steps AS (
+          SELECT ks.doc_id,
+                 1 + cast(conv(substring(md5(concat(cast(ks.doc_id as string),
+                     'w', cast(j as string))), 1, 15), 16, 10) as long) % 9
+                   AS w,
+                 1 + cast(conv(substring(md5(concat(cast(ks.doc_id as string),
+                     'h', cast(j as string))), 1, 15), 16, 10) as long) % 7
+                   AS h
+          FROM ks LATERAL VIEW explode(sequence(0, k - 1)) t AS j
+        )
+        SELECT doc_id, 2 * sum(w * h) AS area2 FROM steps GROUP BY doc_id
+        """.format(sf=sf)
+    )
+    got = {(r.doc_id, r.area2) for r in out.select("doc_id", "area2").collect()}
+    want = {(r.doc_id, r.area2) for r in expect.collect()}
+    assert got == want and len(got) == 500

