@@ -3428,6 +3428,104 @@ FROM p GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------- q73
+
+def q73_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (streaming/dedup.py) under the q59 late-data discipline: batch 1
+    carries every on-time row PLUS in-batch exact duplicates (users ≡ 1
+    mod 10), batch 2 a filler pinning the watermark at max(on-time) −
+    3 d, batch 3 the late users' rows (≡ 0 mod 5 — kept iff ts > wm,
+    dropped iff ts <= wm, the boundary pinned by tests/test_streaming.py
+    ::test_dedup_stream_boundary) plus cross-batch replays of still-live
+    rows (users ≡ 2 mod 10 with ts > wm — dup-dropped). The emitted set
+    is therefore exactly distinct(non-late arrivals), which the oracle
+    states in SQL. Self-checks that kept, dropped, and replayed sets are
+    all non-empty."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from osmcha_spark.streaming import deduped_stream, run_dedup_stream
+
+    DELAY, DELAY_US = "3 days", 3 * 86400 * 1_000_000
+    work = _work_dir("q73")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+        )
+    )
+    on_time = ev.where(F.col("user_id") % 5 != 0)
+    late = ev.where(F.col("user_id") % 5 == 0)
+    t_o = on_time.agg(F.max("ts")).collect()[0][0]  # gate harness scalar
+    wm_us = int(t_o.timestamp() * 1_000_000) - DELAY_US
+
+    n_kept = late.where(F.unix_micros("ts") > wm_us).count()
+    n_dropped = late.count() - n_kept
+    replays = on_time.where(
+        (F.col("user_id") % 10 == 2) & (F.unix_micros("ts") > wm_us)
+    )
+    n_replay = replays.count()
+    if n_kept == 0 or n_dropped == 0 or n_replay == 0:
+        raise RuntimeError(
+            f"dedup gate degenerate: kept={n_kept} dropped={n_dropped} "
+            f"replays={n_replay}"
+        )
+
+    _MTIME_BASE = _time.time()
+
+    def _one_file(df, name, bump):
+        tmp = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (_MTIME_BASE + bump, _MTIME_BASE + bump))
+
+    dups_b1 = on_time.where(F.col("user_id") % 10 == 1)
+    _one_file(on_time.unionByName(dups_b1), "b1.parquet", 0)
+    filler = spark.createDataFrame(
+        [(-1, t_o, -1)], "event_id long, ts timestamp, user_id long"
+    )
+    _one_file(filler, "b2.parquet", 10)
+    _one_file(late.unionByName(replays), "b3.parquet", 20)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = run_dedup_stream(
+        deduped_stream(stream, keys=("user_id",), ts_col="ts", delay=DELAY),
+        out_dir, os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
+    )
+
+
+_Q73_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+on_time AS (SELECT * FROM ev WHERE user_id % 5 <> 0),
+wm AS (SELECT max(ts_us) - 259200000000 AS wm_us FROM on_time)
+SELECT event_id, user_id, ts_us FROM on_time
+UNION ALL
+SELECT e.event_id, e.user_id, e.ts_us FROM ev e, wm
+WHERE e.user_id % 5 = 0 AND e.ts_us > wm.wm_us
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3521,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_scd2": q70_scd2,
         "q71_bloom_semi_join": q71_bloom_semi_join,
         "q72_ring_metrics": q72_ring_metrics,
+        "q73_streaming_dedup": q73_streaming_dedup,
     }
 
 
@@ -3599,4 +3698,5 @@ def oracle_sql() -> dict[str, str]:
         "q70_scd2": _Q70_ORACLE,
         "q71_bloom_semi_join": _Q71_ORACLE,
         "q72_ring_metrics": _Q72_ORACLE,
+        "q73_streaming_dedup": _Q73_ORACLE,
     }

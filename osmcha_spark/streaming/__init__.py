@@ -12,6 +12,10 @@ reference's per-changeset HTTP user lookup into an
 with the query, restart-resumable).
 """
 
+from osmcha_spark.streaming.dedup import (
+    deduped_stream,
+    run_dedup_stream,
+)
 from osmcha_spark.streaming.replication import (
     analysed_stream,
     read_replication_stream,
@@ -24,6 +28,8 @@ from osmcha_spark.streaming.sessions import (
 from osmcha_spark.streaming.stateful import user_stats_stream
 
 __all__ = [
+    "deduped_stream",
+    "run_dedup_stream",
     "read_replication_stream",
     "analysed_stream",
     "run_replication_stream",

@@ -362,3 +362,81 @@ def test_session_stream_late_data_boundary(spark, tmp_path):
     # user 1: two sessions; 50 accepted via the one-batch lag; 5 via the
     # strict > boundary; 3 and 4 dropped; 99 (sentinel) never closes
     assert got == [1, 1, 5, 50], got
+
+
+def test_dedup_stream_boundary(spark, tmp_path):
+    """Pins streaming dropDuplicates semantics for streaming/dedup.py
+    (measured on this build; the q73 oracle encodes exactly this):
+
+    - the late filter drops ts <= wm and keeps ts > wm (wm = max seen
+      event time at the end of the PREVIOUS batch, minus the delay);
+    - an exact replay while the original row's state is live is dropped
+      as a duplicate; a replay after eviction is ts <= wm, dropped late;
+    - in-batch exact duplicates collapse to one emission.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.streaming import deduped_stream, run_dedup_stream
+
+    T0 = 1_700_000_000_000_000
+    HOUR = 3600 * 1_000_000
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base = time.time()
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, ts_us long").select(
+            "k", F.timestamp_micros(F.col("ts_us")).alias("ts")
+        )
+
+    def one_file(df, name, bump):
+        tmp = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (base + bump, base + bump))
+
+    # b1: key 1 old, key 2 at T0, key 3 duplicated IN batch
+    one_file(
+        mk([(1, T0 - 2 * HOUR), (2, T0), (3, T0), (3, T0)]), "b1.parquet", 0
+    )
+    # b2: filler -> wm for b3 = T0 - 1h
+    one_file(mk([(99, T0)]), "b2.parquet", 10)
+    WM = T0 - HOUR
+    # b3: boundary probes + replays
+    one_file(
+        mk([
+            (10, WM - 1), (11, WM), (12, WM + 1),  # late-filter boundary
+            (1, T0 - 2 * HOUR),                    # evicted/late replay
+            (2, T0),                               # live replay
+        ]),
+        "b3.parquet", 20,
+    )
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = run_dedup_stream(
+        deduped_stream(stream, keys=("k",), ts_col="ts", delay="1 hour"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.k, int(r.ts.timestamp() * 1_000_000) - T0)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [
+        (1, -2 * HOUR),   # b1 on-time (no wm yet)
+        (2, 0),
+        (3, 0),           # in-batch duplicate collapsed
+        (12, -HOUR + 1),  # ts > wm survives; ts == wm (11) dropped
+        (99, 0),
+    ]
