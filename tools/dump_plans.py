@@ -158,6 +158,69 @@ def main() -> None:
         formatted(kmv_distinct(toks, ["lang"], "tok", k=128, bits=40)),
     ))
 
+    from osmcha_spark.operators.sampling import priority_sample
+
+    sections.append((
+        "priority sampling (weighted top-k, DLT estimator)",
+        "expect: TakeOrderedAndProject (per-partition bounded heaps) — "
+        "NO Sort+rangepartitioning over the fact; the τ window runs on "
+        "the k+1-row frame after the limit",
+        formatted(priority_sample(docs, "doc_id", "n_chars", k=100)),
+    ))
+
+    from osmcha_spark.operators.rank import global_rank
+
+    sections.append((
+        "exact global rank / curriculum shards (two-level bucketed)",
+        "expect: ONE fact-sized Exchange hashpartitioning(_bkt); the "
+        "SinglePartition exchanges carry bucket-level/1-row sides only; "
+        "no rangepartitioning anywhere",
+        formatted(global_rank(docs, "n_chars", "doc_id", bucket_width=50,
+                              n_shards=16)),
+    ))
+
+    from osmcha_spark.operators.events import scd2_history
+
+    obs = ev.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    sections.append((
+        "SCD2 history (gaps-and-islands change-log collapse)",
+        "expect: ONE Exchange hashpartitioning(user_id) — the island "
+        "groupBy and both windows all cluster on (a superset of) the key",
+        formatted(scd2_history(obs, "user_id", "ts_us", "event_type")),
+    ))
+
+    from osmcha_spark.operators.bloom import bloom_semi_join
+
+    fact = ev.select("event_id", "user_id")
+    dim = ev.where(F.col("user_id") % 97 == 0)
+    sections.append((
+        "Bloom-pruned semi-join (explicit runtime row filter)",
+        "expect: three BroadcastHashJoins against the ≤ m/64-row bitmap "
+        "table pruning the fact side BEFORE its exchange, then the exact "
+        "LeftSemi; no nested-loop anywhere",
+        formatted(bloom_semi_join(fact, dim, "user_id")),
+    ))
+
+    from osmcha_spark.geo.metrics import ring_metrics
+
+    rings = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 3 + cast(doc_id % 4 as int)), j -> "
+            "struct(cast(j as long) as x, cast((doc_id + j) % 7 as long) "
+            "as y))"
+        ).alias("ring"),
+    )
+    sections.append((
+        "polygon shoelace metrics (area + centroid folds)",
+        "expect: pure projection — no Exchange, no Python eval, no "
+        "explode; the folds stay inside whole-stage codegen",
+        formatted(ring_metrics(rings, "ring")),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
