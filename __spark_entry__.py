@@ -3526,6 +3526,62 @@ WHERE e.user_id % 5 = 0 AND e.ts_us > wm.wm_us
 """
 
 
+# --------------------------------------------------------------- q74
+
+def q74_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One integer PageRank step (operators/graph.py) over a
+    deterministic synthetic link graph — each doc links to
+    (doc_id·31 + j) mod N for j in 0..2 (the q63 in-query-synthesis
+    pattern, both engines derive the identical edges; N enters as a
+    broadcast 1-row aggregate). All-ppm integer arithmetic, so the
+    oracle checks rank VALUES. The iterated driver (pagerank) is
+    pytest-gated: mass conservation + fixpoint shape."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.graph import pagerank_step
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        docs.join(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            "__n",
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("node_id"))
+    ranks = nodes.select(
+        "node_id", F.lit(1_000_000).cast("long").alias("rank_ppm")
+    )
+    return pagerank_step(nodes, edges, ranks).select("node_id", "rank_ppm")
+
+
+_Q74_ORACLE = """
+WITH n AS (SELECT count(*) AS nn FROM documents),
+series AS (SELECT unnest(range(0, 3)) AS j),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + s.j) % n.nn AS dst
+  FROM documents d, n, series s
+),
+deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+contrib AS (
+  SELECT e.dst, 1000000 // d.od AS c
+  FROM edges e JOIN deg d ON e.src = d.src
+),
+inflow AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM contrib GROUP BY dst)
+SELECT d.doc_id AS node_id,
+       CAST(150000 + (850000 * coalesce(i.s, 0)) // 1000000 AS BIGINT)
+         AS rank_ppm
+FROM documents d LEFT JOIN inflow i ON d.doc_id = i.dst
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3620,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_bloom_semi_join": q71_bloom_semi_join,
         "q72_ring_metrics": q72_ring_metrics,
         "q73_streaming_dedup": q73_streaming_dedup,
+        "q74_pagerank_step": q74_pagerank_step,
     }
 
 
@@ -3699,4 +3756,5 @@ def oracle_sql() -> dict[str, str]:
         "q71_bloom_semi_join": _Q71_ORACLE,
         "q72_ring_metrics": _Q72_ORACLE,
         "q73_streaming_dedup": _Q73_ORACLE,
+        "q74_pagerank_step": _Q74_ORACLE,
     }

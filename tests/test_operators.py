@@ -923,3 +923,56 @@ def test_kmeans_step_invariants(spark):
     }
     got_sum = {(r["centroid_id"], r["idx"]): r["sum_q"] for r in rows}
     assert got_sum == expect_sum
+
+
+def test_pagerank_iterates_conserving_mass(spark):
+    """operators/graph.py: the iterated driver. On a 3-regular ring
+    graph (every node out-degree 3), no mass leaks: each step's total is
+    N·10^6 minus only integer-truncation dust (< 1 ppm per edge). On a
+    star graph the hub must out-rank the leaves. Laziness of the single
+    step and plan hygiene are asserted too."""
+    from osmcha_spark.operators.graph import PPM, pagerank, pagerank_step
+
+    n = 60
+    nodes = spark.range(n).select(F.col("id").alias("node_id"))
+    edges = nodes.select(
+        F.col("node_id").alias("src"),
+        F.explode(
+            F.array(*[(F.col("node_id") + d) % n for d in (1, 2, 3)])
+        ).alias("dst"),
+    )
+    ranks = pagerank(nodes, edges, n_iter=5)
+    rows = ranks.collect()
+    total = sum(r.rank_ppm for r in rows)
+    # per-step truncation loss <= (edges + nodes) ppm; 5 steps
+    assert n * PPM - 5 * (3 * n + n) <= total <= n * PPM
+    # ring symmetry: every node identical
+    assert len({r.rank_ppm for r in rows}) == 1
+
+    # star: node 0 is everyone's target
+    leaves = spark.range(1, n).select(F.col("id").alias("node_id"))
+    star_nodes = nodes
+    star_edges = leaves.select(
+        F.col("node_id").alias("src"), F.lit(0).alias("dst")
+    )
+    sr = {r.node_id: r.rank_ppm
+          for r in pagerank(star_nodes, star_edges, n_iter=3).collect()}
+    assert sr[0] > max(v for k, v in sr.items() if k != 0)
+    # dangling hub: leaves settle at the base rank
+    assert all(v == PPM - 850_000 for k, v in sr.items() if k != 0)
+
+    # single step is lazy and Python-free
+    sc = spark.sparkContext
+    sc.setJobGroup("pr-lazy", "laziness check")
+    try:
+        step = pagerank_step(
+            nodes, edges,
+            nodes.select("node_id",
+                         F.lit(PPM).cast("long").alias("rank_ppm")),
+        )
+        assert list(sc.statusTracker().getJobIdsForGroup("pr-lazy")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
