@@ -3582,6 +3582,185 @@ FROM documents d LEFT JOIN inflow i ON d.doc_id = i.dst
 """
 
 
+# --------------------------------------------------------------- q75
+
+def q75_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed between two snapshots
+    (operators/incremental.py:snapshot_diff): new snapshot derived
+    in-query on BOTH sides (q63 pattern) — docs ≡ 3 mod 17 removed,
+    ≡ 5 mod 13 text-mutated, ≡ 2 mod 19 cloned as fresh ids; the diff
+    must emit exactly those as removed/changed/added and NOTHING for
+    untouched rows. Removal wins over mutation for overlapping ids by
+    construction in both engines."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.incremental import snapshot_diff
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.where(F.col("doc_id") % 17 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 19 == 2).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    new = base.unionByName(added)
+    return snapshot_diff(
+        docs, new, ["doc_id"], ["text", "lang", "source", "n_chars"]
+    )
+
+
+_Q75_ORACLE = """
+WITH old_s AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+new_s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 5 THEN concat(text, ' v2') ELSE text END
+           AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 19 = 2
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN NOT (o.text IS NOT DISTINCT FROM n.text
+                        AND o.lang IS NOT DISTINCT FROM n.lang
+                        AND o.source IS NOT DISTINCT FROM n.source
+                        AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+                THEN 'changed'
+         END AS change
+  FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change FROM j WHERE change IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------- q76
+
+def q76_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (operators/bucketed.py): events fact and
+    per-user totals dim are both written ``bucketBy(8, user_id)`` +
+    sorted, then joined — the plan has NO Exchange and NO Sort (pinned
+    by tests/test_plans.py::test_bucketed_join_has_no_exchange). The
+    bucket layout is engine-internal (Murmur3), a performance contract
+    only, so the oracle is the plain join in SQL — results must be
+    identical by construction."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    work = _work_dir("q76")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.sum("cents").alias("user_total_cents"),
+        F.count(F.lit(1)).alias("user_n"),
+    )
+    write_bucketed(
+        ev, "q76_fact", os.path.join(work, "fact"), "user_id", 8
+    )
+    write_bucketed(
+        totals, "q76_dim", os.path.join(work, "dim"), "user_id", 8
+    )
+    return bucketed_join(spark, "q76_fact", "q76_dim", "user_id").select(
+        "event_id", "user_id", "user_total_cents", "user_n"
+    )
+
+
+_Q76_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+totals AS (
+  SELECT user_id,
+         CAST(sum(cents) AS BIGINT) AS user_total_cents,
+         CAST(count(*) AS BIGINT) AS user_n
+  FROM ev GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, t.user_total_cents, t.user_n
+FROM ev e JOIN totals t ON e.user_id = t.user_id
+"""
+
+
+# --------------------------------------------------------------- q77
+
+def q77_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/sketches.py): build the
+    3×1024 grid over ALL whitespace tokens, then estimate the counts of
+    the distinct tokens appearing in docs ≡ 0 mod 101, alongside their
+    true counts. Deterministic md5 row hashes → the oracle reproduces
+    the grid cell-for-cell, so estimate VALUES are checked (q67's KMV
+    discipline), and est ≥ true_cnt is guaranteed by construction."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    cms = countmin_build(toks, "tok", d=3, w=1024, salt="cm")
+    items = (
+        docs.where(F.col("doc_id") % 101 == 0)
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .distinct()
+    )
+    est = countmin_estimate(cms, items, "tok", d=3, w=1024, salt="cm")
+    true_cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return est.join(true_cnt, "tok", "left").select(
+        "tok", "est", F.coalesce("true_cnt", F.lit(0)).alias("true_cnt")
+    )
+
+
+_Q77_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+series AS (SELECT unnest(range(0, 3)) AS i),
+probe AS (
+  SELECT t.tok, s.i,
+         CAST('0x' || substring(md5(concat(t.tok, 'cm',
+             CAST(s.i AS VARCHAR))), 1, 15) AS BIGINT) % 1024 AS cell
+  FROM tok t, series s
+),
+cms AS (
+  SELECT i, cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM probe GROUP BY i, cell
+),
+items AS (
+  SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE doc_id % 101 = 0
+),
+icell AS (
+  SELECT it.tok, s.i,
+         CAST('0x' || substring(md5(concat(it.tok, 'cm',
+             CAST(s.i AS VARCHAR))), 1, 15) AS BIGINT) % 1024 AS cell
+  FROM items it, series s
+),
+est AS (
+  SELECT ic.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+  FROM icell ic LEFT JOIN cms c ON ic.i = c.i AND ic.cell = c.cell
+  GROUP BY ic.tok
+),
+truec AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+          FROM tok GROUP BY tok)
+SELECT e.tok, e.est, CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt
+FROM est e LEFT JOIN truec t ON e.tok = t.tok
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3677,6 +3856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_ring_metrics": q72_ring_metrics,
         "q73_streaming_dedup": q73_streaming_dedup,
         "q74_pagerank_step": q74_pagerank_step,
+        "q75_snapshot_diff": q75_snapshot_diff,
+        "q76_bucketed_join": q76_bucketed_join,
+        "q77_countmin": q77_countmin,
     }
 
 
@@ -3757,4 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "q72_ring_metrics": _Q72_ORACLE,
         "q73_streaming_dedup": _Q73_ORACLE,
         "q74_pagerank_step": _Q74_ORACLE,
+        "q75_snapshot_diff": _Q75_ORACLE,
+        "q76_bucketed_join": _Q76_ORACLE,
+        "q77_countmin": _Q77_ORACLE,
     }

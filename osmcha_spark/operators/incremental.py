@@ -104,3 +104,63 @@ def upsert_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change feed between two snapshots — the CDC primitive that turns
+    "rewrite the corpus nightly" into "ship only what moved": rows in
+    ``new`` but not ``old`` are ``added``, rows gone from ``old`` are
+    ``removed``, rows whose ``compare_cols`` differ are ``changed``;
+    unchanged rows are NOT emitted (the feed, not the table).
+
+    Comparison is null-safe (``<=>``): a column flipping between NULL
+    and a value counts as a change, NULL == NULL does not — the
+    semantics a downstream MERGE consumer expects.
+
+    Scale shape (100 TB): ONE full-outer shuffled equi-join on the key
+    — both snapshots exchange once, the status projection is free. The
+    output is typically ≪ either snapshot (that's the point), so the
+    downstream upsert (:func:`upsert` / :func:`upsert_partitioned`)
+    runs on the delta, and with both snapshots stored bucketed on the
+    key (operators/bucketed.py) even the one exchange disappears.
+
+    PRECONDITION: both snapshots key-unique (snapshots, not logs —
+    collapse logs first with :func:`~osmcha_spark.operators.events.
+    scd2_history` or :func:`upsert`'s version_col mode).
+
+    Output: key_cols + ``change`` ('added' | 'removed' | 'changed').
+    Reference counterpart: osmcha-django's re-fetch loop detects nothing
+    — it overwrites unconditionally; the diff is what a 100-TB pipeline
+    needs instead (SURVEY §2.11).
+    """
+    cmp_cols = compare_cols or [
+        c for c in new.columns if c in set(old.columns) - set(key_cols)
+    ]
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cmp_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    differs = F.lit(False)
+    for c in cmp_cols:
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, status.alias("change"))
+        .where(F.col("change").isNotNull())
+    )

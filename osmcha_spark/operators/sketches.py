@@ -109,3 +109,98 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def _cm_cell(value: F.Column, i: F.Column, w: int, salt: str) -> F.Column:
+    """Row-i cell index for a value — md5-prefix integer mod width (the
+    synth.py portable hash at full 60-bit width, reduced mod w)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(value, F.lit(salt), i.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(w))
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    value_col: str,
+    d: int = 3,
+    w: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Algorithms 2005) of
+    the ``value_col`` occurrence counts: a d×w integer grid stored as
+    rows ``(i, cell, cnt)`` (≤ d·w rows regardless of input size).
+
+    Like KMV above — and unlike engine-internal sketches — the grid is
+    a pure DETERMINISTIC function of the input multiset (md5 row
+    hashes, no RNG), so the q77 oracle reproduces it cell-for-cell.
+    Guarantees: estimates never undercount; overcount ≤ 2·N/w with
+    probability 1-(1/2)^d.
+
+    Scale shape: one shuffle of (i, cell) partials with map-side
+    combine — the shuffle carries at most d·w rows per map task, NOT
+    the token stream; grids MERGE by cell-wise addition (same groupBy
+    over a union), the executor-rollup property every distributed
+    heavy-hitter pipeline needs. d·w stays driver-broadcastable by
+    construction.
+    """
+    if d <= 0 or w <= 0:
+        raise ValueError("d and w must be positive")
+    probes = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(d) - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("i"),
+                _cm_cell(F.col(value_col).cast("string"), i, w, salt)
+                .alias("cell"),
+            ),
+        )
+    )
+    return (
+        df.select(probes.alias("p"))
+        .select("p.i", "p.cell")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    d: int = 3,
+    w: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch: for each distinct value in ``items``,
+    ``est = min over rows i of cnt[i][cell_i(value)]`` (0 for a cell
+    never hit). The d probes are a broadcast join against the ≤ d·w-row
+    grid — queries never touch the original stream."""
+    probes = items.select(
+        F.col(value_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(d) - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"),
+                    _cm_cell(F.col(value_col).cast("string"), i, w, salt)
+                    .alias("cell"),
+                ),
+            )
+        ).alias("p"),
+    ).select(value_col, "p.i", "p.cell")
+    return (
+        probes.join(F.broadcast(cms), ["i", "cell"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )

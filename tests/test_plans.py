@@ -405,3 +405,61 @@ def test_bloom_semi_join_probes_broadcast_then_semi(spark):
     assert bloom.count() <= (1 << 16) // 64
     # empty dim -> empty result, and the plan still builds
     assert bloom_semi_join(fact, dim.where(F.lit(False)), "key").count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """operators/bucketed.py's whole reason to exist, pinned: a join of
+    two tables bucketed+sorted on the same key with the same bucket
+    count plans with NO Exchange and NO Sort — the shuffle was paid at
+    write time. A plain parquet round-trip of the same data DOES
+    exchange (negative control), and each bucketed write produces at
+    most one file per bucket."""
+    import glob
+    import os
+
+    from osmcha_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    fact = spark.range(2000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 37).alias("k"),
+        (F.col("id") * 3 % 101).alias("v"),
+    )
+    dim = fact.groupBy("k").agg(F.sum("v").alias("tv"))
+    write_bucketed(fact, "t_fact", str(tmp_path / "fact"), "k", 4)
+    write_bucketed(dim, "t_dim", str(tmp_path / "dim"), "k", 4)
+    try:
+        out = bucketed_join(spark, "t_fact", "t_dim", "k")
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # default: SPARK-28595 ignores the sort metadata, so a LOCAL
+        # per-bucket sort remains (global flag false) — never a shuffle
+        sorts = [ln for ln in plan.splitlines()
+                 if "Sort [" in ln and "SortMergeJoin" not in ln]
+        assert all("false, 0" in ln for ln in sorts), plan
+        # with one file per bucket the legacy conf is sound: Sort-free
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        try:
+            p2 = _plan(bucketed_join(spark, "t_fact", "t_dim", "k"))
+            assert "Sort [" not in p2 and "Exchange" not in p2, p2
+        finally:
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                "false")
+        # one file per bucket, not tasks x buckets
+        files = glob.glob(str(tmp_path / "fact" / "part-*"))
+        assert len(files) == 4, files
+        # correctness: equals the plain join
+        want = {tuple(r) for r in fact.join(dim, "k")
+                .select("event_id", "k", "tv").collect()}
+        got = {tuple(r) for r in out.select("event_id", "k", "tv").collect()}
+        assert got == want
+        # negative control: plain parquet round-trip exchanges
+        fact.write.mode("overwrite").parquet(str(tmp_path / "plainf"))
+        dim.write.mode("overwrite").parquet(str(tmp_path / "plaind"))
+        pf = spark.read.parquet(str(tmp_path / "plainf"))
+        pd_ = spark.read.parquet(str(tmp_path / "plaind"))
+        assert "Exchange" in _plan(pf.join(pd_, "k"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fact")
+        spark.sql("DROP TABLE IF EXISTS t_dim")

@@ -110,3 +110,58 @@ def test_parameter_guards(spark):
     from osmcha_spark.operators.sketches import kmv_hash_col
     with pytest.raises(ValueError):
         kmv_hash_col(F.col("v"), bits=13)
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """CMS guarantees, pinned: (1) est >= true for every queried item,
+    (2) with w >> distinct values the sketch is exact, (3) two shards'
+    grids merged by cell-wise addition equal the whole-stream grid —
+    the executor-rollup property."""
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    vals = spark.range(3000).select(
+        (F.col("id") % 97).cast("string").alias("v")
+    )
+    items = vals.distinct()
+    truth = {
+        r.v: r.c for r in
+        vals.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+    # narrow sketch: collisions likely, but never an undercount
+    cms_narrow = countmin_build(vals, "v", d=3, w=64)
+    est_n = {r.v: r.est
+             for r in countmin_estimate(cms_narrow, items, "v", d=3, w=64)
+             .collect()}
+    assert est_n.keys() == truth.keys()
+    assert all(est_n[k] >= truth[k] for k in truth)
+
+    # wide sketch: exact (97 distinct values, 4096 cells per row)
+    cms_wide = countmin_build(vals, "v", d=3, w=4096)
+    est_w = {r.v: r.est
+             for r in countmin_estimate(cms_wide, items, "v", d=3, w=4096)
+             .collect()}
+    assert est_w == truth
+
+    # mergeability: shard grids add cell-wise to the full grid
+    a = vals.where(F.col("id") % 2 == 0)
+    b = vals.where(F.col("id") % 2 == 1)
+    merged = (
+        countmin_build(a, "v", d=3, w=64)
+        .unionByName(countmin_build(b, "v", d=3, w=64))
+        .groupBy("i", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.i, r.cell): r.cnt for r in cms_narrow.collect()}
+    got = {(r.i, r.cell): r.cnt for r in merged.collect()}
+    assert got == full
+
+    # missing item estimates 0 unless its cells collide (still >= 0)
+    ghost = spark.createDataFrame([("zzz-never-seen",)], "v string")
+    g = countmin_estimate(cms_wide, ghost, "v", d=3, w=4096).collect()[0]
+    assert g.est == 0
