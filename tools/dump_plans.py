@@ -221,6 +221,62 @@ def main() -> None:
         formatted(ring_metrics(rings, "ring")),
     ))
 
+    from osmcha_spark.operators.graph import pagerank_step
+
+    nodes = docs.select(F.col("doc_id").alias("node_id"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    gedges = (
+        docs.join(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"), "__n",
+        )
+        .select("src",
+                ((F.col("src") * 31 + F.col("j")) % F.col("__n"))
+                .alias("dst"))
+    )
+    granks = nodes.select(
+        "node_id", F.lit(1_000_000).cast("long").alias("rank_ppm")
+    )
+    sections.append((
+        "PageRank step (integer ppm)",
+        "expect: ranks⋈edges equi-join on src, map-side-combined "
+        "HashAggregate on dst, left join back to nodes — no cartesian, "
+        "no Python",
+        formatted(pagerank_step(nodes, gedges, granks)),
+    ))
+
+    from osmcha_spark.operators.incremental import snapshot_diff
+
+    new_snap = docs.where(F.col("doc_id") % 17 != 3)
+    sections.append((
+        "CDC snapshot diff (full-outer delta feed)",
+        "expect: ONE shuffled full-outer SortMergeJoin on the key, "
+        "status projection + filter on top — nothing else",
+        formatted(snapshot_diff(
+            docs, new_snap, ["doc_id"],
+            ["text", "lang", "source", "n_chars"])),
+    ))
+
+    from osmcha_spark.operators.sketches import (
+        countmin_build, countmin_estimate,
+    )
+
+    cm_toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    cms = countmin_build(cm_toks, "tok", d=3, w=1024)
+    cm_items = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).distinct()
+    sections.append((
+        "count-min sketch build + point estimates",
+        "expect: grid build = one map-side-combined HashAggregate on "
+        "(i, cell); estimates = BroadcastHashJoin of the probes against "
+        "the ≤ d·w-row grid, then min-agg per item",
+        formatted(countmin_estimate(cms, cm_items, "tok", d=3, w=1024)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
