@@ -3761,6 +3761,85 @@ FROM est e LEFT JOIN truec t ON e.tok = t.tok
 """
 
 
+# --------------------------------------------------------------- q78
+
+def q78_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py): the view feed ⋈
+    the purchase feed — purchases within 1 h at-or-after a same-user
+    view. Both sides watermarked, condition time-bounded both ways
+    (finite state). All rows are on-time, so the emitted set equals the
+    batch interval join, which the oracle states; late/evicted
+    boundaries for this engine's watermark handling are pinned by
+    q59/q73."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import interval_stream_join, run_stream_join
+
+    work = _work_dir("q78")
+    in_l = os.path.join(work, "in_l")
+    in_r = os.path.join(work, "in_r")
+    os.makedirs(in_l)
+    os.makedirs(in_r)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    views = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("view_event_id"), "ts", "user_id"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "ts", "user_id"
+    )
+
+    def _one_file(df, dest_dir):
+        tmp = os.path.join(work, f"_stage_{os.path.basename(dest_dir)}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(dest_dir, "b1.parquet"))
+
+    _one_file(views, in_l)
+    _one_file(buys, in_r)
+
+    ls = spark.readStream.schema(
+        "view_event_id long, ts timestamp, user_id long"
+    ).parquet(in_l)
+    rs = spark.readStream.schema(
+        "purchase_event_id long, ts timestamp, user_id long"
+    ).parquet(in_r)
+    joined = interval_stream_join(
+        ls, rs, key="user_id", left_ts="ts", right_ts="ts", upper="1 hour"
+    )
+    out_dir = os.path.join(work, "out")
+    q = run_stream_join(joined, out_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "view_event_id", "purchase_event_id", "user_id",
+        (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts")))
+        .alias("delta_us"),
+    )
+
+
+_Q78_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type <> 'purchase'
+),
+p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.view_event_id, p.purchase_event_id, v.user_id,
+       p.p_us - v.v_us AS delta_us
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3859,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_snapshot_diff": q75_snapshot_diff,
         "q76_bucketed_join": q76_bucketed_join,
         "q77_countmin": q77_countmin,
+        "q78_stream_stream_join": q78_stream_stream_join,
     }
 
 
@@ -3942,4 +4022,5 @@ def oracle_sql() -> dict[str, str]:
         "q75_snapshot_diff": _Q75_ORACLE,
         "q76_bucketed_join": _Q76_ORACLE,
         "q77_countmin": _Q77_ORACLE,
+        "q78_stream_stream_join": _Q78_ORACLE,
     }

@@ -16,6 +16,10 @@ from osmcha_spark.streaming.dedup import (
     deduped_stream,
     run_dedup_stream,
 )
+from osmcha_spark.streaming.joins import (
+    interval_stream_join,
+    run_stream_join,
+)
 from osmcha_spark.streaming.replication import (
     analysed_stream,
     read_replication_stream,
@@ -30,6 +34,8 @@ from osmcha_spark.streaming.stateful import user_stats_stream
 __all__ = [
     "deduped_stream",
     "run_dedup_stream",
+    "interval_stream_join",
+    "run_stream_join",
     "read_replication_stream",
     "analysed_stream",
     "run_replication_stream",

@@ -1,0 +1,84 @@
+"""Stream-stream interval join — correlating two live feeds.
+
+The last big Structured Streaming surface after stateful aggregation
+(stateful.py), sessions (sessions.py), and dedup (dedup.py): join two
+UNBOUNDED streams on a key plus an event-time interval ("purchases
+within an hour of the view", "replication edits within 30 min of a
+flagged changeset"). Batch joins can't do this incrementally, and an
+unconstrained stream-stream join would need infinite state — the
+event-time bound is what makes state finite: Spark buffers each side
+only until the other side's watermark passes the interval's reach,
+then evicts (the state-cleanup policy derives from the join condition;
+see SPARK-26154 for the semantics this relies on).
+
+Both sides MUST carry watermarks and the condition MUST bound the time
+difference in both directions — this module's API makes those
+requirements impossible to forget (they are silent unbounded-state
+bugs when hand-spelling the join).
+
+Emission: append-mode, a match is emitted in the micro-batch where
+both rows are present. With on-time data the emitted set equals the
+batch join — which is exactly what the q78 oracle states; the
+late/evicted boundary behaviors are already pinned for this engine's
+watermark handling by q59 (sessions) and q73 (dedup).
+
+Scale: state per side ≈ rate × (delay + interval width), keyed and
+checkpointed like all stateful operators here; the join itself is the
+stateful-exchange shuffle on the key. Reference counterpart: none
+(osmcha correlates nothing across feeds); engine-mandated
+(SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    left_delay: str = "0 seconds",
+    right_delay: str = "0 seconds",
+) -> DataFrame:
+    """Inner-join two streams on ``key`` with
+    ``left_ts <= right_ts <= left_ts + upper`` (both ends inclusive).
+
+    ``left``/``right`` column names must be disjoint apart from ``key``
+    and the ts columns; the right key/ts are suffixed ``_r`` in the
+    output to keep the join unambiguous.
+    """
+    l = left.withWatermark(left_ts, left_delay)
+    r = right.withWatermark(right_ts, right_delay)
+    r = r.select(
+        F.col(key).alias(f"{key}_r"),
+        F.col(right_ts).alias(f"{right_ts}_r"),
+        *[c for c in right.columns if c not in (key, right_ts)],
+    )
+    cond = (
+        (l[key] == r[f"{key}_r"])
+        & (r[f"{right_ts}_r"] >= l[left_ts])
+        & (r[f"{right_ts}_r"] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
+def run_stream_join(
+    joined: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Sink emitted matches to parquet, checkpointed; AvailableNow
+    drains both inputs then stops."""
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

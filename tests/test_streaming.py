@@ -440,3 +440,75 @@ def test_dedup_stream_boundary(spark, tmp_path):
         (12, -HOUR + 1),  # ts > wm survives; ts == wm (11) dropped
         (99, 0),
     ]
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """streaming/joins.py: matches whose two rows arrive in DIFFERENT
+    micro-batches are still emitted exactly once, and the drained total
+    equals the batch interval join."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.streaming import interval_stream_join, run_stream_join
+
+    T0 = 1_700_000_000_000_000
+    MIN = 60 * 1_000_000
+
+    def mk(rows, schema):
+        return spark.createDataFrame(rows, schema).select(
+            F.col("id"), F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            F.col("k"),
+        )
+
+    views = [(i, T0 + i * MIN, i % 3) for i in range(12)]
+    buys = [(100 + i, T0 + i * MIN + 30 * 1_000_000, i % 3)
+            for i in range(0, 12, 2)]
+
+    base = time.time()
+
+    def stage(rows, schema, dest_dir, name, bump):
+        df = mk(rows, schema)
+        tmp = str(tmp_path / f"_s_{os.path.basename(dest_dir)}_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (base + bump, base + bump))
+
+    in_l = str(tmp_path / "l"); os.makedirs(in_l)
+    in_r = str(tmp_path / "r"); os.makedirs(in_r)
+    sch = "id long, ts_us long, k long"
+    # split both sides in half across files; one view batch arrives
+    # AFTER the purchase batch it must match
+    stage(views[:6], sch, in_l, "a.parquet", 0)
+    stage(buys[:3], sch, in_r, "a.parquet", 5)
+    stage(views[6:], sch, in_l, "b.parquet", 10)
+    stage(buys[3:], sch, in_r, "b.parquet", 15)
+
+    ls = spark.readStream.schema("id long, ts timestamp, k long") \
+        .option("maxFilesPerTrigger", "1").parquet(in_l)
+    rs = spark.readStream.schema("id long, ts timestamp, k long") \
+        .option("maxFilesPerTrigger", "1").parquet(in_r) \
+        .withColumnRenamed("id", "rid")
+    j = interval_stream_join(
+        ls, rs, key="k", left_ts="ts", right_ts="ts", upper="45 minutes"
+    )
+    q = run_stream_join(j, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {(r.id, r.rid)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    lv = mk(views, sch)
+    rb = mk(buys, sch).withColumnRenamed("id", "rid") \
+        .withColumnRenamed("ts", "ts_r").withColumnRenamed("k", "k_r")
+    want = {(r.id, r.rid) for r in lv.join(
+        rb,
+        (lv["k"] == rb["k_r"])
+        & (rb["ts_r"] >= lv["ts"])
+        & (rb["ts_r"] <= lv["ts"] + F.expr("INTERVAL 45 minutes")),
+    ).collect()}
+    assert got == want and len(got) > 0
