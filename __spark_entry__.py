@@ -3840,6 +3840,72 @@ FROM v JOIN p
 """
 
 
+# --------------------------------------------------------------- q79
+
+def q79_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/similarity.py:pq_topk): 64-dim → 8 subspaces, deterministic
+    codebook (vec_id % 50 == 0), per-query int-L2 distance tables, top-5
+    by approximate distance. Completes the ANN ladder: brute (q12) → IVF
+    (q29) → sign-LSH (q24/q36) → PQ/ADC (this). All int64, so the index
+    is oracle-checkable end to end — unusual for PQ, enabled by the
+    RNG-free codebook."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return pq_topk(emb, q, k=5, m=8, dim=64, centroid_stride=50).select(
+        "query_id", "rank", "neighbor_id", "adist"
+    )
+
+
+_Q79_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, val, idx, CAST((idx - 1) // 8 AS INT) AS s FROM flat
+),
+cw AS (
+  SELECT vec_id AS code_id, s, idx, val FROM sub WHERE vec_id % 50 = 0
+),
+encd2 AS (
+  SELECT f.vec_id AS id, f.s, c.code_id,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM sub f JOIN cw c ON f.idx = c.idx
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT id, s, code_id FROM (
+    SELECT id, s, code_id,
+           row_number() OVER (PARTITION BY id, s ORDER BY d2, code_id) AS rn
+    FROM encd2
+  ) WHERE rn = 1
+),
+qd2 AS (
+  SELECT id AS query_id, s, code_id, d2 FROM encd2 WHERE id < 20
+),
+adist AS (
+  SELECT q.query_id, n.id AS neighbor_id, CAST(sum(q.d2) AS BIGINT) AS adist
+  FROM codes n JOIN qd2 q ON q.s = n.s AND q.code_id = n.code_id
+  WHERE n.id <> q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, neighbor_id) AS rank
+  FROM adist
+)
+SELECT query_id, rank, neighbor_id, adist FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3939,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_bucketed_join": q76_bucketed_join,
         "q77_countmin": q77_countmin,
         "q78_stream_stream_join": q78_stream_stream_join,
+        "q79_pq_ann": q79_pq_ann,
     }
 
 
@@ -4023,4 +4090,5 @@ def oracle_sql() -> dict[str, str]:
         "q76_bucketed_join": _Q76_ORACLE,
         "q77_countmin": _Q77_ORACLE,
         "q78_stream_stream_join": _Q78_ORACLE,
+        "q79_pq_ann": _Q79_ORACLE,
     }

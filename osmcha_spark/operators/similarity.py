@@ -578,3 +578,135 @@ def lsh_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    dim: int = 64,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC)
+    — the memory-bound tier of the ANN ladder (brute → IVF → sign-LSH →
+    PQ). Jégou et al., "Product Quantization for Nearest Neighbor Search"
+    (TPAMI 2011), re-expressed as pure Column algebra.
+
+    The ``dim``-dim quantized vector splits into ``m`` subvectors of
+    ``dim//m`` components. The codebook is deterministic (corpus rows with
+    ``id % centroid_stride == 0``, the q29/q62 convention — no RNG, so the
+    whole index is oracle-checkable value-for-value, unlike trained PQ).
+
+    - **Encode** (shuffle-free): the codebook is collapsed to ONE row
+      (``array<struct<code_id, subvecs>>``), broadcast, and each corpus
+      vector becomes ``m`` int codes via an in-row ``array_min`` argmin of
+      integer squared-L2 — a pure projection; the corpus never shuffles.
+      At 100 TB each vector is stored as m longs instead of dim floats
+      (the 32× compression that makes billion-scale ANN RAM-resident).
+    - **ADC score**: each query precomputes per-subspace distance TABLES
+      (``array<map<code_id, d2>>``); the broadcast crossJoin then scores a
+      candidate with ``m`` map lookups instead of ``dim`` multiplies —
+      asymmetric: the query side stays un-quantized, only the corpus is
+      coded, which is what keeps PQ recall usable.
+    - **Rank**: window top-k per query on (adist asc, neighbor_id).
+
+    Everything is int64 (QUANT=1024 quantization, |d2 per subspace| ≤
+    (dim/m)·(2·1024)² ≈ 3.4e7, total < 2^32), so engine and oracle agree
+    bit-for-bit. At corpus scale, compose with :func:`ivf_assign` for the
+    coarse stage (IVF-PQ): probe lists first, ADC-score within lists.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    seq_m = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def subvecs(qv) -> F.Column:
+        # array<array<long>>: the m subvectors of the quantized vector
+        return F.transform(
+            seq_m, lambda s: F.slice(qv, s * sub + 1, F.lit(sub))
+        )
+
+    def d2(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    v = corpus.select(
+        F.col(id_col).alias("id"), subvecs(_qvec(F.col(vec_col))).alias("sv")
+    )
+    # ONE-row codebook: array of (code_id, subvecs) structs, broadcast.
+    cbook = (
+        v.where(F.col("id") % centroid_stride == 0)
+        .select(F.struct(F.col("id").alias("code_id"), "sv").alias("cw"))
+        .agg(F.array_sort(F.collect_list("cw")).alias("cbook"))
+    )
+    coded = (
+        v.crossJoin(F.broadcast(cbook))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.transform(
+                seq_m,
+                lambda s: F.array_min(
+                    F.transform(
+                        F.col("cbook"),
+                        lambda cw: F.struct(
+                            d2(
+                                F.element_at(F.col("sv"), s + 1),
+                                F.element_at(cw["sv"], s + 1),
+                            ).alias("d2"),
+                            cw["code_id"].alias("code_id"),
+                        ),
+                    )
+                )["code_id"],
+            ).alias("codes"),
+        )
+    )
+    qtabs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            subvecs(_qvec(F.col(vec_col))).alias("qsv"),
+        )
+        .crossJoin(F.broadcast(cbook))
+        .select(
+            "query_id",
+            F.transform(
+                seq_m,
+                lambda s: F.map_from_entries(
+                    F.transform(
+                        F.col("cbook"),
+                        lambda cw: F.struct(
+                            cw["code_id"].alias("key"),
+                            d2(
+                                F.element_at(F.col("qsv"), s + 1),
+                                F.element_at(cw["sv"], s + 1),
+                            ).alias("value"),
+                        ),
+                    )
+                ),
+            ).alias("qtab"),
+        )
+    )
+    adist = F.aggregate(
+        seq_m,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("qtab"), s + 1),
+            F.element_at(F.col("codes"), s + 1),
+        ),
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qtabs))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -976,3 +976,49 @@ def test_pagerank_iterates_conserving_mass(spark):
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_topk_separated_clusters(spark):
+    """PQ/ADC sanity: with 3 well-separated clusters and one codeword per
+    cluster (ids 0/20/40 at stride 20), every query's top-3 neighbors come
+    from its own cluster, and ADC is exact-k (3 rows per query)."""
+    from osmcha_spark.operators.similarity import pq_topk
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.when(
+                        (F.col("id") / 20).cast("int") * 2 == i, F.lit(1.0)
+                    )
+                    .when(
+                        (F.col("id") / 20).cast("int") * 2 + 1 == i,
+                        F.lit(1.0),
+                    )
+                    .otherwise(F.lit(0.0))
+                    + F.when(
+                        F.lit(i) == 7, (F.col("id") % 5) * 0.01
+                    ).otherwise(F.lit(0.0))
+                ).cast("float")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    q = df.where(F.col("vec_id") < 6)
+    out = pq_topk(df, q, k=3, m=4, dim=8, centroid_stride=20).collect()
+    assert len(out) == 6 * 3
+    for r in out:
+        assert r.neighbor_id // 20 == r.query_id // 20
+
+    # laziness + plan hygiene: pure Column algebra, no Python crossing
+    sc = spark.sparkContext
+    sc.setJobGroup("pq-lazy", "laziness check")
+    try:
+        lazy = pq_topk(df, q, k=3, m=4, dim=8, centroid_stride=20)
+        assert list(sc.statusTracker().getJobIdsForGroup("pq-lazy")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

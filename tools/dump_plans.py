@@ -277,6 +277,19 @@ def main() -> None:
         formatted(countmin_estimate(cms, cm_items, "tok", d=3, w=1024)),
     ))
 
+    from osmcha_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    pq_q = emb.where(F.col("vec_id") < 20)
+    sections.append((
+        "PQ/ADC approximate nearest neighbors",
+        "expect: shuffle-free encode (1-row codebook broadcast into a "
+        "pure projection), broadcast of the per-query distance tables, "
+        "in-row map-lookup ADC scoring, single exchange for the top-k "
+        "window — no Python eval anywhere",
+        formatted(pq_topk(emb, pq_q, k=5, m=8, dim=64, centroid_stride=50)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
