@@ -3906,6 +3906,213 @@ SELECT query_id, rank, neighbor_id, adist FROM ranked WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------- q80
+
+def q80_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered all-pairs similarity join (operators/dedup.py:
+    prefix_jaccard_pairs; Bayardo et al. WWW'07) — token-set Jaccard
+    ≥ 0.9 over every 10th document. The prefix filter is LOSSLESS, so
+    the oracle is the exact all-pairs inverted index: a green hash
+    proves completeness of the pruned candidate generation, which is
+    the whole theorem. Contrast q09 (full inverted index + max_df
+    recall guard): here the stop-token guard is unnecessary — hot
+    tokens sort last in the (df, token) order and never enter a
+    prefix."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).where(F.col("doc_id") % 10 == 0)
+    return prefix_jaccard_pairs(docs, threshold=0.9).select(
+        "a", "b", "inter", "union_size", "jaccard"
+    )
+
+
+_Q80_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+tok AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM d, unnest(string_split_regex(lower(text), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
+  FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter,
+       sa.sz + sb.sz - i.inter AS union_size,
+       i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.9
+"""
+
+
+# --------------------------------------------------------------- q81
+
+def q81_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + forward fill (operators/events.py:
+    gap_fill): one row per (user, 6-hour bucket) from each user's first
+    to last event bucket, carrying the last observation at-or-before
+    the bucket — the densify step before any windowed feature model.
+    Integer cents per row, epoch-micros comparisons, true int64 bucket
+    div (a double division could round across a bucket edge)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import gap_fill
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return gap_fill(ev, bucket_s=21600).select(
+        "user_id", "bucket_ts", "cents", "observed"
+    )
+
+
+_Q81_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // 21600000000 AS bucket
+  FROM events
+),
+obs AS (
+  SELECT user_id, bucket, cents FROM (
+    SELECT user_id, bucket, cents,
+           row_number() OVER (PARTITION BY user_id, bucket
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM ev) t WHERE rn = 1
+),
+span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+         FROM ev GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span)
+SELECT g.user_id,
+       g.bucket * 21600 AS bucket_ts,
+       last_value(o.cents IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+       CAST(o.cents IS NOT NULL AS INT) AS observed
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+"""
+
+
+# --------------------------------------------------------------- q82
+
+def q82_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts (operators/graph.py:
+    triangle_counts) under degree-ordered orientation — the O(m^1.5)
+    skew-proof formulation; a naive 3-way join is Σd² and a hub makes
+    it quadratic. Graph: deterministic synthetic edges over documents
+    (i↔i+1, i↔i+2 mod N plus an md5-free scatter edge i↔37i+5 mod N;
+    the q63 in-query-synthesis pattern) so both engines derive the
+    identical edge set; the ring-of-pairs construction guarantees ≥ N
+    triangles (i, i+1, i+2)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.graph import triangle_counts
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.join(F.broadcast(n_docs))
+    near = base.select(
+        F.col("doc_id").alias("s"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") + 1) % F.col("__n"),
+                (F.col("doc_id") + 2) % F.col("__n"),
+            )
+        ).alias("t"),
+    )
+    scatter = base.select(
+        F.col("doc_id").alias("s"),
+        ((F.col("doc_id") * 37 + 5) % F.col("__n")).alias("t"),
+    )
+    edges = (
+        near.unionAll(scatter)
+        .where(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges).select("node", "tri_cnt")
+
+
+_Q82_ORACLE = """
+WITH n AS (SELECT count(*) AS nn FROM documents),
+ks AS (SELECT unnest([1, 2]) AS k),
+raw AS (
+  SELECT d.doc_id AS s, (d.doc_id + ks.k) % n.nn AS t FROM documents d, n, ks
+  UNION ALL
+  SELECT d.doc_id AS s, (d.doc_id * 37 + 5) % n.nn AS t FROM documents d, n
+),
+e AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM corners GROUP BY node
+"""
+
+
+# --------------------------------------------------------------- q83
+
+def q83_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 concurrency peaks of the interval sweep line
+    (operators/events.py:concurrency_curve): each event opens a
+    half-open interval [ts, ts + (round(value·60)+1) s); the curve is a
+    DISTRIBUTED hierarchical prefix sum (per-day local cumsums + a
+    tiny day-level offset pass) — no global single-partition sort of
+    the boundaries, which is what the textbook sweep line costs on a
+    cluster. Oracle recomputes the curve with one flat window (fine at
+    gate scale) and takes the same top-20 by (conc desc, t asc) — total
+    order because netted boundary instants are distinct."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import concurrency_curve
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        us.alias("start_us"),
+        (
+            us
+            + (F.round(F.col("value") * 60).cast("long") + 1) * 1_000_000
+        ).alias("end_us"),
+    )
+    curve = concurrency_curve(iv)
+    return (
+        curve.orderBy(F.col("conc").desc(), F.col("t").asc())
+        .limit(20)
+        .select("t", "conc")
+    )
+
+
+_Q83_ORACLE = """
+WITH iv AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + (CAST(round(value * 60) AS BIGINT) + 1) * 1000000 AS e
+  FROM events
+),
+bounds AS (
+  SELECT s AS t, 1 AS d FROM iv UNION ALL SELECT e AS t, -1 AS d FROM iv
+),
+net AS (SELECT t, CAST(sum(d) AS BIGINT) AS net FROM bounds GROUP BY t),
+curve AS (
+  SELECT t, CAST(sum(net) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW) AS BIGINT) AS conc
+  FROM net
+)
+SELECT t, conc FROM curve ORDER BY conc DESC, t ASC LIMIT 20
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4006,6 +4213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_countmin": q77_countmin,
         "q78_stream_stream_join": q78_stream_stream_join,
         "q79_pq_ann": q79_pq_ann,
+        "q80_prefix_jaccard": q80_prefix_jaccard,
+        "q81_gap_fill": q81_gap_fill,
+        "q82_triangles": q82_triangles,
+        "q83_concurrency": q83_concurrency,
     }
 
 
@@ -4091,4 +4302,8 @@ def oracle_sql() -> dict[str, str]:
         "q77_countmin": _Q77_ORACLE,
         "q78_stream_stream_join": _Q78_ORACLE,
         "q79_pq_ann": _Q79_ORACLE,
+        "q80_prefix_jaccard": _Q80_ORACLE,
+        "q81_gap_fill": _Q81_ORACLE,
+        "q82_triangles": _Q82_ORACLE,
+        "q83_concurrency": _Q83_ORACLE,
     }

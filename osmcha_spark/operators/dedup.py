@@ -279,3 +279,116 @@ def simhash(docs: DataFrame, text_col: str = "text",
         )
         acc = acc.bitwiseOR(F.shiftleft(bit, b))
     return sums.select("doc_id", acc.alias("simhash"))
+
+
+def token_sets(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token) — DISTINCT lowercase whitespace tokens per doc,
+    the set representation behind :func:`prefix_jaccard_pairs`. Pure
+    projection + explode; portable (oracle: DISTINCT over
+    string_split_regex)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "\\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+
+
+def prefix_jaccard_pairs(docs: DataFrame, threshold: float,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(a, b, inter, union_size, jaccard) for doc pairs whose TOKEN-set
+    Jaccard ≥ threshold, found via PREFIX FILTERING (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07; the AllPairs/PPJoin
+    family) — the scale tier above :func:`jaccard_pairs`' inverted index.
+
+    Prefix-filter theorem: order every doc's tokens by one GLOBAL total
+    order (here ascending (df, token) — rarest first); if J(x, y) ≥ t,
+    the two prefixes of length ``|x| - ceil(t·|x|) + 1`` must share at
+    least one token. So only the first p tokens of each doc are indexed,
+    and candidate generation joins prefixes instead of full postings:
+    a token's join fan-out is its df *within prefixes*, and the hottest
+    (stop) tokens sort LAST — they almost never enter a prefix. That is
+    the skew-killer: q09 needs an explicit ``max_df`` recall guard, this
+    needs none and stays EXACT (the filter is lossless), which is why
+    the q80 oracle is the exact all-pairs computation rather than a
+    mirrored candidate generation (CLAUDE.md's mirror rule applies to
+    lossy candidate generation; this one is provably complete).
+
+    Prefix length is computed in pure int64 — ``p = sz - ceil(num·sz /
+    den) + 1`` with threshold ≈ num/den via Fraction.limit_denominator —
+    so a float ulp can never shorten a prefix below the theorem's bound.
+    Verification recomputes exact Jaccard on the full token arrays
+    (array_intersect), so emitted values are exact, not approximate.
+
+    Scale shape: one vocab agg (token df), one group-collect per doc,
+    one prefix equi-join, one broadcast-free verify join on doc_id.
+    All pure Column ops; no UDF, no cartesian.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+
+    toks = token_sets(docs, text_col, id_col)
+    df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(df_counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "token"))
+            ).alias("ordered"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "doc_id",
+            F.col("ordered.token").alias("tokens"),  # rarest-first
+            "sz",
+            # p = sz - ceil(num*sz/den) + 1, all-integer ceil
+            (
+                F.col("sz")
+                - F.expr(f"({num}L * sz + {den - 1}L) div {den}L")
+                + F.lit(1)
+            ).cast("int").alias("p"),
+        )
+    )
+    prefixes = per_doc.select(
+        "doc_id",
+        F.explode(F.slice(F.col("tokens"), F.lit(1), F.col("p"))).alias(
+            "token"
+        ),
+    )
+    cand = (
+        prefixes.select(F.col("doc_id").alias("a"), "token")
+        .join(prefixes.select(F.col("doc_id").alias("b"), "token"), "token")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    full_a = per_doc.select(
+        F.col("doc_id").alias("a"),
+        F.col("tokens").alias("ta"), F.col("sz").alias("sza"),
+    )
+    full_b = per_doc.select(
+        F.col("doc_id").alias("b"),
+        F.col("tokens").alias("tb"), F.col("sz").alias("szb"),
+    )
+    return (
+        cand.join(full_a, "a").join(full_b, "b")
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+        )
+        .withColumn(
+            "union_size", F.col("sza") + F.col("szb") - F.col("inter")
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("union_size"))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "union_size", "jaccard")
+    )

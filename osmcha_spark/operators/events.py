@@ -198,3 +198,138 @@ def scd2_history(
     return islands.withColumn(
         "valid_to", F.lead("valid_from").over(iw)
     ).select(key_col, value_col, "valid_from", "valid_to", "n_obs")
+
+
+def gap_fill(events: DataFrame, bucket_s: int, ts_col: str = "ts",
+             key_col: str = "user_id", value_col: str = "value",
+             tiebreak_col: str = "event_id") -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series
+    "densify" every feature pipeline needs before window models: one row
+    per (key, bucket) on a ``bucket_s``-second grid spanning each key's
+    first..last event bucket, carrying the key's last observation
+    at-or-before the bucket's end.
+
+    Output: (key, bucket_ts [epoch seconds, long], cents [long],
+    observed [int 0/1]). Values convert per-row to integer cents BEFORE
+    any aggregation (repo cents convention; float fills can't be
+    oracle-hashed), timestamps compare in epoch MICROS (int64 in both
+    engines; epoch-seconds would truncate differently than DuckDB's
+    fractional epoch()).
+
+    Semantics: within a bucket the winning observation is the max
+    (ts_us, tiebreak) event; buckets with no event inherit the previous
+    bucket's fill (``last(..., ignorenulls=True)`` running window). The
+    first bucket of every key is observed by construction (the grid
+    starts at the key's min event), so no fill is ever NULL.
+
+    Scale shape: one groupBy(key) for the span, one ``sequence`` +
+    ``explode`` to mint the grid (rows ≈ span/bucket_s per key — choose
+    bucket_s so this is O(events), the usual densify contract), one
+    per-(key,bucket) reduce for the winner, one left join grid⋈obs on
+    (key, bucket), one running window per key. All shuffles are on the
+    key; no UDF. Skewed keys (one user with a year of events) cost one
+    window partition — bound bucket count per key upstream if a key's
+    span/bucket_s can exceed executor memory.
+    """
+    # parquet timestamps arrive NTZ; the UTC-session cast is the repo's
+    # established micros conversion (matches the oracle's epoch_us)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_us = int(bucket_s) * 1_000_000
+    ev = events.select(
+        F.col(key_col).alias("key"),
+        us.alias("ts_us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    ).withColumn(
+        # true int64 div — double division could round a near-boundary
+        # micros value across the bucket edge
+        "bucket", F.expr(f"ts_us div {bucket_us}L")
+    )
+    wlast = Window.partitionBy("key", "bucket").orderBy(
+        F.col("ts_us").desc(), F.col("tb").desc()
+    )
+    obs = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select("key", "bucket", "cents")
+    )
+    grid = (
+        ev.groupBy("key")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "key",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            (F.col("bucket") * F.lit(bucket_s)).alias("bucket_ts"),
+            F.last("cents", ignorenulls=True).over(wfill).alias("cents"),
+            F.col("cents").isNotNull().cast("int").alias("observed"),
+        )
+    )
+
+
+def concurrency_curve(intervals: DataFrame, start_col: str = "start_us",
+                      end_col: str = "end_us",
+                      bucket_s: int = 86400) -> DataFrame:
+    """(t, conc) — the number of concurrently-active intervals at every
+    boundary instant, for half-open intervals [start, end) in epoch
+    micros. The classic sweep-line, re-expressed as a DISTRIBUTED
+    hierarchical prefix sum so no stage ever sorts the whole fact table
+    on one partition:
+
+    1. boundaries → per-instant NET delta (+1 starts, −1 ends, one
+       groupBy). Netting first makes every later step tie-free: conc at
+       t is "starts ≤ t minus ends ≤ t" exactly, the [s, e) semantics.
+    2. LOCAL running sum within a coarse time bucket (window partitioned
+       by ``t div bucket_s`` — parallel across buckets).
+    3. bucket TOTALS → exclusive running offsets. This level-2 window is
+       deliberately unpartitioned: its input is one row per bucket
+       (days), bounded and tiny — the single-partition sort everyone
+       writes for level 1 happens here on ~O(span/bucket_s) rows
+       instead of O(boundaries). Broadcast back, add to the local sums.
+
+    Scale: level 1 shuffles once on the bucket key and parallelizes per
+    bucket; a 100 TB sweep is bottlenecked only by its widest single
+    bucket — pick bucket_s so one bucket's boundaries fit an executor
+    (same contract as any keyed window). No UDF, no global sort.
+    """
+    bucket_us = int(bucket_s) * 1_000_000
+    bounds = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    )
+    net = (
+        bounds.groupBy("t")
+        .agg(F.sum("d").alias("net"))
+        .withColumn("bucket", F.expr(f"t div {bucket_us}L"))
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = net.withColumn("loc", F.sum("net").over(wloc))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        net.groupBy("bucket")
+        .agg(F.sum("net").alias("btot"))
+        .withColumn(
+            "off", F.coalesce(F.sum("btot").over(woff), F.lit(0))
+        )
+        .select("bucket", "off")
+    )
+    return loc.join(F.broadcast(offs), "bucket").select(
+        "t", (F.col("loc") + F.col("off")).cast("long").alias("conc")
+    )

@@ -119,3 +119,70 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, tri_cnt) — exact per-node triangle participation counts
+    over an undirected simple graph given as canonical edges (a < b,
+    distinct). Global triangle count = sum(tri_cnt) / 3.
+
+    Algorithm: degree-ordered orientation (Schank & Wagner's *forward* /
+    Cohen's MapReduce formulation): orient every edge from its lower
+    (degree, id) endpoint to the higher. Wedges are then built only at
+    each triangle's MINIMUM-(degree, id) apex — join oriented edges on
+    the apex, keep target pairs ordered by the same key — and a triangle
+    closes iff the oriented edge (x → y) between the two targets exists
+    (its orientation is forced to x → y by the wedge's own ordering, so
+    ONE equi-join closes it; no OR-join, no second pass).
+
+    Why this is the 100-TB shape and a naive 3-way self-join is not: a
+    hot vertex of degree d contributes d(d-1)/2 wedges when it is the
+    apex, but under degree ordering a max-degree vertex is NEVER an apex
+    — every vertex's oriented out-degree is bounded by O(sqrt(m)) on any
+    graph (arboricity bound), so the wedge join fans out O(m^1.5) total
+    instead of Σ d² (which a power-law hub turns quadratic). The skew
+    moves from an unfixable join explosion to an ordinary aggregation
+    hot key, which map-side combine absorbs.
+
+    Shuffles: degree agg, two dim joins to attach degrees, the wedge
+    self-join on the apex, the closing equi-join on (x, y), one final
+    count agg. All equi-joins on derived keys — AQE-splittable.
+    """
+    e = edges.select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")),
+               "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")),
+              "b")
+    )
+    # a < b always, so lower key is a iff (da < db) or (da == db)
+    a_first = (F.col("da") < F.col("db")) | (F.col("da") == F.col("db"))
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    )
+    o1 = oriented.select("u", F.col("w").alias("x"), F.col("dw").alias("dx"))
+    o2 = oriented.select("u", F.col("w").alias("y"), F.col("dw").alias("dy"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("w").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("tri_cnt")
+    )

@@ -1022,3 +1022,154 @@ def test_pq_topk_separated_clusters(spark):
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    """Prefix filtering is LOSSLESS: on random token-set docs the pruned
+    join must emit exactly the brute-force pairs at every threshold,
+    including docs whose prefix is a single token and stop-token-heavy
+    docs (the case q09's max_df guard would lose)."""
+    import itertools
+    import random
+
+    from osmcha_spark.operators.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(80):
+        base = rng.sample(vocab, rng.randint(3, 12))
+        docs.append((i, " ".join(base + rng.choices(["the", "a"], k=2))))
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for thr in (0.5, 0.8, 0.95):
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter / union >= thr:
+                want.add((a, b, inter, union))
+        got = {
+            (r.a, r.b, r.inter, r.union_size)
+            for r in prefix_jaccard_pairs(df, thr).collect()
+        }
+        assert got == want, f"thr={thr}"
+
+
+def test_prefix_jaccard_plan_hygiene(spark):
+    from osmcha_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c d")], "doc_id long, text string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("pj-lazy", "laziness check")
+    try:
+        out = prefix_jaccard_pairs(df, 0.7)
+        assert list(sc.statusTracker().getJobIdsForGroup("pj-lazy")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_forward_fills_and_flags(spark):
+    """Grid spans first..last bucket per key; unobserved buckets carry
+    the last observation; within-bucket winner is the latest (ts, id)
+    event; a bucket-edge event belongs to the LATER bucket (div
+    semantics, int64 — no double rounding across the edge)."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.events import gap_fill
+
+    B = 60  # 1-minute buckets
+    rows = [
+        # key 1: events in minutes 0 and 3; minute 3 has two events —
+        # later ts wins; minutes 1-2 forward-fill minute 0's value
+        (1, 1, datetime(2024, 1, 1, 0, 0, 30), 1.00),
+        (2, 1, datetime(2024, 1, 1, 0, 3, 10), 2.00),
+        (3, 1, datetime(2024, 1, 1, 0, 3, 50), 3.00),
+        # key 2: single event exactly ON a bucket edge
+        (4, 2, datetime(2024, 1, 1, 0, 5, 0), 9.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.bucket_ts): (r.cents, r.observed)
+        for r in gap_fill(df, bucket_s=B).collect()
+    }
+    base = 1704067200  # 2024-01-01T00:00:00Z epoch
+    assert got == {
+        (1, base + 0 * B): (100, 1),
+        (1, base + 1 * B): (100, 0),
+        (1, base + 2 * B): (100, 0),
+        (1, base + 3 * B): (300, 1),
+        (2, base + 5 * B): (999, 1),
+    }
+
+
+def test_triangle_counts_vs_brute_force(spark):
+    """Per-node counts on a random graph == itertools brute force; a
+    star hub (high degree, zero triangles) exercises the orientation's
+    hub-is-never-apex property; plan is cartesian- and Python-free."""
+    import itertools
+    import random
+
+    from osmcha_spark.operators.graph import triangle_counts
+
+    rng = random.Random(5)
+    n = 40
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.12}
+    edges |= {(0, b) for b in range(1, 25)}  # hub at node 0
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b), adj[b].add(a)
+    want = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    out = triangle_counts(df)
+    got = {r.node: r.tri_cnt for r in out.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_concurrency_curve_vs_brute_force(spark):
+    """Hierarchical prefix sum == flat sweep line, with intervals that
+    span bucket edges (bucket_s tiny to force the multi-bucket path)
+    and half-open [s, e) semantics: back-to-back intervals never
+    overlap."""
+    import random
+
+    from osmcha_spark.operators.events import concurrency_curve
+
+    rng = random.Random(11)
+    iv = [(rng.randrange(0, 3_000_000), rng.randrange(1, 2_000_000))
+          for _ in range(300)]
+    rows = [(s, s + d) for s, d in iv]
+    rows.append((100, 200))  # back-to-back pair: [100,200) + [200,300)
+    rows.append((200, 300))
+    df = spark.createDataFrame(rows, "start_us long, end_us long")
+    got = {(r.t, r.conc)
+           for r in concurrency_curve(df, bucket_s=1).collect()}
+    # flat brute force
+    from collections import Counter
+    net = Counter()
+    for s, e in rows:
+        net[s] += 1
+        net[e] -= 1
+    run, want = 0, set()
+    for t in sorted(net):
+        run += net[t]
+        want.add((t, run))
+    assert got == want
+    # half-open: at t=200 the first interval is closed, conc there
+    # counts only the opener (plus whatever random intervals cover 200)
+    assert all(c >= 0 for _, c in got)

