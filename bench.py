@@ -325,14 +325,28 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     register("ann", ann_q)
 
-    # --- timing: suite-level interleaved rounds, per-query min
+    # --- timing: suite-level interleaved rounds, per-query min.
+    # ADAPTIVE round count (round 3): a host burst can span an entire
+    # suite round, so a fixed min-of-2 still records outliers when both
+    # rounds are dirty. Keep adding rounds (cap BENCH_MAX_ROUNDS) while
+    # the latest round improved any query's min by >20% — a clean run
+    # still stops at `repeat`, a burst-hit run keeps sampling until it
+    # lands a quiet window.
+    max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", "6"))
     ns: dict[str, int] = {}
-    for _round in range(repeat):
+    _round = 0
+    while _round < max_rounds:
+        improved = False
         for name, fn in _suite:
             t, n = _timed(fn)
             if name not in results or t < results[name]:
+                if name in results and t < results[name] * 0.8:
+                    improved = True
                 results[name] = t
             ns[name] = n
+        _round += 1
+        if _round >= repeat and not improved:
+            break
     results = {k: round(v, 3) for k, v in results.items()}
     big_cs.unpersist()
     big_ac.unpersist()
