@@ -4113,6 +4113,156 @@ SELECT t, conc FROM curve ORDER BY conc DESC, t ASC LIMIT 20
 """
 
 
+# --------------------------------------------------------------- q84
+
+def q84_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set-operation estimates (operators/sketches.py:
+    kmv_set_ops; Beyer et al. SIGMOD'07) between 4 deterministic value
+    sets with controlled overlap (group g covers residues
+    [200g, 200g+600) — adjacent groups share 400 values, distance-2
+    share 200, distance-3 none; the q63 in-query-synthesis pattern).
+    Union/intersection/Jaccard estimates are pure integer md5
+    arithmetic, so the oracle mirrors every sketch step and checks
+    VALUES — including the exact-vs-estimator regime switch at
+    union_kept < k."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sketches import kmv_set_ops
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    vals = docs.select(
+        (F.col("doc_id") % 4).alias("grp"),
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("j"),
+        "doc_id",
+    ).select(
+        "grp",
+        (
+            (F.col("doc_id") * 31 + F.col("j")) % 600
+            + (F.col("doc_id") % 4) * 200
+        ).alias("val"),
+    )
+    return kmv_set_ops(vals, "grp", "val", k=128, bits=40).select(
+        "key_a", "key_b", "union_kept", "rho", "est_union", "est_inter",
+        "jaccard_ppm",
+    )
+
+
+_Q84_ORACLE = """
+WITH vals AS (
+  SELECT d.doc_id % 4 AS key,
+         (d.doc_id * 31 + j.j) % 600 + (d.doc_id % 4) * 200 AS val
+  FROM documents d, (SELECT unnest(range(0, 20)) AS j) j
+),
+hv AS (
+  SELECT DISTINCT key,
+         CAST('0x' || substring(md5(CAST(val AS VARCHAR)), 1, 10) AS BIGINT)
+           AS h
+  FROM vals
+),
+kept AS (
+  SELECT key, h FROM (
+    SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+    FROM hv) t WHERE rn <= 128
+),
+keys AS (SELECT DISTINCT key FROM kept),
+pairs AS (SELECT a.key AS key_a, b.key AS key_b
+          FROM keys a JOIN keys b ON a.key < b.key),
+merged AS (
+  SELECT p.key_a, p.key_b, k.h,
+         max(CASE WHEN k.key = p.key_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN k.key = p.key_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN kept k ON k.key = p.key_a OR k.key = p.key_b
+  GROUP BY 1, 2, 3
+),
+uk AS (
+  SELECT key_a, key_b, h, in_a, in_b,
+         row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rn
+  FROM merged
+),
+agg AS (
+  SELECT key_a, key_b,
+         CAST(count(*) AS BIGINT) AS union_kept,
+         max(h) AS tau,
+         CAST(sum(in_a * in_b) AS BIGINT) AS rho
+  FROM uk WHERE rn <= 128 GROUP BY 1, 2
+),
+est AS (
+  SELECT key_a, key_b, union_kept, rho,
+         CAST(CASE WHEN union_kept < 128 THEN union_kept
+              ELSE (127 * 1099511627776) // tau END AS BIGINT) AS est_union
+  FROM agg
+)
+SELECT key_a, key_b, union_kept, rho, est_union,
+       CAST(CASE WHEN union_kept < 128 THEN rho
+            ELSE (rho * est_union) // 128 END AS BIGINT) AS est_inter,
+       CAST((rho * 1000000) // union_kept AS BIGINT) AS jaccard_ppm
+FROM est
+"""
+
+
+# --------------------------------------------------------------- q85
+
+def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel view → click → purchase
+    (operators/events.py:funnel) over every 7th event (sparse enough
+    that all four completion depths 0-3 occur). ONE shuffle + in-row
+    sorted fold — not the textbook k chained self-joins; the oracle
+    states the equivalent chained lexicographic-min formulation (the
+    fold and the chained mins provably agree: each ti is the order-
+    minimum of its candidate set)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import funnel
+
+    ev = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).where(F.col("event_id") % 7 == 0)
+    return funnel(ev, steps=("view", "click", "purchase")).select(
+        "user_id", "steps_completed", "t1_us", "t2_us", "t3_us"
+    )
+
+
+_Q85_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id AS tb FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND event_id % 7 = 0
+),
+t1 AS (
+  SELECT user_id, us, tb FROM (
+    SELECT user_id, us, tb,
+           row_number() OVER (PARTITION BY user_id ORDER BY us, tb) AS rn
+    FROM e WHERE event_type = 'view') t WHERE rn = 1
+),
+t2 AS (
+  SELECT user_id, us, tb FROM (
+    SELECT c.user_id, c.us, c.tb,
+           row_number() OVER (PARTITION BY c.user_id ORDER BY c.us, c.tb)
+             AS rn
+    FROM e c JOIN t1 ON t1.user_id = c.user_id
+    WHERE c.event_type = 'click'
+      AND (c.us > t1.us OR (c.us = t1.us AND c.tb > t1.tb))) t WHERE rn = 1
+),
+t3 AS (
+  SELECT user_id, us, tb FROM (
+    SELECT p.user_id, p.us, p.tb,
+           row_number() OVER (PARTITION BY p.user_id ORDER BY p.us, p.tb)
+             AS rn
+    FROM e p JOIN t2 ON t2.user_id = p.user_id
+    WHERE p.event_type = 'purchase'
+      AND (p.us > t2.us OR (p.us = t2.us AND p.tb > t2.tb))) t WHERE rn = 1
+),
+keys AS (SELECT DISTINCT user_id FROM e)
+SELECT k.user_id,
+       CASE WHEN t3.us IS NOT NULL THEN 3 WHEN t2.us IS NOT NULL THEN 2
+            WHEN t1.us IS NOT NULL THEN 1 ELSE 0 END AS steps_completed,
+       t1.us AS t1_us, t2.us AS t2_us, t3.us AS t3_us
+FROM keys k
+LEFT JOIN t1 ON t1.user_id = k.user_id
+LEFT JOIN t2 ON t2.user_id = k.user_id
+LEFT JOIN t3 ON t3.user_id = k.user_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4217,6 +4367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_gap_fill": q81_gap_fill,
         "q82_triangles": q82_triangles,
         "q83_concurrency": q83_concurrency,
+        "q84_kmv_set_ops": q84_kmv_set_ops,
+        "q85_funnel": q85_funnel,
     }
 
 
@@ -4306,4 +4458,6 @@ def oracle_sql() -> dict[str, str]:
         "q81_gap_fill": _Q81_ORACLE,
         "q82_triangles": _Q82_ORACLE,
         "q83_concurrency": _Q83_ORACLE,
+        "q84_kmv_set_ops": _Q84_ORACLE,
+        "q85_funnel": _Q85_ORACLE,
     }

@@ -333,3 +333,69 @@ def concurrency_curve(intervals: DataFrame, start_col: str = "start_us",
     return loc.join(F.broadcast(offs), "bucket").select(
         "t", (F.col("loc") + F.col("off")).cast("long").alias("conc")
     )
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...],
+           key_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           tiebreak_col: str = "event_id") -> DataFrame:
+    """First-touch funnel per key: the earliest time each ordered step
+    completes, where step i+1 only counts STRICTLY AFTER step i in
+    (ts, tiebreak) order — the conversion primitive (view → click →
+    purchase) every event pipeline reports.
+
+    Output: (key, steps_completed, t1_us..tN_us nullable epoch micros).
+    Semantics = the order-k state machine: scan the key's step events
+    in (ts, tiebreak) order; the first ``steps[0]`` sets t1, the first
+    ``steps[1]`` seen after t1 sets t2, and so on. Equivalently (how
+    the oracle states it relationally): t1 = lexicographic-min view,
+    t2 = min click with order key > t1's, … — the fold and the chained
+    mins provably agree because each ti is the order-minimum of its
+    candidates.
+
+    Scale shape: ONE shuffle (groupBy key) + an in-row ``array_sort`` +
+    ``aggregate`` fold — no self-join per step (the textbook k-step
+    funnel as k chained joins is k fact shuffles and quadratic under
+    ties). The per-key event array must fit in a row — same contract
+    as any collect_list sessionization; pre-filter to step types keeps
+    it to funnel traffic only.
+    """
+    n = len(steps)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.where(F.col(type_col).isin(*steps)).select(
+        F.col(key_col).alias("key"),
+        F.struct(
+            us.alias("us"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(type_col).alias("typ"),
+        ).alias("e"),
+    )
+    per = ev.groupBy("key").agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(f"t{i + 1}") for i in range(n)]
+    )
+
+    def fold(acc, e):
+        fields = []
+        for i in range(n):
+            t = f"t{i + 1}"
+            cond = acc[t].isNull() & (e["typ"] == steps[i])
+            if i > 0:
+                cond = cond & acc[f"t{i}"].isNotNull()
+            fields.append(
+                F.when(cond, e["us"]).otherwise(acc[t]).alias(t)
+            )
+        return F.struct(*fields)
+
+    state = F.aggregate(F.col("es"), init, fold)
+    # deepest completed step: later whens overwrite, so iterate shallow→deep
+    done = F.lit(0)
+    for i in range(1, n + 1):
+        done = F.when(state[f"t{i}"].isNotNull(), i).otherwise(done)
+    return per.select(
+        F.col("key").alias(key_col),
+        done.cast("int").alias("steps_completed"),
+        *[state[f"t{i + 1}"].alias(f"t{i + 1}_us") for i in range(n)],
+    )

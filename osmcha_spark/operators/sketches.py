@@ -204,3 +204,113 @@ def countmin_estimate(
             .alias("est")
         )
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 128,
+    bits: int = 40,
+) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups from
+    their KMV sketches (Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations", SIGMOD'07) — the sketch
+    algebra that lets a 100 TB pipeline answer "how much does corpus A
+    overlap corpus B" from two k-row synopses instead of a fact×fact
+    join.
+
+    Emits one row per key pair (key_a < key_b)::
+
+        (key_a, key_b, union_kept, rho, est_union, est_inter,
+         jaccard_ppm)
+
+    - the union sketch is the k smallest hashes of the MERGED kept
+      sets (closure property: K_k(A ∪ B) = K_k(K_k(A) ∪ K_k(B)));
+    - ``rho`` = how many of those union-sketch hashes appear in BOTH
+      sides' sketches — the unbiased intersection indicator;
+    - ``est_union`` = exact count when the union kept < k (the sketch
+      IS the set), else ``(k-1)·2^bits div tau``;
+    - ``est_inter`` = ``rho`` exactly in the exact regime, else
+      ``rho·est_union div k``;
+    - ``jaccard_ppm`` = ``rho·10^6 div union_kept`` (exact in the
+      exact regime, the ρ/k estimator otherwise).
+
+    All integer md5-prefix arithmetic (synth.py discipline): no RNG, no
+    engine-private hash — the q84 oracle mirrors every step in SQL and
+    checks VALUES, which published sketch libraries never allow.
+
+    Scale shape: one distinct-shuffle + one windowed top-k per key
+    builds the sketches (fact-sized work happens once); everything
+    after operates on ≤ k rows per key — the pair join is dim×dim.
+    The key-pair frame is a broadcast non-equi self-join of the DISTINCT
+    key list: key cardinality is assumed dim-sized (sources, shards,
+    days); for millions of keys, pass an explicit pair list upstream
+    instead of all-pairs.
+    """
+    if not 1 < k < (1 << (62 - bits)):
+        raise ValueError(f"k must be in (1, 2^{62 - bits})")
+    h = kmv_hash_col(F.col(value_col).cast("string"), bits)
+    distinct = (
+        df.select(F.col(key_col).alias("key"), h.alias("h"))
+        .groupBy("key", "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    wk = Window.partitionBy("key").orderBy(F.col("h").asc())
+    kept = (
+        distinct.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= F.lit(int(k)))
+        .select("key", "h")
+    )
+    keys = kept.select("key").distinct()
+    pairs = (
+        keys.select(F.col("key").alias("key_a"))
+        .join(
+            F.broadcast(keys.select(F.col("key").alias("key_b"))),
+            F.col("key_a") < F.col("key_b"),
+        )
+    )
+    side_a = (
+        pairs.join(kept.select(F.col("key").alias("key_a"), "h"), "key_a")
+        .select("key_a", "key_b", "h", F.lit(1).alias("in_a"),
+                F.lit(0).alias("in_b"))
+    )
+    side_b = (
+        pairs.join(kept.select(F.col("key").alias("key_b"), "h"), "key_b")
+        .select("key_a", "key_b", "h", F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"))
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("key_a", "key_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("key_a", "key_b").orderBy(F.col("h").asc())
+    union_kept = (
+        merged.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= F.lit(int(k)))
+    )
+    numer = (k - 1) * (1 << bits)
+    aggd = union_kept.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("long").alias("union_kept"),
+        F.max("h").alias("tau"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"),
+    )
+    est_union = (
+        F.when(F.col("union_kept") < F.lit(int(k)), F.col("union_kept"))
+        .otherwise(F.expr(f"{numer}L div tau"))
+        .cast("long")
+    )
+    return aggd.select(
+        "key_a", "key_b", "union_kept", "rho",
+        est_union.alias("est_union"),
+    ).select(
+        "key_a", "key_b", "union_kept", "rho", "est_union",
+        F.when(F.col("union_kept") < F.lit(int(k)), F.col("rho"))
+        .otherwise(F.expr(f"(rho * est_union) div {int(k)}L"))
+        .cast("long")
+        .alias("est_inter"),
+        F.expr("(rho * 1000000L) div union_kept").cast("long")
+        .alias("jaccard_ppm"),
+    )

@@ -1173,3 +1173,73 @@ def test_concurrency_curve_vs_brute_force(spark):
     # half-open: at t=200 the first interval is closed, conc there
     # counts only the opener (plus whatever random intervals cover 200)
     assert all(c >= 0 for _, c in got)
+
+
+def test_kmv_set_ops_exact_and_estimator_regimes(spark):
+    """Small disjoint/overlapping sets (< k union) give EXACT counts;
+    large sets give estimates within the sketch's standard-error
+    envelope (k=128 → se ≈ 1/√k ≈ 9%; assert 4 se). Plan stays
+    Python-free."""
+    from osmcha_spark.operators.sketches import kmv_set_ops
+
+    # exact regime: |A|=30, |B|=40, |A∩B|=10
+    rows = [("a", v) for v in range(30)] + [("b", v) for v in range(20, 60)]
+    df = spark.createDataFrame(rows, "key string, val long")
+    out = kmv_set_ops(df, "key", "val", k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.union_kept, r.rho, r.est_union, r.est_inter) == (60, 10, 60, 10)
+    assert r.jaccard_ppm == (10 * 1_000_000) // 60
+
+    # estimator regime: A = 0..3999, B = 2000..5999 → union 6000, inter 2000
+    rows = [("a", v) for v in range(4000)] + [
+        ("b", v) for v in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "key string, val long")
+    r = kmv_set_ops(df, "key", "val", k=128).collect()[0]
+    assert abs(r.est_union - 6000) < 6000 * 0.36
+    assert abs(r.est_inter - 2000) < 2000 * 0.75  # ρ/k has wider error
+    plan = kmv_set_ops(df, "key", "val", k=128)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_funnel_state_machine_edges(spark):
+    """Steps only count strictly after the previous step in
+    (ts, event_id) order: a click BEFORE any view is ignored; a click
+    at the SAME ts as the view counts only with a higher event_id; a
+    user with views only completes 1 step; order within the funnel is
+    per-user."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.events import funnel
+
+    T = datetime(2024, 1, 1, 0, 0, 0)
+    T2 = datetime(2024, 1, 1, 0, 1, 0)
+    T3 = datetime(2024, 1, 1, 0, 2, 0)
+    rows = [
+        # u1: click before view → click ignored; later click counts
+        (1, 1, T, "click", 0.0), (2, 1, T2, "view", 0.0),
+        (3, 1, T3, "click", 0.0),
+        # u2: view and click at the SAME ts — click has HIGHER id → counts
+        (4, 2, T, "view", 0.0), (5, 2, T, "click", 0.0),
+        (6, 2, T2, "purchase", 0.0),
+        # u3: view and click same ts, click has LOWER id → does NOT count
+        (8, 3, T, "view", 0.0), (7, 3, T, "click", 0.0),
+        # u4: views only
+        (9, 4, T, "view", 0.0), (10, 4, T2, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    out = {r.user_id: r for r in
+           funnel(df, steps=("view", "click", "purchase")).collect()}
+    assert out[1].steps_completed == 2
+    assert out[1].t2_us is not None and out[1].t1_us < out[1].t2_us
+    assert out[2].steps_completed == 3
+    assert out[2].t1_us == out[2].t2_us  # same-ts pair, id order decides
+    assert out[3].steps_completed == 1 and out[3].t2_us is None
+    assert out[4].steps_completed == 1
+    # earliest view wins for u4
+    assert out[4].t1_us == out[1].t1_us - 60_000_000

@@ -348,6 +348,41 @@ def main() -> None:
         formatted(triangle_counts(tri_edges)),
     ))
 
+    from osmcha_spark.operators.sketches import kmv_set_ops
+
+    kv = spark.read.parquet(
+        os.path.join(sf, "documents.parquet")
+    ).select(
+        (F.col("doc_id") % 4).alias("grp"),
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("j"),
+        "doc_id",
+    ).select(
+        "grp",
+        ((F.col("doc_id") * 31 + F.col("j")) % 600
+         + (F.col("doc_id") % 4) * 200).alias("val"),
+    )
+    sections.append((
+        "KMV sketch set operations",
+        "expect: one distinct + windowed top-k per key builds the "
+        "sketches (the only fact-sized stages); the pair join and "
+        "everything after run on ≤ k rows per key; broadcast key-pair "
+        "frame — no Python eval",
+        formatted(kmv_set_ops(kv, "grp", "val", k=128)),
+    ))
+
+    from osmcha_spark.operators.events import funnel
+
+    ev7 = spark.read.parquet(
+        os.path.join(sf, "events.parquet")
+    ).where(F.col("event_id") % 7 == 0)
+    sections.append((
+        "First-touch conversion funnel",
+        "expect: ONE fact shuffle (groupBy user) + in-row array_sort/"
+        "aggregate fold — no per-step self-join, no window cascade, "
+        "no Python eval",
+        formatted(funnel(ev7, steps=("view", "click", "purchase"))),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
