@@ -4263,6 +4263,111 @@ LEFT JOIN t3 ON t3.user_id = k.user_id
 """
 
 
+# --------------------------------------------------------------- q86
+
+def q86_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded edit-distance fuzzy self-join (operators/text.py:
+    banded_edit_pairs, PartEnum/pigeonhole family): 12-char strings,
+    3 aligned segments, verify levenshtein ≤ 2. Strings are
+    deterministic mutated md5 families (groups of 4 docs share a base;
+    members mutate one position — the q63 in-query-synthesis pattern),
+    so candidate pruning is real: 124,750 possible pairs → 750
+    candidates at sf0.001. The oracle mirrors the SAME banded candidate
+    generation (q36/q38 approximate-op rule — pigeonhole completeness
+    covers substitutions, not insert+delete shifts)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import banded_edit_pairs
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    base = F.substring(
+        F.md5(F.expr("doc_id div 4").cast("string")), 1, 12
+    )
+    pos = (F.col("doc_id") % 12 + 1).cast("int")
+    mut = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    s = F.when(F.col("doc_id") % 4 == 0, base).otherwise(
+        F.concat(
+            base.substr(F.lit(1), pos - 1),
+            mut,
+            base.substr(pos + 1, F.lit(12) - pos),
+        )
+    )
+    named = docs.select("doc_id", s.alias("s"))
+    return banded_edit_pairs(
+        named, "s", length=12, segments=3, max_dist=2
+    ).select("a", "b", "dist")
+
+
+_Q86_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN base
+              ELSE substring(base, 1, pos - 1) || mut
+                   || substring(base, pos + 1, 12 - pos) END AS s
+  FROM (SELECT doc_id,
+               substring(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 12) AS base,
+               CAST(doc_id % 12 + 1 AS INT) AS pos,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS mut
+        FROM documents) t
+),
+segs AS (
+  SELECT doc_id, i, substring(s, i * 4 + 1, 4) AS seg
+  FROM s, (SELECT unnest(range(0, 3)) AS i) t
+),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+  FROM segs sa JOIN segs sb
+    ON sa.i = sb.i AND sa.seg = sb.seg AND sa.doc_id < sb.doc_id
+)
+SELECT c.a, c.b, levenshtein(sa.s, sb.s) AS dist
+FROM cand c
+JOIN s sa ON sa.doc_id = c.a
+JOIN s sb ON sb.doc_id = c.b
+WHERE levenshtein(sa.s, sb.s) <= 2
+"""
+
+
+# --------------------------------------------------------------- q87
+
+def q87_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators/skyline.py:skyline_2d;
+    Börzsönyi et al. ICDE'01) over per-user (total integer cents,
+    event count) — users not dominated in both dimensions. The engine
+    runs the hierarchical prefix-max decomposition (no global
+    single-partition sort); the oracle is the definitional NOT EXISTS
+    dominance anti-join, so a green hash proves the decomposition
+    equals the definition."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.skyline import skyline_2d
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("value_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return skyline_2d(agg, "value_cents", "n_events").select(
+        "user_id", "value_cents", "n_events"
+    )
+
+
+_Q87_ORACLE = """
+WITH agg AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT p.user_id, p.value_cents, p.n_events FROM agg p
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg q
+  WHERE q.value_cents >= p.value_cents AND q.n_events >= p.n_events
+    AND (q.value_cents > p.value_cents OR q.n_events > p.n_events))
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4369,6 +4474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_concurrency": q83_concurrency,
         "q84_kmv_set_ops": q84_kmv_set_ops,
         "q85_funnel": q85_funnel,
+        "q86_fuzzy_join": q86_fuzzy_join,
+        "q87_skyline": q87_skyline,
     }
 
 
@@ -4460,4 +4567,6 @@ def oracle_sql() -> dict[str, str]:
         "q83_concurrency": _Q83_ORACLE,
         "q84_kmv_set_ops": _Q84_ORACLE,
         "q85_funnel": _Q85_ORACLE,
+        "q86_fuzzy_join": _Q86_ORACLE,
+        "q87_skyline": _Q87_ORACLE,
     }

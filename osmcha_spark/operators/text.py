@@ -186,3 +186,67 @@ def tfidf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def banded_edit_pairs(docs: DataFrame, str_col: str, length: int,
+                      segments: int = 3, max_dist: int = 2,
+                      id_col: str = "doc_id") -> DataFrame:
+    """(a, b, dist) — fuzzy self-join: pairs of fixed-length strings
+    within levenshtein distance ``max_dist``, found via POSITIONAL
+    SEGMENT BANDING (the PartEnum/pigeonhole family): split each string
+    into ``segments`` aligned substrings; two strings with at most
+    ``segments − 1`` SUBSTITUTIONS must agree on at least one whole
+    segment (pigeonhole), so candidates come from ``segments``
+    equi-joins instead of an all-pairs edit-distance matrix, and the
+    exact ``levenshtein`` verifies each candidate.
+
+    Honest recall contract: completeness is guaranteed for HAMMING
+    distance ≤ segments − 1 (substitution-only edits). A pair within
+    levenshtein ``max_dist`` via INSERT+DELETE (a shift) can disagree
+    on every aligned segment and is missed — so the q86 oracle mirrors
+    THIS candidate generation (the q36/q38 approximate-op rule), never
+    an exact all-pairs oracle. Choose ``segments ≥ max_dist + 1``.
+
+    Scale shape: the segment join's fan-out per key is that segment
+    value's frequency — for near-uniform content (hashes, normalized
+    names) this is the |pairs-within-distance| + hash-collision noise,
+    not |corpus|²; a hot segment (constant prefix) is an ordinary
+    skewed equi-join key, AQE-splittable, and worth salting or
+    excluding upstream exactly like a stop shingle. Verify is
+    O(candidates) `levenshtein`, JVM-side.
+    """
+    if segments < max_dist + 1:
+        raise ValueError("need segments >= max_dist + 1 for the "
+                         "pigeonhole guarantee")
+    seg_len = -(-length // segments)  # ceil
+    s = df_s = docs.select(F.col(id_col).alias("id"),
+                           F.col(str_col).alias("s"))
+    segs = df_s.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.col("s").substr(
+                        i * seg_len + 1, min(seg_len, length - i * seg_len)
+                    ).alias("seg"),
+                )
+                for i in range(segments)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.i").alias("i"), F.col("e.seg").alias("seg"))
+    cand = (
+        segs.select(F.col("id").alias("a"), "i", "seg")
+        .join(segs.select(F.col("id").alias("b"), "i", "seg"), ["i", "seg"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        cand.join(s.select(F.col("id").alias("a"), F.col("s").alias("sa")),
+                  "a")
+        .join(s.select(F.col("id").alias("b"), F.col("s").alias("sb")), "b")
+        .withColumn("dist", F.levenshtein(F.col("sa"), F.col("sb")))
+        .where(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )

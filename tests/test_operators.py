@@ -1243,3 +1243,84 @@ def test_funnel_state_machine_edges(spark):
     assert out[4].steps_completed == 1
     # earliest view wins for u4
     assert out[4].t1_us == out[1].t1_us - 60_000_000
+
+
+def test_banded_edit_pairs_substitution_complete(spark):
+    """Pigeonhole completeness: on a substitution-only corpus the
+    banded join finds EVERY pair within levenshtein ≤ 2; also rejects
+    segments < max_dist + 1 at build time."""
+    import itertools
+    import random
+
+    from osmcha_spark.operators.text import banded_edit_pairs
+
+    rng = random.Random(3)
+    bases = ["abcdefghijkl", "mnopqrstuvwx", "aaaabbbbcccc"]
+    strs = []
+    for i in range(60):
+        s = list(bases[i % 3])
+        for _ in range(rng.randint(0, 2)):
+            s[rng.randrange(12)] = rng.choice("xyz")
+        strs.append((i, "".join(s)))
+
+    def lev(a, b):  # equal length; full DP for honesty
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(strs, 2)
+        if lev(sa, sb) <= 2 and sum(x != y for x, y in zip(sa, sb)) <= 2
+    }
+    df = spark.createDataFrame(strs, "doc_id long, s string")
+    got = {
+        (r.a, r.b, r.dist)
+        for r in banded_edit_pairs(df, "s", length=12, segments=3,
+                                   max_dist=2).collect()
+    }
+    # engine may ALSO find lev<=2 pairs whose hamming > 2 if they share
+    # a segment — those are bonus recall, never wrong values
+    assert want <= got
+    for a, b, d in got:
+        sa = dict(strs)[a]; sb = dict(strs)[b]
+        assert lev(sa, sb) == d <= 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        banded_edit_pairs(df, "s", length=12, segments=2, max_dist=2)
+
+
+def test_skyline_2d_vs_brute_force(spark):
+    """Skyline == NOT-EXISTS dominance on random points with duplicate
+    points, x-ties, y-ties, and NEGATIVE x (floor-div bucketing);
+    result is bucket-width-invariant."""
+    import random
+
+    from osmcha_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(9)
+    pts = [(i, rng.randint(-50, 50), rng.randint(0, 40))
+           for i in range(200)]
+    pts += [(200, 10, 10), (201, 10, 10)]  # exact duplicates
+    want = {
+        i for i, x, y in pts
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for _, qx, qy in pts
+        )
+    }
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    for bucket in (1, 16, 1 << 40):
+        got = {r.id for r in skyline_2d(df, "x", "y", bucket=bucket)
+               .collect()}
+        assert got == want, f"bucket={bucket}"
+    plan = skyline_2d(df, "x", "y")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -383,6 +383,51 @@ def main() -> None:
         formatted(funnel(ev7, steps=("view", "click", "purchase"))),
     ))
 
+    from osmcha_spark.operators.text import banded_edit_pairs
+
+    fz_base = F.substring(
+        F.md5(F.expr("doc_id div 4").cast("string")), 1, 12
+    )
+    fz_pos = (F.col("doc_id") % 12 + 1).cast("int")
+    fz_mut = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    fz = spark.read.parquet(
+        os.path.join(sf, "documents.parquet")
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, fz_base).otherwise(
+            F.concat(
+                fz_base.substr(F.lit(1), fz_pos - 1), fz_mut,
+                fz_base.substr(fz_pos + 1, F.lit(12) - fz_pos),
+            )
+        ).alias("s"),
+    )
+    sections.append((
+        "Banded edit-distance fuzzy join",
+        "expect: segment explode → equi-join on (i, seg) → distinct "
+        "pairs → two id joins + JVM levenshtein verify — no cartesian, "
+        "no Python eval",
+        formatted(banded_edit_pairs(fz, "s", length=12, segments=3,
+                                    max_dist=2)),
+    ))
+
+    from osmcha_spark.operators.skyline import skyline_2d
+
+    sky = spark.read.parquet(
+        os.path.join(sf, "events.parquet")
+    ).groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("value_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    sections.append((
+        "2-D skyline (Pareto frontier)",
+        "expect: per-x HashAggregate, window partitioned by the x-range "
+        "bucket (parallel level 1), tiny per-bucket level-2 window, "
+        "broadcast offsets, join back — no global single-partition sort "
+        "of the fact, no Python eval",
+        formatted(skyline_2d(sky, "value_cents", "n_events")),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
