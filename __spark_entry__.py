@@ -4368,6 +4368,114 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------- q88
+
+def q88_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/joins.py:enrich_stream):
+    the orders feed decorated per micro-batch with a BROADCAST customer
+    dim — stateless (no watermark, no buffering). Input split into two
+    files with maxFilesPerTrigger=1, so rows provably join in separate
+    micro-batches; the drained set equals the batch join, which is the
+    oracle."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import enrich_stream
+
+    work = _work_dir("q88")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_cents"),
+    )
+    for i, half in enumerate([
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        orders.where(F.col("o_orderkey") % 2 == 1),
+    ]):
+        tmp = os.path.join(work, f"_stage_{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"b{i}.parquet"))
+
+    cust = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey",
+        "c_mktsegment",
+    )
+    ss = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, price_cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    enr = enrich_stream(
+        ss, cust, "o_custkey", ("c_nationkey", "c_mktsegment")
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        enr.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "o_orderkey", "o_custkey", "price_cents", "c_nationkey",
+        "c_mktsegment",
+    )
+
+
+_Q88_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       c.c_nationkey, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --------------------------------------------------------------- q89
+
+def q89_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p90/p99 of event value cents WITHOUT a global sort
+    (operators/quantiles.py:order_statistics): histogram pass → tiny
+    cumulative locate → bucket-local refinement; ranks resolved in-plan
+    from ppm fractions (rank = ceil(p·n/10^6), integer). The oracle is
+    the definitional flat row_number order statistic — a green hash
+    proves the two-phase selection equals the global sort."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.quantiles import order_statistics
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cents = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return order_statistics(
+        cents, "cents", [250_000, 500_000, 900_000, 990_000], bucket=100
+    ).select("p_ppm", "rank", "value")
+
+
+_Q89_ORACLE = """
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+n AS (SELECT count(*) AS n FROM v),
+r AS (
+  SELECT p AS p_ppm, (p * n.n + 999999) // 1000000 AS rank
+  FROM (SELECT unnest([250000, 500000, 900000, 990000]) AS p) pp, n
+),
+o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+SELECT r.p_ppm, r.rank, o.v AS value FROM r JOIN o ON o.rn = r.rank
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4476,6 +4584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_funnel": q85_funnel,
         "q86_fuzzy_join": q86_fuzzy_join,
         "q87_skyline": q87_skyline,
+        "q88_stream_enrich": q88_stream_enrich,
+        "q89_order_statistics": q89_order_statistics,
     }
 
 
@@ -4569,4 +4679,6 @@ def oracle_sql() -> dict[str, str]:
         "q85_funnel": _Q85_ORACLE,
         "q86_fuzzy_join": _Q86_ORACLE,
         "q87_skyline": _Q87_ORACLE,
+        "q88_stream_enrich": _Q88_ORACLE,
+        "q89_order_statistics": _Q89_ORACLE,
     }

@@ -1,0 +1,85 @@
+"""Exact order statistics without a global sort — two-phase histogram
+refinement (the distributed selection algorithm: Blum et al. selection
+generalized to one histogram pass + one bucket-local pass).
+
+``percentile_approx`` trades accuracy for one pass; a global
+``orderBy().limit()`` sorts the world. This operator returns EXACT
+k-th order statistics with two scans and no global sort:
+
+1. histogram pass: count rows per fixed-width value bucket (map-side
+   combined groupBy — the only fact-sized shuffle);
+2. a TINY cumulative pass over the bucket counts (one row per
+   non-empty bucket) locates, for every requested rank, the bucket
+   holding it and the rank's offset within that bucket;
+3. refinement pass: only the located buckets' rows are re-read,
+   row-numbered per bucket by value (window partitioned by bucket —
+   never global), and the row at the in-bucket offset is the answer.
+
+Ranks come from ppm fractions resolved IN-PLAN against a broadcast
+1-row count (``rank = ceil(p·n / 10^6)`` in pure int64), so building
+the DataFrame triggers no job (the VERDICT r2 lazy-bounds discipline).
+
+Exactness under duplicates: ties within a bucket get arbitrary row
+numbers, but every tie carries the same value, so the value at any
+offset is deterministic — engine and oracle agree even though their
+tie orders differ.
+
+Scale: bucket width trades pass-2 size (#non-empty buckets) against
+pass-3 size (widest bucket). Skew = one very hot value: its bucket is
+large, but pass 3 only sorts THAT bucket, and only when a rank lands
+in it. Reference counterpart: none; SURVEY §2.11 engine inventory
+(q46 is the flat exact-quantile twin this replaces at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def order_statistics(df: DataFrame, value_col: str, p_ppms: list[int],
+                     bucket: int = 100) -> DataFrame:
+    """(p_ppm, rank, value): the exact ceil(p·n/10^6)-th smallest value
+    of ``value_col`` (int64) for each requested ppm fraction."""
+    vals = df.select(F.col(value_col).cast("long").alias("v")).withColumn(
+        # floor division (pmod keeps bucket order monotone for negatives)
+        "bkt", F.expr(f"(v - pmod(v, {int(bucket)}L)) div {int(bucket)}L")
+    )
+    histo = vals.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        histo.withColumn("cum", F.sum("cnt").over(wb))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        .select("bkt", "cum", "cum_prev")
+    )
+    n_row = df.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = n_row.select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in p_ppms])
+        ).alias("p_ppm"),
+        "__n",
+    ).select(
+        "p_ppm",
+        F.expr("(p_ppm * __n + 999999) div 1000000").alias("rank"),
+    )
+    located = (
+        ranks.join(
+            F.broadcast(cum),
+            (F.col("cum_prev") < F.col("rank"))
+            & (F.col("rank") <= F.col("cum")),
+        )
+        .select(
+            "p_ppm", "rank",
+            F.col("bkt").alias("_lb"),
+            (F.col("rank") - F.col("cum_prev")).alias("_loff"),
+        )
+    )
+    wv = Window.partitionBy("bkt").orderBy("v")
+    picked = vals.join(
+        F.broadcast(located.select(F.col("_lb").alias("bkt")).distinct()),
+        "bkt",
+    ).withColumn("rn", F.row_number().over(wv))
+    return picked.join(
+        F.broadcast(located),
+        (picked["bkt"] == F.col("_lb")) & (picked["rn"] == F.col("_loff")),
+    ).select("p_ppm", "rank", F.col("v").alias("value"))

@@ -17,6 +17,7 @@ from osmcha_spark.streaming.dedup import (
     run_dedup_stream,
 )
 from osmcha_spark.streaming.joins import (
+    enrich_stream,
     interval_stream_join,
     run_stream_join,
 )
@@ -34,6 +35,7 @@ from osmcha_spark.streaming.stateful import user_stats_stream
 __all__ = [
     "deduped_stream",
     "run_dedup_stream",
+    "enrich_stream",
     "interval_stream_join",
     "run_stream_join",
     "read_replication_stream",

@@ -82,3 +82,31 @@ def run_stream_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    payload_cols: tuple[str, ...],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join — every micro-batch joins against a
+    BROADCAST static dimension (users, customers, config): the standard
+    "decorate the feed" step before stateful logic.
+
+    Unlike the stream-stream join above this is STATELESS — no
+    watermark, no buffering, nothing to evict: the static side is
+    re-planned per micro-batch (for file-backed dims that means a
+    slowly-changing dim is picked up on refresh without restarting the
+    query) and the broadcast hint keeps the per-batch join a map-side
+    hash probe instead of shuffling the feed. At production rates the
+    feed never repartitions; the dim must fit the broadcast budget —
+    for fact-sized dims use the stateful as-of machinery instead.
+
+    ``how`` left_outer keeps unmatched feed rows (NULL payload);
+    inner drops them.
+    """
+    return stream.join(
+        F.broadcast(dim.select(key, *payload_cols)), key, how
+    )

@@ -1324,3 +1324,36 @@ def test_skyline_2d_vs_brute_force(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_order_statistics_vs_brute_force(spark):
+    """Two-phase selection == global sort, over duplicates, negatives,
+    and several bucket widths; building the DataFrame triggers no job
+    (ranks resolve in-plan, not via a driver count)."""
+    import random
+
+    from osmcha_spark.operators.quantiles import order_statistics
+
+    rng = random.Random(21)
+    vals = [rng.randint(-500, 500) for _ in range(997)] + [7] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    n = len(vals)
+    s = sorted(vals)
+    ps = [1, 250_000, 500_000, 900_000, 1_000_000]
+    want = {p: s[-(-p * n // 1_000_000) - 1] for p in ps}
+    for bucket in (1, 37, 1000, 1 << 30):
+        got = {
+            r.p_ppm: r.value
+            for r in order_statistics(df, "v", ps, bucket=bucket).collect()
+        }
+        assert got == want, f"bucket={bucket}"
+
+    sc = spark.sparkContext
+    sc.setJobGroup("os-lazy", "laziness check")
+    try:
+        lazy = order_statistics(df, "v", ps)
+        assert list(sc.statusTracker().getJobIdsForGroup("os-lazy")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -512,3 +512,50 @@ def test_stream_stream_join_across_batches(spark, tmp_path):
         & (rb["ts_r"] <= lv["ts"] + F.expr("INTERVAL 45 minutes")),
     ).collect()}
     assert got == want and len(got) > 0
+
+
+def test_enrich_stream_cross_batch_and_left_outer(spark, stream_dirs):
+    """Stream-static enrichment: rows arriving in DIFFERENT micro-batches
+    (maxFilesPerTrigger=1) all join against the broadcast dim; left_outer
+    keeps unmatched feed rows with NULL payload, inner drops them."""
+    import glob
+    import os
+    import shutil
+
+    from osmcha_spark.streaming import enrich_stream
+
+    in_dir, out_dir, ckpt = stream_dirs
+    feed = [(1, 10), (2, 20), (3, 99)]  # custkey 99 has no dim row
+    for i, row in enumerate(feed):
+        tmp = os.path.join(os.path.dirname(in_dir), f"_st{i}")
+        spark.createDataFrame([row], "order_id long, cust long") \
+            .coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"b{i}.parquet"))
+
+    dim = spark.createDataFrame(
+        [(10, "EU"), (20, "NA")], "cust long, region string"
+    )
+
+    def run(how, out):
+        ss = (
+            spark.readStream.schema("order_id long, cust long")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            enrich_stream(ss, dim, "cust", ("region",), how=how)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ckpt")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            (r.order_id, r.region)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    assert run("inner", out_dir + "_i") == {(1, "EU"), (2, "NA")}
+    assert run("left_outer", out_dir + "_l") == {
+        (1, "EU"), (2, "NA"), (3, None)
+    }

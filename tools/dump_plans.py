@@ -428,6 +428,23 @@ def main() -> None:
         formatted(skyline_2d(sky, "value_cents", "n_events")),
     ))
 
+    from osmcha_spark.operators.quantiles import order_statistics
+
+    cents = spark.read.parquet(
+        os.path.join(sf, "events.parquet")
+    ).select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    sections.append((
+        "Exact order statistics (two-phase selection)",
+        "expect: one fact HashAggregate (the histogram), a tiny "
+        "unpartitioned window over non-empty buckets, broadcast "
+        "locate joins, bucket-LOCAL refinement window — no global "
+        "sort of the fact, no Python eval",
+        formatted(order_statistics(
+            cents, "cents", [250_000, 500_000, 900_000, 990_000],
+            bucket=100,
+        )),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
