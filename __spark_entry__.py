@@ -4476,6 +4476,39 @@ SELECT r.p_ppm, r.rank, o.v AS value FROM r JOIN o ON o.rn = r.rank
 """
 
 
+# --------------------------------------------------------------- q90
+
+def q90_block_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block luma grid (images/features.py:block_means — the 4×4
+    "thumbnail embedding" behind visual near-dup blocking and quality
+    heatmaps) recomputed distributed through the Arrow UDF
+    (images/udfs.py:block_means_udf) and exploded to one row per block;
+    the oracle reads the generation-time stored column (the q51/q25
+    stored-expected-column discipline) — recompute must equal storage
+    bit-for-bit for every format including the lossy one."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.udfs import block_means_udf
+
+    imgs = spark.read.parquet(os.path.join(FIXTURE_DIR, "images.parquet"))
+    grids = imgs.select(
+        "image_id", "fmt",
+        block_means_udf(F.col("bytes"), F.col("fmt")).alias("bm"),
+    )
+    return grids.select(
+        "image_id", "fmt",
+        F.posexplode(F.col("bm")).alias("block_idx", "mean_milli"),
+    )
+
+
+def _q90_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return (
+        f"SELECT image_id, fmt, "
+        f"generate_subscripts(block_means, 1) - 1 AS block_idx, "
+        f"unnest(block_means) AS mean_milli FROM read_parquet('{path}')"
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4586,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_skyline": q87_skyline,
         "q88_stream_enrich": q88_stream_enrich,
         "q89_order_statistics": q89_order_statistics,
+        "q90_block_means": q90_block_means,
     }
 
 
@@ -4681,4 +4715,5 @@ def oracle_sql() -> dict[str, str]:
         "q87_skyline": _Q87_ORACLE,
         "q88_stream_enrich": _Q88_ORACLE,
         "q89_order_statistics": _Q89_ORACLE,
+        "q90_block_means": _q90_oracle(),
     }

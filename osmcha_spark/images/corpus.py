@@ -321,14 +321,16 @@ def write_images_parquet(path: str, n: int) -> None:
     import pyarrow.parquet as pq
 
     from osmcha_spark.images.codec import decode_image
-    from osmcha_spark.images.features import image_features
+    from osmcha_spark.images.features import block_means, image_features
 
     rows = [row_for(i) for i in range(n)]
     for r in rows:
-        br, ct, sh = image_features(decode_image(r["bytes"], r["fmt"]))
+        px = decode_image(r["bytes"], r["fmt"])
+        br, ct, sh = image_features(px)
         r["brightness_milli"] = br
         r["contrast_milli"] = ct
         r["sharpness_milli"] = sh
+        r["block_means"] = block_means(px)
     schema = pa.schema([
         ("image_id", pa.string()), ("bytes", pa.binary()),
         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
@@ -336,5 +338,6 @@ def write_images_parquet(path: str, n: int) -> None:
         ("lon", pa.float64()), ("lat", pa.float64()),
         ("brightness_milli", pa.int64()), ("contrast_milli", pa.int64()),
         ("sharpness_milli", pa.int64()),
+        ("block_means", pa.list_(pa.int64())),
     ])
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)

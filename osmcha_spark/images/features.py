@@ -47,3 +47,27 @@ def image_features(px: np.ndarray) -> tuple[int, int, int]:
     )
     sharpness = int(np.floor((int(lap.sum()) / lap.size) * 1000.0))
     return brightness, contrast, sharpness
+
+
+def block_means(px: np.ndarray, grid: int = 4) -> list[int]:
+    """Row-major ``grid×grid`` list of per-block mean-luma milli values —
+    the tiny "thumbnail embedding" behind visual near-dup blocking and
+    quality heatmaps (each block: ``sum(gray)·1000 // count``, pure
+    integer, so engine-recomputed values equal the generation-time
+    stored column bit-for-bit, the q51 discipline).
+
+    Block boundaries are ``i·h // grid`` (deterministic for any dims ≥
+    grid); requires ``min(h, w) ≥ grid``.
+    """
+    g = gray_int(px)
+    h, w = g.shape
+    if min(h, w) < grid:
+        raise ValueError(f"image {w}x{h} smaller than grid {grid}")
+    out = []
+    for bi in range(grid):
+        r0, r1 = bi * h // grid, (bi + 1) * h // grid
+        for bj in range(grid):
+            c0, c1 = bj * w // grid, (bj + 1) * w // grid
+            blk = g[r0:r1, c0:c1]
+            out.append(int(blk.sum()) * 1000 // blk.size)
+    return out

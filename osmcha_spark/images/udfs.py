@@ -177,3 +177,18 @@ def decode_safe_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
             out.append({"ok": False, "w": None, "h": None,
                         "err": f"{type(e).__name__}: {e}"[:80]})
     return pd.DataFrame(out)
+
+
+@pandas_udf("array<bigint>")
+def block_means_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """decode → 4×4 per-block mean-luma grid (images/features.py:
+    block_means — one shared integer spec with the fixture writer, so
+    recomputed grids equal the stored column exactly, every format
+    including the lossy one)."""
+    from osmcha_spark.images.features import block_means
+
+    out = []
+    for b, f in zip(data, fmt):
+        out.append(None if b is None
+                   else block_means(decode_image(bytes(b), f)))
+    return pd.Series(out)
