@@ -4509,6 +4509,59 @@ def _q90_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------- q91
+
+def q91_grid_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup via banded luma grids (operators/dedup_images.py:
+    grid_near_dup_pairs): grids RECOMPUTED from the binary image column
+    through the Arrow UDF (the full image path — q90 proves recompute ≡
+    stored), banded candidates at quant 8000, exact integer L1 verify ≤
+    20000. Finds exactly the fixture's 5 generated near-dup pairs (the
+    same pairs q19's phash banding finds — two independent visual-dedup
+    paths agreeing is itself a check). Oracle mirrors the candidate
+    generation over the STORED grids (q36/q38 rule)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.udfs import block_means_udf
+    from osmcha_spark.operators.dedup_images import grid_near_dup_pairs
+
+    imgs = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "images.parquet")
+    ).select(
+        "image_id",
+        block_means_udf(F.col("bytes"), F.col("fmt")).alias("grid"),
+    )
+    return grid_near_dup_pairs(imgs, threshold=20000).select("a", "b", "l1")
+
+
+def _q91_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return f"""
+WITH flat AS (
+  SELECT image_id, unnest(block_means) AS v,
+         generate_subscripts(block_means, 1) AS i
+  FROM read_parquet('{path}')
+),
+bands AS (
+  SELECT image_id, CAST((i - 1) // 4 AS INT) AS b,
+         string_agg(CAST(v - (v % 8000) AS VARCHAR), ',' ORDER BY i) AS key
+  FROM flat GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.image_id AS a, y.image_id AS b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.key = y.key AND x.image_id < y.image_id
+),
+l1s AS (
+  SELECT c.a, c.b, CAST(sum(abs(x.v - y.v)) AS BIGINT) AS l1
+  FROM cand c
+  JOIN flat x ON x.image_id = c.a
+  JOIN flat y ON y.image_id = c.b AND y.i = x.i
+  GROUP BY 1, 2
+)
+SELECT a, b, l1 FROM l1s WHERE l1 <= 20000
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4620,6 +4673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_stream_enrich": q88_stream_enrich,
         "q89_order_statistics": q89_order_statistics,
         "q90_block_means": q90_block_means,
+        "q91_grid_near_dup": q91_grid_near_dup,
     }
 
 
@@ -4716,4 +4770,5 @@ def oracle_sql() -> dict[str, str]:
         "q88_stream_enrich": _Q88_ORACLE,
         "q89_order_statistics": _Q89_ORACLE,
         "q90_block_means": _q90_oracle(),
+        "q91_grid_near_dup": _q91_oracle(),
     }

@@ -94,3 +94,77 @@ def phash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def grid_near_dup_pairs(
+    imgs: DataFrame,
+    threshold: int,
+    quant: int = 8000,
+    bands: int = 4,
+    id_col: str = "image_id",
+    grid_col: str = "grid",
+) -> DataFrame:
+    """(a, b, l1) — visual near-duplicates by their per-block luma grids
+    (images/features.py:block_means): banded candidate generation over
+    QUANTIZED grid bands, exact integer L1 verify.
+
+    Banding: the 16-value grid splits into ``bands`` contiguous runs;
+    each run's values bucket by ``x − pmod(x, quant)`` (pure integer —
+    same classes as ``x div quant``, no division anywhere) and
+    serialize to a string band key (portable: no engine array-equality
+    semantics reach the oracle). Near-identical images differ by a few
+    hundred milli per block, so at quant 8000 some band almost surely
+    matches bucket-for-bucket; a random pair rarely matches a whole
+    4-value band. Like every banded op here (q19/q36/q86) recall is
+    the honest tradeoff — a near-dup straddling a bucket boundary in
+    every band is missed — so the q91 oracle mirrors the SAME candidate
+    generation over the stored grids, never an exact all-pairs oracle.
+
+    Scale: one explode (×bands), one equi-join on the band key, an
+    O(candidates) in-row ``zip_with`` L1 verify. The grid is 16 longs
+    per image — the blocking index is ~128 B/image where raw pixels
+    are KBs, which is why thumbnail-grid blocking is the standard
+    first pass of visual dedup at corpus scale.
+    """
+    run = -(-16 // bands)
+    g = imgs.select(F.col(id_col).alias("id"), F.col(grid_col).alias("g"))
+    bandrows = g.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("g"), b * run + 1, run),
+                            lambda x: (x - F.pmod(x, F.lit(int(quant))))
+                            .cast("string"),
+                        ),
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.b").alias("b"), F.col("e.key").alias("key"))
+    cand = (
+        bandrows.select(F.col("id").alias("a"), "b", "key")
+        .join(bandrows.select(F.col("id").alias("b_id"), "b", "key"),
+              ["b", "key"])
+        .where(F.col("a") < F.col("b_id"))
+        .select("a", F.col("b_id").alias("b"))
+        .distinct()
+    )
+    l1 = F.aggregate(
+        F.zip_with(F.col("ga"), F.col("gb"), lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return (
+        cand.join(g.select(F.col("id").alias("a"), F.col("g").alias("ga")),
+                  "a")
+        .join(g.select(F.col("id").alias("b"), F.col("g").alias("gb")), "b")
+        .withColumn("l1", l1)
+        .where(F.col("l1") <= threshold)
+        .select("a", "b", "l1")
+    )

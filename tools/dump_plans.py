@@ -445,6 +445,20 @@ def main() -> None:
         )),
     ))
 
+    from osmcha_spark.operators.dedup_images import grid_near_dup_pairs
+
+    gimgs = spark.read.parquet(
+        os.path.join(FIXTURES, "images.parquet")
+    ).select("image_id", F.col("block_means").alias("grid"))
+    sections.append((
+        "Visual near-dup via banded luma grids",
+        "expect: explode to band keys, ONE equi-join on (band, key), "
+        "distinct pairs, in-row zip_with L1 verify — no cartesian; "
+        "Python-free over stored grids (the UDF recompute is the q90 "
+        "gate's concern)",
+        formatted(grid_near_dup_pairs(gimgs, threshold=20000)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
