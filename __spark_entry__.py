@@ -4562,6 +4562,85 @@ SELECT a, b, l1 FROM l1s WHERE l1 <= 20000
 """
 
 
+# --------------------------------------------------------------- q92
+
+def q92_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (operators/events.py:retention_cohorts):
+    users bucketed by first-event week, counted once per week-age at
+    which they return — over every 13th event (sparse enough that
+    retention actually decays). No window, no fact self-join: distinct
+    activity + min-bucket cohort + one key join + (cohort, age)
+    count."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import retention_cohorts
+
+    ev = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).where(F.col("event_id") % 13 == 0)
+    return retention_cohorts(ev).select("cohort", "age", "n_users")
+
+
+_Q92_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+  FROM events WHERE event_id % 13 = 0
+),
+c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+SELECT c.cohort, e.wk - c.cohort AS age,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM e JOIN c ON c.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- q93
+
+def q93_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty vs a reference corpus (operators/text.py:
+    bigram_novelty): every 20th document is the reference vocabulary;
+    each remaining doc scores the ppm of its DISTINCT bigrams unseen in
+    the reference — the curation dial between phrase-level boilerplate
+    (0) and new content (high). Bigrams built JVM-side by zipping the
+    token array with its own tail; all-integer ppm."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import bigram_novelty
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ref = docs.where(F.col("doc_id") % 20 == 0)
+    cand = docs.where(F.col("doc_id") % 20 != 0)
+    return bigram_novelty(cand, ref).select(
+        "doc_id", "n_bigrams", "n_unseen", "novelty_ppm"
+    )
+
+
+_Q93_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+bg AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
+       FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+vocab AS (SELECT DISTINCT bg FROM bg WHERE doc_id % 20 = 0),
+cand AS (SELECT doc_id, bg FROM bg WHERE doc_id % 20 <> 0),
+agg AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(*) FILTER (WHERE v.bg IS NULL) AS BIGINT) AS n_unseen
+  FROM cand c LEFT JOIN vocab v ON v.bg = c.bg GROUP BY 1
+),
+alldocs AS (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.n_unseen, 0) AS n_unseen,
+       CAST(CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+            ELSE (a.n_unseen * 1000000) // a.n_bigrams END AS BIGINT)
+         AS novelty_ppm
+FROM alldocs d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4674,6 +4753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_order_statistics": q89_order_statistics,
         "q90_block_means": q90_block_means,
         "q91_grid_near_dup": q91_grid_near_dup,
+        "q92_retention": q92_retention,
+        "q93_bigram_novelty": q93_bigram_novelty,
     }
 
 
@@ -4771,4 +4852,6 @@ def oracle_sql() -> dict[str, str]:
         "q89_order_statistics": _Q89_ORACLE,
         "q90_block_means": _q90_oracle(),
         "q91_grid_near_dup": _q91_oracle(),
+        "q92_retention": _Q92_ORACLE,
+        "q93_bigram_novelty": _Q93_ORACLE,
     }

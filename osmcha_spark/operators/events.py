@@ -399,3 +399,38 @@ def funnel(events: DataFrame, steps: tuple[str, ...],
         done.cast("int").alias("steps_completed"),
         *[state[f"t{i + 1}"].alias(f"t{i + 1}_us") for i in range(n)],
     )
+
+
+def retention_cohorts(events: DataFrame, bucket_s: int = 604800,
+                      key_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """(cohort, age, n_users) — the retention matrix: users grouped by
+    the time bucket of their FIRST event (the cohort), counted once per
+    bucket-age at which they were active again. The classic growth
+    analytics query, and the canonical "self-join on first-touch" trap:
+    the naive spelling joins the fact to a first-event subquery per row.
+
+    Shape here: distinct (key, bucket) activity (one groupBy — dedup
+    before anything fans out), min-bucket cohort per key (same key
+    shuffle, Catalyst reuses the partitioning), one join on the key,
+    final (cohort, age) count — map-side combinable. No window, no
+    fact self-join.
+
+    Buckets are epoch-micros ``div`` (true int64, q81 discipline);
+    ``age`` = activity bucket − cohort bucket, 0 for the signup bucket.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_us = int(bucket_s) * 1_000_000
+    act = (
+        events.select(F.col(key_col).alias("key"), us.alias("ts_us"))
+        .withColumn("wk", F.expr(f"ts_us div {bucket_us}L"))
+        .select("key", "wk")
+        .distinct()
+    )
+    cohorts = act.groupBy("key").agg(F.min("wk").alias("cohort"))
+    return (
+        act.join(cohorts, "key")
+        .select("cohort", (F.col("wk") - F.col("cohort")).alias("age"))
+        .groupBy("cohort", "age")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -250,3 +250,70 @@ def banded_edit_pairs(docs: DataFrame, str_col: str, length: int,
         .where(F.col("dist") <= max_dist)
         .select("a", "b", "dist")
     )
+
+
+def bigram_novelty(docs: DataFrame, reference: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, n_unseen, novelty_ppm) — how much of each
+    document is NOT covered by a reference corpus's bigram vocabulary:
+    the curation-side novelty/contamination dial (novelty 0 = the doc
+    is phrase-level boilerplate of the reference; high novelty = new
+    content — or noise, which quality_score separates).
+
+    Bigrams are adjacent lowercase-token pairs, DISTINCT per doc, built
+    JVM-side by zipping the token array with its own tail (two slices +
+    ``zip_with`` — no explode until the vocabulary membership join).
+    Membership = one left join against the reference's distinct bigram
+    vocabulary; ``novelty_ppm = n_unseen·10^6 div n_bigrams`` in pure
+    int64. Docs with < 2 tokens have no bigrams and are emitted with
+    (0, 0, 0) — boilerplate by convention, pinned by pytest.
+
+    Scale: vocab is a distinct-agg of the reference (map-side
+    combined); the membership join is an equi-join on the bigram
+    string — broadcastable while the vocab fits, an ordinary shuffle
+    join past that. No UDF anywhere.
+    """
+    def bigrams(col):
+        toks = F.filter(
+            F.split(F.lower(col), "\\s+"), lambda t: t != ""
+        )
+        n = F.size(toks)
+        return F.array_distinct(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        )
+
+    vocab = (
+        reference.select(
+            F.explode(bigrams(F.col(text_col))).alias("bg")
+        )
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"), bigrams(F.col(text_col)).alias("bgs")
+    )
+    exploded = per_doc.select(
+        "doc_id", F.explode_outer(F.col("bgs")).alias("bg")
+    )
+    joined = exploded.join(vocab, "bg", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.col("bg")).alias("n_bigrams"),
+            F.count(
+                F.when(F.col("bg").isNotNull() & F.col("_seen").isNull(), 1)
+            ).alias("n_unseen"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_unseen",
+            F.when(F.col("n_bigrams") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(n_unseen * 1000000L) div n_bigrams")
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -1357,3 +1357,57 @@ def test_order_statistics_vs_brute_force(spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_cohorts_decay_and_dedup(spark):
+    """A user active twice in one bucket counts ONCE; cohort is the
+    first-activity bucket; age 0 row equals the cohort's size."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.events import retention_cohorts
+
+    B = 3600  # 1-hour buckets
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 10)),   # u1 cohort hour 0
+        (2, 1, datetime(2024, 1, 1, 0, 50)),   # same bucket — dedup
+        (3, 1, datetime(2024, 1, 1, 2, 5)),    # age 2
+        (4, 2, datetime(2024, 1, 1, 0, 59)),   # u2 cohort hour 0
+        (5, 3, datetime(2024, 1, 1, 1, 0)),    # u3 cohort hour 1
+        (6, 3, datetime(2024, 1, 1, 2, 0)),    # age 1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {(r.cohort, r.age): r.n_users
+           for r in retention_cohorts(df, bucket_s=B).collect()}
+    h0 = 1704067200 // B
+    assert got == {
+        (h0, 0): 2, (h0, 2): 1,
+        (h0 + 1, 0): 1, (h0 + 1, 1): 1,
+    }
+
+
+def test_bigram_novelty_edges(spark):
+    """Boilerplate doc (all bigrams in reference) → 0 ppm; fully novel
+    doc → 10^6 ppm; sub-2-token doc → (0, 0, 0); DISTINCT bigrams only
+    (a repeated phrase counts once)."""
+    from osmcha_spark.operators.text import bigram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown"),          # both bigrams known → 0
+            (2, "purple monkey dishwasher"), # none known → 1e6
+            (3, "quick brown quick brown"),  # distinct: 3 bigrams
+            (4, "hello"),                    # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.n_unseen, r.novelty_ppm)
+           for r in bigram_novelty(docs, ref).collect()}
+    assert got[1] == (2, 0, 0)
+    assert got[2] == (2, 2, 1_000_000)
+    # "quick brown", "brown quick" — distinct of 3 positions = 2; only
+    # "brown quick" is unseen
+    assert got[3] == (2, 1, 500_000)
+    assert got[4] == (0, 0, 0)
