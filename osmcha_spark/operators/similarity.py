@@ -710,3 +710,39 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def brute_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, d2, rank): exact integer-quantized
+    squared-L2 top-k, excluding self; ties broken by neighbor_id. The
+    ground truth for the L2-metric ANN tiers (PQ/ADC) the way
+    :func:`brute_topk` is for the dot-product tiers — recall of an
+    approximate method is only meaningful against ITS OWN metric's
+    exact baseline (tools/ann_recall.py)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _qvec(F.col(vec_col)).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1411,3 +1411,28 @@ def test_bigram_novelty_edges(spark):
     # "brown quick" is unseen
     assert got[3] == (2, 1, 500_000)
     assert got[4] == (0, 0, 0)
+
+
+def test_ann_recall_curve_pins(spark):
+    """Deterministic recall@10 floors for the ANN ladder on the real
+    sf0.001 embeddings, each tier vs ITS OWN metric's exact baseline
+    (tools/ann_recall.py). The synthetic embeddings are near-random —
+    ANN's worst case — so the absolute numbers are modest BY DESIGN;
+    the pinned property is the monotone probe-vs-recall tradeoff
+    (nprobe 1 < 2 < 4) plus per-tier floors: everything is integer-
+    deterministic, so a drop means a semantics regression, not noise."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_recall",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "ann_recall.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.run(spark, "/root/testdata/sf0.001")
+    assert res["ivf_nprobe1"] < res["ivf_nprobe2"] < res["ivf_nprobe4"]
+    assert res["ivf_nprobe4"] >= 0.30
+    assert res["pq_m8"] >= 0.10
+    assert res["lsh_12bit"] >= 0.01

@@ -463,3 +463,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fact")
         spark.sql("DROP TABLE IF EXISTS t_dim")
+
+
+def test_topk_windows_push_group_limit(spark):
+    """Every rank-then-filter top-k here must keep Spark's
+    WindowGroupLimit pushdown (SPARK-37099): without it the window
+    sorts and ranks EVERY row per partition key before the filter
+    discards all but k — at corpus scale that's the difference between
+    a bounded per-group heap and a full per-group sort. Pins the
+    row_number()+filter shape the optimizer recognizes."""
+    from osmcha_spark.operators.knn import knn_join
+    from osmcha_spark.operators.similarity import pq_topk
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7) / 10, float(i % 11) / 10) for i in range(80)],
+        "id long, lon double, lat double",
+    )
+    assert "WindowGroupLimit" in _plan(
+        knn_join(pts, k=3, radius=0.2)
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") < 4)
+    assert "WindowGroupLimit" in _plan(
+        pq_topk(emb, q, k=3, m=4, dim=8, centroid_stride=10)
+    )
