@@ -4641,6 +4641,94 @@ FROM alldocs d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------- q94
+
+def q94_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/similarity.py:ivfpq_topk; Jégou et al. TPAMI
+    2011 §V, the FAISS IVFx,PQy composition): coarse probe lists
+    (stride-25 codebook, nprobe 2) pruning the corpus before PQ/ADC
+    scoring (8×8 subspaces, stride-50 codebook) — delivering the
+    composition q79's docstring promises. Non-residual variant
+    (original-vector codes; stated in the operator docstring). All
+    integer, so the oracle mirrors coarse assignment + probes + ADC
+    end to end."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return ivfpq_topk(
+        emb, q, k=5, coarse_stride=25, nprobe=2, m=8, dim=64, pq_stride=50
+    ).select("query_id", "rank", "neighbor_id", "adist")
+
+
+_Q94_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+coarse_d2 AS (
+  SELECT f.vec_id AS id, c.vec_id AS centroid_id,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM flat f JOIN flat c ON c.idx = f.idx AND c.vec_id % 25 = 0
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT id, centroid_id FROM (
+    SELECT id, centroid_id,
+           row_number() OVER (PARTITION BY id ORDER BY d2, centroid_id) AS rn
+    FROM coarse_d2) t WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, centroid_id FROM (
+    SELECT id, centroid_id,
+           row_number() OVER (PARTITION BY id ORDER BY d2, centroid_id) AS rn
+    FROM coarse_d2 WHERE id < 20) t WHERE rn <= 2
+),
+sub AS (
+  SELECT vec_id, val, idx, CAST((idx - 1) // 8 AS INT) AS s FROM flat
+),
+encd2 AS (
+  SELECT f.vec_id AS id, f.s, c.vec_id AS code_id,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM sub f JOIN sub c ON f.idx = c.idx AND f.s = c.s AND c.vec_id % 50 = 0
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT id, s, code_id FROM (
+    SELECT id, s, code_id,
+           row_number() OVER (PARTITION BY id, s ORDER BY d2, code_id) AS rn
+    FROM encd2) t WHERE rn = 1
+),
+qd2 AS (
+  SELECT id AS query_id, s, code_id, d2 FROM encd2 WHERE id < 20
+),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+  WHERE a.id <> p.query_id
+),
+adist AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(q.d2) AS BIGINT) AS adist
+  FROM cand c
+  JOIN codes n ON n.id = c.neighbor_id
+  JOIN qd2 q ON q.query_id = c.query_id AND q.s = n.s
+            AND q.code_id = n.code_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, neighbor_id) AS rank
+  FROM adist
+)
+SELECT query_id, rank, neighbor_id, adist FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4755,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_grid_near_dup": q91_grid_near_dup,
         "q92_retention": q92_retention,
         "q93_bigram_novelty": q93_bigram_novelty,
+        "q94_ivfpq_ann": q94_ivfpq_ann,
     }
 
 
@@ -4854,4 +4943,5 @@ def oracle_sql() -> dict[str, str]:
         "q91_grid_near_dup": _q91_oracle(),
         "q92_retention": _Q92_ORACLE,
         "q93_bigram_novelty": _Q93_ORACLE,
+        "q94_ivfpq_ann": _Q94_ORACLE,
     }

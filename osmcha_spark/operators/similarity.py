@@ -618,6 +618,34 @@ def pq_topk(
     bit-for-bit. At corpus scale, compose with :func:`ivf_assign` for the
     coarse stage (IVF-PQ): probe lists first, ADC-score within lists.
     """
+    coded, qtabs, adist = _pq_parts(
+        corpus, queries, m, dim, centroid_stride, id_col, vec_col
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qtabs))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _pq_parts(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int,
+    dim: int,
+    centroid_stride: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, F.Column]:
+    """The shared PQ machinery behind :func:`pq_topk` (flat scan) and
+    :func:`ivfpq_topk` (probe-list scan): returns (coded corpus rows
+    ``(neighbor_id, codes)``, query ADC tables ``(query_id, qtab)``,
+    and the ``adist`` Column scoring a joined (codes, qtab) row)."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
@@ -700,9 +728,70 @@ def pq_topk(
             F.element_at(F.col("codes"), s + 1),
         ),
     )
+    return coded, qtabs, adist
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse_stride: int = 25,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    pq_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN composition (Jégou et al. TPAMI
+    2011 §V; the FAISS ``IVFx,PQy`` index) — a COARSE inverted-file
+    quantizer (:func:`ivf_assign`) prunes the corpus to ``nprobe``
+    probe lists per query, and PQ/ADC (:func:`pq_topk`'s machinery)
+    scores only those lists with ``m`` map lookups per candidate.
+
+    This variant codes the ORIGINAL vectors, not the residuals
+    (IVFFlat-style PQ): residual coding needs per-list codebooks, which
+    at this corpus scale buys little and costs a codebook per centroid;
+    the docstring states it so nobody mistakes this for residual-PQ
+    recall. Both stages keep the repo's determinism discipline
+    (``id % stride`` codebooks, integer L2, id tiebreaks), so the q94
+    oracle mirrors coarse assignment + probes + ADC end to end.
+
+    Scale shape: encode is the same shuffle-free projection as
+    :func:`pq_topk`; the probe join replaces PQ's broadcast crossJoin
+    with an equi-join on centroid_id — per query, work drops from
+    O(corpus) map-lookups to O(corpus·nprobe/n_centroids), which is
+    the whole point of the coarse stage. Hot lists are ordinary skewed
+    join keys (AQE-splittable).
+    """
+    cents, assigned = ivf_assign(corpus, coarse_stride, id_col, vec_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qqv")
+    )
+    probe_d2 = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("query_id", "centroid_id", probe_d2.alias("d2"))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    coded, qtabs, adist = _pq_parts(
+        corpus, queries, m, dim, pq_stride, id_col, vec_col
+    )
     scored = (
-        coded.crossJoin(F.broadcast(qtabs))
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(coded, "neighbor_id")
+        .join(F.broadcast(qtabs), "query_id")
         .select("query_id", "neighbor_id", adist.alias("adist"))
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")

@@ -1436,3 +1436,43 @@ def test_ann_recall_curve_pins(spark):
     assert res["ivf_nprobe4"] >= 0.30
     assert res["pq_m8"] >= 0.10
     assert res["lsh_12bit"] >= 0.01
+
+
+def test_ivfpq_is_pq_restricted_to_probed_lists(spark):
+    """IVF-PQ ≡ flat PQ restricted to the probed lists: with nprobe =
+    n_centroids (probe everything) the result EQUALS pq_topk; with
+    nprobe=1 every returned neighbor belongs to one of the query's
+    probed lists. Laziness + plan hygiene."""
+    from osmcha_spark.operators.similarity import ivf_assign, ivfpq_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivfpq_topk(emb, q, k=5, coarse_stride=25, nprobe=20,
+                            m=8, dim=64, pq_stride=50).collect()
+    }
+    flat = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_topk(emb, q, k=5, m=8, dim=64,
+                         centroid_stride=50).collect()
+    }
+    assert full == flat
+
+    narrow = ivfpq_topk(emb, q, k=5, coarse_stride=25, nprobe=1,
+                        m=8, dim=64, pq_stride=50)
+    _, assigned = ivf_assign(emb, 25)
+    lists = {r.id: r.centroid_id for r in assigned.collect()}
+    # nprobe=1: each query's probe list is its own centroid
+    for r in narrow.collect():
+        assert lists[r.neighbor_id] == lists[r.query_id]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ivfpq-lazy", "laziness check")
+    try:
+        lazy = ivfpq_topk(emb, q, k=5)
+        assert list(sc.statusTracker().getJobIdsForGroup("ivfpq-lazy")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
