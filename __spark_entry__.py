@@ -4729,6 +4729,53 @@ SELECT query_id, rank, neighbor_id, adist FROM ranked WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------- q95
+
+def q95_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (operators/events.py:
+    time_weighted_avg): each observation holds until the next; the step
+    function integrates EXACTLY in int64 cents·µs — what gap_fill (q81)
+    approximates on a grid, with no grid and no resolution error. One
+    shuffle: lead + sum share the per-key window partitioning."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import time_weighted_avg
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return time_weighted_avg(ev).select(
+        "user_id", "span_us", "integral", "twap_cents"
+    )
+
+
+_Q95_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS tb,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+stepped AS (
+  SELECT key, ts_us, cents,
+         lead(ts_us) OVER (PARTITION BY key ORDER BY ts_us, tb) - ts_us
+           AS dt
+  FROM ev
+),
+firsts AS (
+  SELECT key, cents AS first_cents FROM (
+    SELECT key, cents,
+           row_number() OVER (PARTITION BY key ORDER BY ts_us, tb) AS rn
+    FROM ev) t WHERE rn = 1
+),
+agg AS (
+  SELECT key, max(ts_us) - min(ts_us) AS span_us,
+         CAST(COALESCE(sum(cents * dt), 0) AS BIGINT) AS integral
+  FROM stepped GROUP BY key
+)
+SELECT a.key AS user_id, a.span_us, a.integral,
+       CAST(CASE WHEN a.span_us = 0 THEN f.first_cents
+            ELSE a.integral // a.span_us END AS BIGINT) AS twap_cents
+FROM agg a JOIN firsts f ON f.key = a.key
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4844,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_retention": q92_retention,
         "q93_bigram_novelty": q93_bigram_novelty,
         "q94_ivfpq_ann": q94_ivfpq_ann,
+        "q95_twap": q95_twap,
     }
 
 
@@ -4944,4 +4992,5 @@ def oracle_sql() -> dict[str, str]:
         "q92_retention": _Q92_ORACLE,
         "q93_bigram_novelty": _Q93_ORACLE,
         "q94_ivfpq_ann": _Q94_ORACLE,
+        "q95_twap": _Q95_ORACLE,
     }

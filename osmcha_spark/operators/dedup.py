@@ -329,7 +329,11 @@ def prefix_jaccard_pairs(docs: DataFrame, threshold: float,
 
     Scale shape: one vocab agg (token df), one group-collect per doc,
     one prefix equi-join, one broadcast-free verify join on doc_id.
-    All pure Column ops; no UDF, no cartesian.
+    All pure Column ops; no UDF, no cartesian. The per-doc subtree
+    appears several times in the STATIC plan (prefixes + both verify
+    sides) but executes once: Spark's exchange reuse collapses the
+    identical shuffles at runtime (`ReusedExchange` in the executed
+    plan, pinned by tests/test_plans.py) — no manual persist needed.
     """
     from fractions import Fraction
 

@@ -1476,3 +1476,38 @@ def test_ivfpq_is_pq_restricted_to_probed_lists(spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_time_weighted_avg_exact_and_burst_insensitive(spark):
+    """TWAP of a hand-built step function equals the exact integral; a
+    burst of repeated observations of the SAME value does not move the
+    TWAP (the property plain AVG lacks); single-observation key emits
+    its observation with span 0."""
+    from datetime import datetime, timedelta
+
+    from osmcha_spark.operators.events import time_weighted_avg
+
+    T0 = datetime(2024, 1, 1)
+
+    def t(sec):
+        return T0 + timedelta(seconds=sec)
+
+    rows = [
+        # key 1: 1.00 for 10 s, then 3.00 for 30 s  → twap = 2.50
+        (1, 1, t(0), 1.00), (2, 1, t(10), 3.00), (3, 1, t(40), 3.00),
+        # key 2: same steps + a burst of redundant 1.00 observations
+        (4, 2, t(0), 1.00), (5, 2, t(1), 1.00), (6, 2, t(2), 1.00),
+        (7, 2, t(10), 3.00), (8, 2, t(40), 3.00),
+        # key 3: single observation
+        (9, 3, t(5), 9.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    # key 1: 100c*10s + 300c*30s over 40 s = 250c
+    assert got[1].span_us == 40_000_000
+    assert got[1].integral == 100 * 10_000_000 + 300 * 30_000_000
+    assert got[1].twap_cents == 250
+    assert got[2].twap_cents == 250  # burst-insensitive
+    assert got[3].span_us == 0 and got[3].twap_cents == 999

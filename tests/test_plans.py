@@ -491,3 +491,20 @@ def test_topk_windows_push_group_limit(spark):
     assert "WindowGroupLimit" in _plan(
         pq_topk(emb, q, k=3, m=4, dim=8, centroid_stride=10)
     )
+
+
+def test_prefix_jaccard_reuses_exchanges(spark):
+    """The per-doc token subtree appears several times in the static
+    plan (prefix side + both verify sides); Spark's exchange reuse must
+    collapse the identical shuffles at runtime — without it the most
+    expensive stage (tokenize + df-count + group-collect) runs 4×."""
+    from osmcha_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 11} common the") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = prefix_jaccard_pairs(docs, 0.6)
+    out.collect()  # AQE finalizes reuse only at execution
+    plan = _plan(out)
+    assert "ReusedExchange" in plan
