@@ -4776,6 +4776,72 @@ FROM agg a JOIN firsts f ON f.key = a.key
 """
 
 
+# --------------------------------------------------------------- q96
+
+def q96_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous merge (streaming/ingest.py:stream_upsert): a stale
+    snapshot (every cents = −1) partitioned by event_type is kept
+    current by a stream of re-analysed rows via foreachBatch →
+    upsert_partitioned — q58's dynamic-partition-overwrite merge,
+    incrementalized. Two KEY-DISJOINT batch files (ids ≡1 and ≡2 mod 3,
+    so file-pickup order cannot change the result) refresh two thirds
+    of the keys; ids ≡0 mod 3 keep the stale marker. The oracle states
+    the post-merge truth directly (the q52 pattern). Restart-resume and
+    untouched-partition byte-identity are pytest-gated
+    (tests/test_streaming.py::test_stream_upsert_merges_and_resumes)."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import stream_upsert
+
+    work = _work_dir("q96")
+    in_dir = os.path.join(work, "in")
+    table = os.path.join(work, "table")
+    os.makedirs(in_dir)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.select(
+        "event_id", "event_type", F.lit(-1).cast("long").alias("cents")
+    ).write.partitionBy("event_type").parquet(table)
+
+    for i, frag in enumerate([
+        ev.where(F.col("event_id") % 3 == 1),
+        ev.where(F.col("event_id") % 3 == 2),
+    ]):
+        tmp = os.path.join(work, f"_stage_{i}")
+        frag.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"b{i}.parquet"))
+
+    ss = (
+        spark.readStream.schema(
+            "event_id long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_upsert(
+        ss, table, key="event_id", partition_col="event_type",
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table).select(
+        "event_id", "event_type", "cents"
+    )
+
+
+_Q96_ORACLE = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 3 = 0 THEN -1
+            ELSE round(value * 100) END AS BIGINT) AS cents
+FROM events
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4892,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_bigram_novelty": q93_bigram_novelty,
         "q94_ivfpq_ann": q94_ivfpq_ann,
         "q95_twap": q95_twap,
+        "q96_stream_upsert": q96_stream_upsert,
     }
 
 
@@ -4993,4 +5060,5 @@ def oracle_sql() -> dict[str, str]:
         "q93_bigram_novelty": _Q93_ORACLE,
         "q94_ivfpq_ann": _Q94_ORACLE,
         "q95_twap": _Q95_ORACLE,
+        "q96_stream_upsert": _Q96_ORACLE,
     }

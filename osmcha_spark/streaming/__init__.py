@@ -16,6 +16,7 @@ from osmcha_spark.streaming.dedup import (
     deduped_stream,
     run_dedup_stream,
 )
+from osmcha_spark.streaming.ingest import stream_upsert
 from osmcha_spark.streaming.joins import (
     enrich_stream,
     interval_stream_join,
@@ -36,6 +37,7 @@ __all__ = [
     "deduped_stream",
     "run_dedup_stream",
     "enrich_stream",
+    "stream_upsert",
     "interval_stream_join",
     "run_stream_join",
     "read_replication_stream",

@@ -110,3 +110,4 @@ def enrich_stream(
     return stream.join(
         F.broadcast(dim.select(key, *payload_cols)), key, how
     )
+

@@ -559,3 +559,59 @@ def test_enrich_stream_cross_batch_and_left_outer(spark, stream_dirs):
     assert run("left_outer", out_dir + "_l") == {
         (1, "EU"), (2, "NA"), (3, None)
     }
+
+
+def test_stream_upsert_merges_and_resumes(spark, stream_dirs, tmp_path):
+    """foreachBatch-driven continuous merge: two micro-batches upsert
+    into a partitioned snapshot (second overwrites first's key); a
+    RESTARTED query consumes only the file added after the first drain
+    (offset checkpoint) and merges it — final table = last writer per
+    key, untouched partitions intact."""
+    import glob
+    import os
+    import shutil
+
+    from osmcha_spark.streaming import stream_upsert
+
+    in_dir, _out, ckpt = stream_dirs
+    table = str(tmp_path / "table")
+    # seed snapshot: two partitions
+    spark.createDataFrame(
+        [(1, "p1", 10), (2, "p2", 20)], "id long, part string, v long"
+    ).write.partitionBy("part").parquet(table)
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / f"_st_{name}")
+        spark.createDataFrame(rows, "id long, part string, v long") \
+            .coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"{name}.parquet"))
+
+    schema = "id long, part string, v long"
+
+    def drain():
+        ss = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = stream_upsert(ss, table, key="id", partition_col="part",
+                          checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    add_file([(1, "p1", 11)], "b0")        # update key 1
+    add_file([(3, "p1", 33)], "b1")        # new key in p1
+    drain()
+    got = {r.id: (r.part, r.v)
+           for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("p1", 11), 2: ("p2", 20), 3: ("p1", 33)}
+
+    p2_files = sorted(os.listdir(os.path.join(table, "part=p2")))
+
+    add_file([(1, "p1", 111), (4, "p3", 44)], "b2")
+    drain()  # restart from checkpoint: only b2 is new
+    got = {r.id: (r.part, r.v)
+           for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("p1", 111), 2: ("p2", 20), 3: ("p1", 33),
+                   4: ("p3", 44)}
+    # p2 never touched by any batch: files identical
+    assert sorted(os.listdir(os.path.join(table, "part=p2"))) == p2_files
