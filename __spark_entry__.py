@@ -4842,6 +4842,89 @@ FROM events
 """
 
 
+# --------------------------------------------------------------- q97
+
+def q97_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: fuzzy match → cluster → canonical.
+    q86's banded edit-distance join produces match pairs over the
+    mutated-md5 string families; connected components (q40's hash-min
+    fixpoint) merges pairs into entities; min-id member is canonical.
+    The composition gate: three independently-oracled operators chained,
+    checked against one declarative truth (mirrored candidates +
+    recursive-CTE closure). By construction every 4-doc family collapses
+    to one entity unless a mutation breaks all three segment bands."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.components import dedup_keep_canonical
+    from osmcha_spark.operators.text import banded_edit_pairs
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    base = F.substring(
+        F.md5(F.expr("doc_id div 4").cast("string")), 1, 12
+    )
+    pos = (F.col("doc_id") % 12 + 1).cast("int")
+    mut = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    s = F.when(F.col("doc_id") % 4 == 0, base).otherwise(
+        F.concat(
+            base.substr(F.lit(1), pos - 1),
+            mut,
+            base.substr(pos + 1, F.lit(12) - pos),
+        )
+    )
+    named = docs.select("doc_id", s.alias("s"))
+    pairs = banded_edit_pairs(
+        named, "s", length=12, segments=3, max_dist=2
+    ).select("a", "b")
+    return dedup_keep_canonical(docs, pairs).select(
+        "doc_id", "cluster_id", "is_canonical", "cluster_size"
+    )
+
+
+_Q97_ORACLE = """
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN base
+              ELSE substring(base, 1, pos - 1) || mut
+                   || substring(base, pos + 1, 12 - pos) END AS s
+  FROM (SELECT doc_id,
+               substring(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 12) AS base,
+               CAST(doc_id % 12 + 1 AS INT) AS pos,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS mut
+        FROM documents) t
+),
+segs AS (
+  SELECT doc_id, i, substring(s, i * 4 + 1, 4) AS seg
+  FROM s, (SELECT unnest(range(0, 3)) AS i) t
+),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+  FROM segs sa JOIN segs sb
+    ON sa.i = sb.i AND sa.seg = sb.seg AND sa.doc_id < sb.doc_id
+),
+pairs AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b
+  WHERE levenshtein(sa.s, sb.s) <= 2
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach
+         GROUP BY node)
+SELECT c.doc_id, c.cluster_id,
+       c.doc_id = c.cluster_id AS is_canonical,
+       sz.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp
+      GROUP BY cluster_id) sz USING (cluster_id)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4959,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_ivfpq_ann": q94_ivfpq_ann,
         "q95_twap": q95_twap,
         "q96_stream_upsert": q96_stream_upsert,
+        "q97_entity_resolution": q97_entity_resolution,
     }
 
 
@@ -5061,4 +5145,5 @@ def oracle_sql() -> dict[str, str]:
         "q94_ivfpq_ann": _Q94_ORACLE,
         "q95_twap": _Q95_ORACLE,
         "q96_stream_upsert": _Q96_ORACLE,
+        "q97_entity_resolution": _Q97_ORACLE,
     }
