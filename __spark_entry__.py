@@ -4925,6 +4925,36 @@ JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp
 """
 
 
+# --------------------------------------------------------------- q98
+
+def q98_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius spatial interaction join (operators/knn.py:
+    radius_join): ALL point pairs within 0.05°, each once — the
+    unbounded-degree sibling of q06's kNN, same disc-bbox cell
+    completeness argument, so the candidate generation is LOSSLESS and
+    the oracle is the definitional all-pairs distance filter."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.knn import radius_join
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return radius_join(pts, radius=0.05).select(
+        "left_id", "right_id", "dist"
+    )
+
+
+def _q98_oracle() -> str:
+    pts = synth.points_sql(D)
+    return f"""
+WITH p AS ({pts})
+SELECT a.id AS left_id, b.id AS right_id,
+       sqrt((a.lon - b.lon) * (a.lon - b.lon)
+          + (a.lat - b.lat) * (a.lat - b.lat)) AS dist
+FROM p a JOIN p b ON a.id < b.id
+WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.05
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5043,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_twap": q95_twap,
         "q96_stream_upsert": q96_stream_upsert,
         "q97_entity_resolution": q97_entity_resolution,
+        "q98_radius_join": q98_radius_join,
     }
 
 
@@ -5146,4 +5177,5 @@ def oracle_sql() -> dict[str, str]:
         "q95_twap": _Q95_ORACLE,
         "q96_stream_upsert": _Q96_ORACLE,
         "q97_entity_resolution": _Q97_ORACLE,
+        "q98_radius_join": _q98_oracle(),
     }

@@ -176,3 +176,61 @@ def knn_join_adaptive(
             )
         acc = resolved if acc is None else acc.unionByName(resolved)
     return acc
+
+
+def radius_join(
+    points: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int | None = None,
+) -> DataFrame:
+    """(left_id, right_id, dist) — ALL point pairs within ``radius``,
+    each unordered pair once (left_id < right_id): the spatial
+    interaction join (neighbor aggregation, collision/conflict
+    detection, contact tracing) — where :func:`knn_join` caps per-point
+    degree at k, this emits the full in-radius neighborhood.
+
+    Same cell machinery and completeness argument as kNN: the left side
+    explodes to the cells covering its radius-disc bbox, the right side
+    keys by its single containing cell, so every in-radius pair shares a
+    join cell (complete) and appears exactly once per orientation (the
+    right cell is single-valued); the ``left < right`` filter keeps one
+    orientation. EXACT — so the q98 oracle is the definitional all-pairs
+    distance filter, no mirroring needed.
+
+    Scale: output is Θ(Σ in-radius degree) — unlike kNN it is unbounded
+    per point; a dense hotspot shows up as join-key skew (AQE-split) AND
+    as output size, which is inherent to the query, not the plan.
+    """
+    level = level if level is not None else cell_level_for_radius(radius)
+    left = points.select(
+        F.col(id_col).alias("left_id"),
+        F.col(lon_col).alias("lx"),
+        F.col(lat_col).alias("ly"),
+        F.explode(
+            covering_cells_col(
+                F.col(lon_col) - F.lit(radius),
+                F.col(lat_col) - F.lit(radius),
+                F.col(lon_col) + F.lit(radius),
+                F.col(lat_col) + F.lit(radius),
+                level,
+            )
+        ).alias("cell"),
+    )
+    right = points.select(
+        F.col(id_col).alias("right_id"),
+        F.col(lon_col).alias("rx"),
+        F.col(lat_col).alias("ry"),
+        cell_col(F.col(lon_col), F.col(lat_col), level).alias("cell"),
+    )
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        left.join(right, "cell")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", dist.alias("dist"))
+        .where(F.col("dist") <= radius)
+    )

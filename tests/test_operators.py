@@ -1511,3 +1511,26 @@ def test_time_weighted_avg_exact_and_burst_insensitive(spark):
     assert got[1].twap_cents == 250
     assert got[2].twap_cents == 250  # burst-insensitive
     assert got[3].span_us == 0 and got[3].twap_cents == 999
+
+
+def test_radius_join_complete_vs_brute(spark):
+    """Cell-bucketed radius join emits exactly the brute-force in-radius
+    pairs, each once, including pairs straddling cell boundaries."""
+    from osmcha_spark.operators.knn import radius_join
+
+    pts = _synth_points(150)
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    r = 0.4
+    want = set()
+    for i, xi, yi in pts:
+        for j, xj, yj in pts:
+            if i < j and ((xi - xj) ** 2 + (yi - yj) ** 2) ** 0.5 <= r:
+                want.add((i, j))
+    rows = radius_join(df, radius=r).collect()
+    got = [(x.left_id, x.right_id) for x in rows]
+    assert len(got) == len(set(got))  # no duplicate pairs
+    assert set(got) == want
+    plan = radius_join(df, radius=r)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
