@@ -4955,6 +4955,123 @@ WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
 """
 
 
+# --------------------------------------------------------------- q99
+
+def q99_grouped_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact p50/p99 of value cents WITHOUT per-group
+    sorts (operators/quantiles.py:grouped_order_statistics) — the
+    grouped form of q89's two-phase selection: per-(group, bucket)
+    histogram, per-group cumulative locate, refinement windows only on
+    located buckets. Oracle = per-group flat row_number order
+    statistic."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.quantiles import grouped_order_statistics
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return grouped_order_statistics(
+        cents, "event_type", "cents", [500_000, 990_000], bucket=100
+    ).select("event_type", "p_ppm", "rank", "value")
+
+
+_Q99_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+r AS (
+  SELECT n.event_type, p AS p_ppm,
+         (p * n.n + 999999) // 1000000 AS rank
+  FROM (SELECT unnest([500000, 990000]) AS p) pp, n
+),
+o AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+  FROM v
+)
+SELECT r.event_type, r.p_ppm, r.rank, o.v AS value
+FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rank
+"""
+
+
+# --------------------------------------------------------------- q100
+
+def q100_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass profile of the events table (operators/profile.py:
+    table_profile): per column, row/null/exact-distinct counts and
+    typed min/max (longs by value, strings by length, timestamps by
+    epoch micros), ONE aggregation pass (multiple distincts via Spark's
+    Expand — the documented exact-vs-KMV cost knob), long-format
+    all-int64 output so the oracle checks every cell."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.profile import table_profile
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return table_profile(ev, {
+        "event_id": "long",
+        "ts": "ts",
+        "user_id": "long",
+        "event_type": "string",
+        "props": "string",
+    }).select("col_name", "metric", "value")
+
+
+_Q100_ORACLE = """
+WITH m AS (
+  SELECT
+    count(*) AS n_rows,
+    count(*) FILTER (WHERE event_id IS NULL) AS null_event_id,
+    count(DISTINCT event_id) AS nd_event_id,
+    min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+    count(*) FILTER (WHERE ts IS NULL) AS null_ts,
+    count(DISTINCT ts) AS nd_ts,
+    min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts,
+    count(*) FILTER (WHERE user_id IS NULL) AS null_user_id,
+    count(DISTINCT user_id) AS nd_user_id,
+    min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+    count(*) FILTER (WHERE event_type IS NULL) AS null_event_type,
+    count(DISTINCT event_type) AS nd_event_type,
+    min(length(event_type)) AS min_event_type,
+    max(length(event_type)) AS max_event_type,
+    count(*) FILTER (WHERE props IS NULL) AS null_props,
+    count(DISTINCT props) AS nd_props,
+    min(length(props)) AS min_props, max(length(props)) AS max_props
+  FROM events
+)
+SELECT col_name, metric, CAST(value AS BIGINT) AS value FROM m, LATERAL (
+  VALUES
+    ('event_id', 'n_rows', n_rows),
+    ('event_id', 'n_null', null_event_id),
+    ('event_id', 'n_distinct', nd_event_id),
+    ('event_id', 'min', min_event_id),
+    ('event_id', 'max', max_event_id),
+    ('ts', 'n_rows', n_rows),
+    ('ts', 'n_null', null_ts),
+    ('ts', 'n_distinct', nd_ts),
+    ('ts', 'min', min_ts),
+    ('ts', 'max', max_ts),
+    ('user_id', 'n_rows', n_rows),
+    ('user_id', 'n_null', null_user_id),
+    ('user_id', 'n_distinct', nd_user_id),
+    ('user_id', 'min', min_user_id),
+    ('user_id', 'max', max_user_id),
+    ('event_type', 'n_rows', n_rows),
+    ('event_type', 'n_null', null_event_type),
+    ('event_type', 'n_distinct', nd_event_type),
+    ('event_type', 'min', min_event_type),
+    ('event_type', 'max', max_event_type),
+    ('props', 'n_rows', n_rows),
+    ('props', 'n_null', null_props),
+    ('props', 'n_distinct', nd_props),
+    ('props', 'min', min_props),
+    ('props', 'max', max_props)
+) AS t(col_name, metric, value)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5074,6 +5191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_stream_upsert": q96_stream_upsert,
         "q97_entity_resolution": q97_entity_resolution,
         "q98_radius_join": q98_radius_join,
+        "q99_grouped_order_statistics": q99_grouped_order_statistics,
+        "q100_table_profile": q100_table_profile,
     }
 
 
@@ -5178,4 +5297,6 @@ def oracle_sql() -> dict[str, str]:
         "q96_stream_upsert": _Q96_ORACLE,
         "q97_entity_resolution": _Q97_ORACLE,
         "q98_radius_join": _q98_oracle(),
+        "q99_grouped_order_statistics": _Q99_ORACLE,
+        "q100_table_profile": _Q100_ORACLE,
     }

@@ -1,0 +1,68 @@
+"""One-pass table profiling — the data-quality panel every ingest runs
+before anything else: per column, row/null/distinct counts and typed
+min/max, computed in a SINGLE aggregation over the table and emitted
+long-format ``(col_name, metric, value)`` so downstream checks are
+row-wise rules, not schema-wise code.
+
+All metrics are int64 (strings profile by LENGTH, timestamps by epoch
+micros), so the q100 oracle checks every value. Distinct counts are
+EXACT ``count(distinct)`` — Spark plans multiple distinct aggregates in
+one pass via Expand (each input row fans out once per distinct-agg);
+that is the documented cost knob: at 100 TB swap the exact distincts for
+the KMV sketch (operators/sketches.py) column-by-column when the Expand
+fan-out dominates, keeping this exact panel for dims and samples.
+
+Reference counterpart: none; SURVEY §2.11 engine inventory (the profile
+is what decides which dedup/curation operator to run next).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: column kinds → how the typed min/max is derived
+KINDS = ("long", "string", "ts")
+
+
+def table_profile(df: DataFrame, spec: dict[str, str]) -> DataFrame:
+    """Profile the columns in ``spec`` (name → kind in :data:`KINDS`).
+
+    Emits, per column: ``n_rows`` (table-constant, repeated per column
+    so each column's row group is self-contained), ``n_null``,
+    ``n_distinct`` (exact; null excluded), ``min``/``max`` — value for
+    longs, LENGTH for strings, epoch micros for timestamps.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c, kind in spec.items():
+        if kind not in KINDS:
+            raise ValueError(f"unknown kind {kind!r} for column {c!r}")
+        col = F.col(c)
+        if kind == "ts":
+            col = F.unix_micros(col.cast("timestamp"))
+        elif kind == "string":
+            col = F.length(col)
+        else:
+            col = col.cast("long")
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = []
+    for c in spec:
+        stacked += [
+            (c, "n_rows", "__rows"),
+            (c, "n_null", f"__null_{c}"),
+            (c, "n_distinct", f"__nd_{c}"),
+            (c, "min", f"__min_{c}"),
+            (c, "max", f"__max_{c}"),
+        ]
+    pairs = ", ".join(
+        f"'{c}', '{m}', CAST({src} AS LONG)" for c, m, src in stacked
+    )
+    return one.selectExpr(
+        f"stack({len(stacked)}, {pairs}) AS (col_name, metric, value)"
+    )

@@ -83,3 +83,78 @@ def order_statistics(df: DataFrame, value_col: str, p_ppms: list[int],
         F.broadcast(located),
         (picked["bkt"] == F.col("_lb")) & (picked["rn"] == F.col("_loff")),
     ).select("p_ppm", "rank", F.col("v").alias("value"))
+
+
+def grouped_order_statistics(df: DataFrame, group_col: str,
+                             value_col: str, p_ppms: list[int],
+                             bucket: int = 100) -> DataFrame:
+    """(group, p_ppm, rank, value): :func:`order_statistics` per group —
+    exact per-group percentiles with NO per-group sort (the usual
+    spelling windows row_number over every group's full contents; this
+    sorts only the located buckets of each group).
+
+    Same three phases, group-qualified: histogram per (group, bucket);
+    cumulative locate per group (window partitioned by group — one row
+    per non-empty (group, bucket), bounded); refinement window
+    partitioned by (group, bucket). Per-group ranks resolve in-plan
+    from each group's own count. All shuffles share the group key.
+    """
+    g = F.col(group_col)
+    vals = df.select(
+        g.alias("grp"), F.col(value_col).cast("long").alias("v")
+    ).withColumn(
+        "bkt", F.expr(f"(v - pmod(v, {int(bucket)}L)) div {int(bucket)}L")
+    )
+    histo = vals.groupBy("grp", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("grp")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        histo.withColumn("cum", F.sum("cnt").over(wb))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        .select("grp", "bkt", "cum", "cum_prev")
+    )
+    counts = df.groupBy(g.alias("grp")).agg(F.count(F.lit(1)).alias("__n"))
+    ranks = counts.select(
+        "grp",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in p_ppms])
+        ).alias("p_ppm"),
+        "__n",
+    ).select(
+        "grp", "p_ppm",
+        F.expr("(p_ppm * __n + 999999) div 1000000").alias("rank"),
+    )
+    located = (
+        ranks.join(
+            cum,
+            (ranks["grp"] == cum["grp"])
+            & (F.col("cum_prev") < F.col("rank"))
+            & (F.col("rank") <= F.col("cum")),
+        )
+        .select(
+            ranks["grp"].alias("_lg"), "p_ppm", "rank",
+            F.col("bkt").alias("_lb"),
+            (F.col("rank") - F.col("cum_prev")).alias("_loff"),
+        )
+    )
+    wv = Window.partitionBy("grp", "bkt").orderBy("v")
+    picked = vals.join(
+        F.broadcast(
+            located.select(
+                F.col("_lg").alias("grp"), F.col("_lb").alias("bkt")
+            ).distinct()
+        ),
+        ["grp", "bkt"],
+    ).withColumn("rn", F.row_number().over(wv))
+    return picked.join(
+        F.broadcast(located),
+        (picked["grp"] == F.col("_lg"))
+        & (picked["bkt"] == F.col("_lb"))
+        & (picked["rn"] == F.col("_loff")),
+    ).select(
+        picked["grp"].alias(group_col), "p_ppm", "rank",
+        F.col("v").alias("value"),
+    )

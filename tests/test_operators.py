@@ -1534,3 +1534,64 @@ def test_radius_join_complete_vs_brute(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_grouped_order_statistics_vs_brute(spark):
+    """Per-group two-phase selection == per-group sorts, with groups of
+    very different sizes, duplicate values, and negatives."""
+    import random
+
+    from osmcha_spark.operators.quantiles import grouped_order_statistics
+
+    rng = random.Random(4)
+    rows = []
+    for g, n in (("a", 997), ("b", 31), ("c", 4)):
+        rows += [(g, rng.randint(-200, 200)) for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ps = [250_000, 500_000, 990_000]
+    want = {}
+    for g in ("a", "b", "c"):
+        s = sorted(v for gg, v in rows if gg == g)
+        for p in ps:
+            want[(g, p)] = s[-(-p * len(s) // 1_000_000) - 1]
+    for bucket in (1, 50, 1 << 30):
+        got = {
+            (r.g, r.p_ppm): r.value
+            for r in grouped_order_statistics(df, "g", "v", ps,
+                                              bucket=bucket).collect()
+        }
+        assert got == want, f"bucket={bucket}"
+
+
+def test_table_profile_metrics(spark):
+    """Profile panel on a hand-built frame with nulls, dupes, and a
+    timestamp column — every metric checked by hand."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "xx", datetime(2024, 1, 1)),
+            (2, None, datetime(2024, 1, 2)),
+            (2, "yyyy", None),
+            (None, "xx", datetime(2024, 1, 1)),
+        ],
+        "a long, s string, t timestamp",
+    )
+    got = {
+        (r.col_name, r.metric): r.value
+        for r in table_profile(
+            df, {"a": "long", "s": "string", "t": "ts"}
+        ).collect()
+    }
+    assert got[("a", "n_rows")] == 4
+    assert got[("a", "n_null")] == 1
+    assert got[("a", "n_distinct")] == 2
+    assert got[("a", "min")] == 1 and got[("a", "max")] == 2
+    assert got[("s", "n_null")] == 1
+    assert got[("s", "n_distinct")] == 2
+    assert got[("s", "min")] == 2 and got[("s", "max")] == 4  # lengths
+    assert got[("t", "n_null")] == 1
+    assert got[("t", "n_distinct")] == 2
+    assert got[("t", "min")] == 1704067200_000000
