@@ -459,6 +459,37 @@ def main() -> None:
         formatted(grid_near_dup_pairs(gimgs, threshold=20000)),
     ))
 
+    from osmcha_spark.operators.knn import radius_join
+
+    r_pts = spark.sql(synth.points_sql(synth.SPARK))
+    sections.append((
+        "Within-radius spatial interaction join",
+        "expect: disc-bbox cell explode on the left, single-cell key on "
+        "the right, ONE cell equi-join + distance filter — no "
+        "cartesian, no Python eval",
+        formatted(radius_join(r_pts, radius=0.05)),
+    ))
+
+    from osmcha_spark.operators.quantiles import grouped_order_statistics
+
+    ev_cents = spark.read.parquet(
+        os.path.join(sf, "events.parquet")
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sections.append((
+        "Grouped exact order statistics",
+        "expect: per-(group,bucket) HashAggregate, per-group cumulative "
+        "window over bucket counts, broadcast locate joins, refinement "
+        "window only on located (group,bucket)s — no per-group full "
+        "sort, no Python eval",
+        formatted(grouped_order_statistics(
+            ev_cents, "event_type", "cents", [500_000, 990_000],
+            bucket=100,
+        )),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
