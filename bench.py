@@ -332,7 +332,9 @@ def run_bench(spark, sf_dir: str) -> dict:
     # the latest round improved any query's min by >20% — a clean run
     # still stops at `repeat`, a burst-hit run keeps sampling until it
     # lands a quiet window.
-    max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", "6"))
+    # an explicit `repeat` is always honored even past the adaptive cap
+    # (ADVICE r3): the cap only bounds the *extra* adaptive rounds.
+    max_rounds = max(int(os.environ.get("BENCH_MAX_ROUNDS", "6")), repeat)
     ns: dict[str, int] = {}
     _round = 0
     while _round < max_rounds:

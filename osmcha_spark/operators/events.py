@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _floordiv(num: str, den: str) -> str:
+    """FLOOR division in int64 as a SQL-expr fragment: Spark's `div`
+    truncates toward zero while every oracle uses DuckDB `//`, which
+    floors — divergent for negative numerators (ADVICE r3). The idiom
+    (x - pmod(x, d)) div d is exact floor for d > 0 (pmod ∈ [0, d)),
+    same one skyline_2d/order_statistics already use."""
+    return f"((({num}) - pmod(({num}), ({den}))) div ({den}))"
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",
@@ -241,9 +250,10 @@ def gap_fill(events: DataFrame, bucket_s: int, ts_col: str = "ts",
         F.col(tiebreak_col).alias("tb"),
         F.round(F.col(value_col) * 100).cast("long").alias("cents"),
     ).withColumn(
-        # true int64 div — double division could round a near-boundary
-        # micros value across the bucket edge
-        "bucket", F.expr(f"ts_us div {bucket_us}L")
+        # true int64 FLOOR div — double division could round a
+        # near-boundary micros value across the bucket edge, and floor
+        # (not truncate) keeps pre-1970 timestamps oracle-exact
+        "bucket", F.expr(_floordiv("ts_us", f"{bucket_us}L"))
     )
     wlast = Window.partitionBy("key", "bucket").orderBy(
         F.col("ts_us").desc(), F.col("tb").desc()
@@ -311,7 +321,7 @@ def concurrency_curve(intervals: DataFrame, start_col: str = "start_us",
     net = (
         bounds.groupBy("t")
         .agg(F.sum("d").alias("net"))
-        .withColumn("bucket", F.expr(f"t div {bucket_us}L"))
+        .withColumn("bucket", F.expr(_floordiv("t", f"{bucket_us}L")))
     )
     wloc = (
         Window.partitionBy("bucket")
@@ -423,7 +433,7 @@ def retention_cohorts(events: DataFrame, bucket_s: int = 604800,
     bucket_us = int(bucket_s) * 1_000_000
     act = (
         events.select(F.col(key_col).alias("key"), us.alias("ts_us"))
-        .withColumn("wk", F.expr(f"ts_us div {bucket_us}L"))
+        .withColumn("wk", F.expr(_floordiv("ts_us", f"{bucket_us}L")))
         .select("key", "wk")
         .distinct()
     )
@@ -446,7 +456,8 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
 
     ``integral`` = Σ cents_i · (t_{i+1} − t_i) in int64 cents·µs over
     the key's [first, last] observation window;
-    ``twap_cents`` = integral div span (exact integer; a plain AVG
+    ``twap_cents`` = floor(integral / span) (exact integer — floor, not
+    truncate, so negative-value integrals match DuckDB `//`; a plain AVG
     over-weights bursts of observations — TWAP is what "average price/
     load/score over time" actually means). Keys with ONE observation
     (span 0) emit that observation as their twap (pinned by pytest).
@@ -479,7 +490,7 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
         "span_us",
         F.coalesce("integral", F.lit(0)).cast("long").alias("integral"),
         F.when(F.col("span_us") == 0, F.col("_first"))
-        .otherwise(F.expr("integral div span_us"))
+        .otherwise(F.expr(_floordiv("integral", "span_us")))
         .cast("long")
         .alias("twap_cents"),
     )

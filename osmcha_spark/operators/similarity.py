@@ -7,11 +7,13 @@
   reliably). Q=1024 keeps 64-dim unit-ish vectors well inside int64.
   Plan: broadcast the (small) query set against the corpus → window top-k.
 - **cosine_topk** — the float variant (reported cosine, Spark-only path).
-- **lsh_topk** — the scale path: random-hyperplane signatures (the
-  hyperplane components come from the same splitmix hash family as the
-  corpus, so they're deterministic without RNG state), bucket by signature
-  prefix, search only within bucket ∪ Hamming-1 probe buckets. Recall<1 by
-  design; rows-only checked.
+- **lsh_topk** — the scale path: random-hyperplane signatures (plane
+  signs derived in-plan from xxhash64 parity of (i, j) — deterministic,
+  no RNG state, no driver-side matrix), bucket by signature prefix,
+  search only within bucket ∪ Hamming-1 probe buckets. Recall<1 by
+  design, but the candidate generation is MIRRORED by q24's oracle via
+  ``xxhash_planes`` (a pure-Python xxHash64), so it is fully
+  oracle-checked since r4 — the q36/q38 mirrored-candidate pattern.
 
 At 10^12 rows brute force is O(N·Q) per query batch — fine when the query
 side is broadcast and small; the LSH path bounds candidates per query.
@@ -492,18 +494,69 @@ def lsh_band_candidates(
 
 _PLANE_SALT = 0x5DEECE66D
 
+# xxHash64 constants (public algorithm, Collet's xxHash; same values as
+# Spark's catalyst XXH64 — needed only to MIRROR the engine's plane signs
+# driver-side so q24's oracle can reproduce the exact candidate buckets).
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
 
-def _sign_bits(vec, n_bits: int) -> F.Column:
-    """LSH signature: bit j = sign(Σ_i c(i,j)·v_i) where c(i,j) ∈ {-1,+1}
-    comes from a deterministic integer hash of (i, j) — no RNG state, no
-    driver-side plane matrix to broadcast."""
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh64_long(value: int, seed: int = 42) -> int:
+    """xxHash64 of one 64-bit integer — bit-identical to Spark's
+    ``F.xxhash64(<long col>)`` (Catalyst hashes LongType inputs as a
+    single 8-byte little-endian block with seed 42). Returns the SIGNED
+    int64 Spark reports; pinned against the engine by
+    tests/test_operators.py::test_xxhash64_python_mirror_matches_engine."""
+    h = (seed + _XXH_P5 + 8) & _U64
+    k1 = _rotl64((value & _U64) * _XXH_P2 & _U64, 31) * _XXH_P1 & _U64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXH_P1 + _XXH_P4) & _U64
+    h ^= h >> 33
+    h = h * _XXH_P2 & _U64
+    h ^= h >> 29
+    h = h * _XXH_P3 & _U64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash_planes(n_bits: int, dim: int) -> list[list[int]]:
+    """The ±1 hyperplane matrix the ENGINE derives in-plan from
+    ``F.xxhash64(i·1000003 + j·7919 + SALT)`` parity, mirrored driver-side
+    (pure Python) so the q24 oracle can inline the identical signs as SQL
+    literals — the q36/q38 mirrored-candidate-generation pattern applied
+    to the xxhash64 plane family."""
+    return [
+        [
+            1
+            if _xxh64_long(i * 1_000_003 + j * 7919 + _PLANE_SALT) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def _sign_bits(qv, n_bits: int) -> F.Column:
+    """LSH signature over the QUANTIZED int64 vector: bit j =
+    [Σ_i c(i,j)·qv_i > 0] where c(i,j) ∈ {-1,+1} comes from a
+    deterministic integer hash of (i, j) — no RNG state, no driver-side
+    plane matrix to broadcast, and (since r4) integer projections, so the
+    sum is order-independent and exactly reproducible in the oracle."""
     sig = F.lit(0).cast("long")
     for j in range(n_bits):
         proj = F.aggregate(
             F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double")
+                qv,
+                F.sequence(F.lit(0), F.size(qv) - 1),
+                lambda x, i: x
                 * (
                     F.when(
                         F.pmod(
@@ -513,11 +566,11 @@ def _sign_bits(vec, n_bits: int) -> F.Column:
                             F.lit(2),
                         )
                         == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0))
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
                 ),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         sig = sig.bitwiseOR(
@@ -541,13 +594,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the exact signature bucket or a
     Hamming-1 probe bucket (multi-probe LSH); exact quantized scoring +
-    window top-k within candidates."""
-    sig = _sign_bits(F.col(vec_col), n_bits)
+    window top-k within candidates. Signatures are computed over the
+    quantized int64 vector (r4), so buckets AND scores are integer-exact
+    and the whole pipeline is mirrored by q24's oracle (xxhash_planes)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _qvec(F.col(vec_col)).alias("cv"),
-        sig.alias("bucket"),
-    )
+    ).withColumn("bucket", _sign_bits(F.col("cv"), n_bits))
     probes = F.array(
         F.col("qsig"),
         *[
@@ -558,8 +611,7 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _qvec(F.col(vec_col)).alias("qv"),
-        sig.alias("qsig"),
-    ).select(
+    ).withColumn("qsig", _sign_bits(F.col("qv"), n_bits)).select(
         "query_id", "qv", F.explode(probes).alias("bucket")
     )
     pairs = (

@@ -230,7 +230,11 @@ def kmv_set_ops(
     - ``rho`` = how many of those union-sketch hashes appear in BOTH
       sides' sketches — the unbiased intersection indicator;
     - ``est_union`` = exact count when the union kept < k (the sketch
-      IS the set), else ``(k-1)·2^bits div tau``;
+      IS the set), else ``(k-1)·2^bits div tau``. Assumes tau > 0: the
+      k-th smallest ``bits``-bit hash is zero only when union_kept == k
+      AND a value hashes to exactly 0 (P ≈ 2^-bits per pair) — there
+      Spark's div-by-zero yields NULL while DuckDB `//` raises, an
+      accepted engine/oracle divergence at ~2^-40 odds (ADVICE r3);
     - ``est_inter`` = ``rho`` exactly in the exact regime, else
       ``rho·est_union div k``;
     - ``jaccard_ppm`` = ``rho·10^6 div union_kept`` (exact in the

@@ -9,6 +9,7 @@ path mandated by BASELINE.json's north_rule). Idempotent per session.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import zipfile
@@ -23,9 +24,11 @@ def ship_package(spark: SparkSession) -> None:
     if app_id in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.mkdtemp(prefix="osmcha_spark_"), "osmcha_spark.zip"
-    )
+    # atexit-reaped tempdir (VERDICT r3 item 10): bare mkdtemp left one
+    # stale /tmp/osmcha_spark_* dir per session on long-lived edge nodes.
+    tmp = tempfile.TemporaryDirectory(prefix="osmcha_spark_")
+    atexit.register(tmp.cleanup)
+    zip_path = os.path.join(tmp.name, "osmcha_spark.zip")
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for fn in files:

@@ -36,11 +36,12 @@ def test_queries_have_oracles():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # q24 is the single sanctioned oracle-less entry (xxhash64 planes are
-    # not SQL-portable; q36 is its oracle-checked twin) — a regression
-    # dropping any other oracle must fail here (ADVICE r1).
-    assert set(qs) - set(oracles) == {"q24_lsh_ann"}
-    assert len(qs) >= 57
+    # Since r4 EVERY query has an oracle: q24 (the last sanctioned
+    # oracle-less entry) gained a mirrored-candidate oracle via the
+    # engine-pinned Python xxhash64 mirror (VERDICT r3 item 2). A
+    # regression dropping any oracle must fail here (ADVICE r1).
+    assert set(qs) - set(oracles) == set()
+    assert len(qs) >= 100
 
 
 @pytest.mark.parametrize(

@@ -430,6 +430,36 @@ def test_lsh_fast_and_portable_recall_agree(spark):
     assert fast == portable == 1.0
 
 
+def test_xxhash64_python_mirror_matches_engine(spark):
+    """The pure-Python xxHash64 that q24's oracle uses to mirror the
+    engine's in-plan plane signs must stay bit-identical to Spark's
+    F.xxhash64 on long inputs — across the full (i, j) grid the LSH
+    planes actually hash, plus sign/boundary cases."""
+    from osmcha_spark.operators.similarity import (
+        _PLANE_SALT,
+        _xxh64_long,
+        xxhash_planes,
+    )
+
+    vals = [
+        i * 1_000_003 + j * 7919 + _PLANE_SALT
+        for i in range(64)
+        for j in range(12)
+    ] + [0, 1, -1, 2**62, -(2**62), (1 << 63) - 1, -(1 << 63)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", F.xxhash64("v").alias("h")
+    )
+    for r in df.collect():
+        assert _xxh64_long(r["v"]) == r["h"], r["v"]
+    # and the derived plane matrix parity matches the engine's pmod test
+    planes = xxhash_planes(2, 4)
+    for j in range(2):
+        for i in range(4):
+            h = _xxh64_long(i * 1_000_003 + j * 7919 + _PLANE_SALT)
+            want = 1 if h % 2 == 0 else -1
+            assert planes[j][i] == want
+
+
 def test_lsh_band_candidates_feed_exact_verify(spark):
     """The composed scale pipeline (banded candidates → exact verify)
     emits a subset of the exact all-pairs result with identical values,

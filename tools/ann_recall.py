@@ -87,7 +87,7 @@ def main() -> None:
     res = run(spark, sf_dir)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "BENCH", "ann_recall.json"), "w") as f:
-        json.dump(res, f, indent=2)
+        f.write(json.dumps(res, indent=2) + "\n")
     print(json.dumps(res))
 
 
