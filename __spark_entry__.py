@@ -5146,6 +5146,115 @@ SELECT col_name, metric, CAST(value AS BIGINT) AS value FROM m, LATERAL (
 """
 
 
+# --------------------------------------------------------------- q101
+
+def q101_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (operators/similarity.py:ivfpq_topk with
+    residual=True; Jégou et al. TPAMI 2011 §V — the classical FAISS
+    IVFx,PQy): vectors are PQ-coded as residuals v − c(v) against a
+    shared residual codebook, and each query builds one ADC table per
+    PROBED list (its residual differs per centroid). Closes q94's
+    stated non-residual limitation. Fully integer, so the oracle
+    mirrors coarse assignment + residuals + codes + per-probe ADC end
+    to end. Recall measured on both corpora
+    (BENCH/ann_recall*.json) — with data-sampled codebooks it does NOT
+    beat q94's original-vector coding; the operator docstring says
+    why and when residual is the right default."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return ivfpq_topk(
+        emb, q, k=5, coarse_stride=25, nprobe=2, m=8, dim=64,
+        pq_stride=50, residual=True,
+    ).select("query_id", "rank", "neighbor_id", "adist")
+
+
+_Q101_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+coarse_d2 AS (
+  SELECT f.vec_id AS id, c.vec_id AS centroid_id,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM flat f JOIN flat c ON c.idx = f.idx AND c.vec_id % 25 = 0
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT id, centroid_id FROM (
+    SELECT id, centroid_id,
+           row_number() OVER (PARTITION BY id ORDER BY d2, centroid_id) AS rn
+    FROM coarse_d2) t WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, centroid_id FROM (
+    SELECT id, centroid_id,
+           row_number() OVER (PARTITION BY id ORDER BY d2, centroid_id) AS rn
+    FROM coarse_d2 WHERE id < 20) t WHERE rn <= 2
+),
+rflat AS (
+  SELECT f.vec_id, f.idx, f.val - c.val AS val,
+         CAST((f.idx - 1) // 8 AS INT) AS s
+  FROM flat f
+  JOIN assigned a ON a.id = f.vec_id
+  JOIN flat c ON c.vec_id = a.centroid_id AND c.idx = f.idx
+),
+encd2 AS (
+  SELECT f.vec_id AS id, f.s, c.vec_id AS code_id,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM rflat f
+  JOIN rflat c ON f.idx = c.idx AND f.s = c.s AND c.vec_id % 50 = 0
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT id, s, code_id FROM (
+    SELECT id, s, code_id,
+           row_number() OVER (PARTITION BY id, s ORDER BY d2, code_id) AS rn
+    FROM encd2) t WHERE rn = 1
+),
+qrflat AS (
+  SELECT p.query_id, p.centroid_id, f.idx, f.val - c.val AS val,
+         CAST((f.idx - 1) // 8 AS INT) AS s
+  FROM probes p
+  JOIN flat f ON f.vec_id = p.query_id
+  JOIN flat c ON c.vec_id = p.centroid_id AND c.idx = f.idx
+),
+qd2 AS (
+  SELECT q.query_id, q.centroid_id, q.s, c.vec_id AS code_id,
+         sum((q.val - c.val) * (q.val - c.val)) AS d2
+  FROM qrflat q
+  JOIN rflat c ON c.idx = q.idx AND c.s = q.s AND c.vec_id % 50 = 0
+  GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT p.query_id, p.centroid_id, a.id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+  WHERE a.id <> p.query_id
+),
+adist AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(sum(q.d2) AS BIGINT) AS adist
+  FROM cand cd
+  JOIN codes n ON n.id = cd.neighbor_id
+  JOIN qd2 q ON q.query_id = cd.query_id
+            AND q.centroid_id = cd.centroid_id
+            AND q.s = n.s AND q.code_id = n.code_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, neighbor_id) AS rank
+  FROM adist
+)
+SELECT query_id, rank, neighbor_id, adist FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5275,6 +5384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_running_totals": q49_running_totals,
         "q50_split_sample": q50_split_sample,
         "q55_flagship_report": q55_flagship_report,
+        "q101_ivfpq_residual": q101_ivfpq_residual,
     }
 
 
@@ -5380,4 +5490,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_running_totals": _Q49_ORACLE,
         "q50_split_sample": _q50_oracle(),
         "q55_flagship_report": _q55_oracle(),
+        "q101_ivfpq_residual": _Q101_ORACLE,
     }

@@ -185,6 +185,7 @@ def radius_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     level: int | None = None,
+    nsalt: int | None = None,
 ) -> DataFrame:
     """(left_id, right_id, dist) — ALL point pairs within ``radius``,
     each unordered pair once (left_id < right_id): the spatial
@@ -201,8 +202,17 @@ def radius_join(
     distance filter, no mirroring needed.
 
     Scale: output is Θ(Σ in-radius degree) — unlike kNN it is unbounded
-    per point; a dense hotspot shows up as join-key skew (AQE-split) AND
-    as output size, which is inherent to the query, not the plan.
+    per point; a dense hotspot shows up as join-key skew AND as output
+    size, which is inherent to the query, not the plan. The skew is
+    MEASURED (tools/radius_skew_experiment.py; table in
+    BENCH/BASELINE.md): AQE's skew-join split handles the straggler at
+    engine defaults, and ``nsalt`` provides the explicit deterministic
+    fallback — left salt = pmod(xxhash64(id), n), right replicated ×n —
+    byte-identical output (pinned by pytest against the unsalted plan,
+    which itself is pinned by q98's definitional oracle). Prefer AQE:
+    salting pays an unconditional ×n right-side replication; use it only
+    where runtime stats are unavailable (static planners, very hot cells
+    beyond AQE's split granularity).
     """
     level = level if level is not None else cell_level_for_radius(radius)
     left = points.select(
@@ -225,11 +235,21 @@ def radius_join(
         F.col(lat_col).alias("ry"),
         cell_col(F.col(lon_col), F.col(lat_col), level).alias("cell"),
     )
+    join_keys = ["cell"]
+    if nsalt is not None:
+        left = left.withColumn(
+            "_salt", F.pmod(F.xxhash64("left_id"), F.lit(nsalt))
+        )
+        right = right.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(nsalt - 1))),
+        )
+        join_keys = ["cell", "_salt"]
     dx = F.col("lx") - F.col("rx")
     dy = F.col("ly") - F.col("ry")
     dist = F.sqrt(dx * dx + dy * dy)
     return (
-        left.join(right, "cell")
+        left.join(right, join_keys)
         .where(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", dist.alias("dist"))
         .where(F.col("dist") <= radius)

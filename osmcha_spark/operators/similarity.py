@@ -794,6 +794,7 @@ def ivfpq_topk(
     pq_stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the billion-scale ANN composition (Jégou et al. TPAMI
     2011 §V; the FAISS ``IVFx,PQy`` index) — a COARSE inverted-file
@@ -801,13 +802,33 @@ def ivfpq_topk(
     probe lists per query, and PQ/ADC (:func:`pq_topk`'s machinery)
     scores only those lists with ``m`` map lookups per candidate.
 
-    This variant codes the ORIGINAL vectors, not the residuals
-    (IVFFlat-style PQ): residual coding needs per-list codebooks, which
-    at this corpus scale buys little and costs a codebook per centroid;
-    the docstring states it so nobody mistakes this for residual-PQ
-    recall. Both stages keep the repo's determinism discipline
-    (``id % stride`` codebooks, integer L2, id tiebreaks), so the q94
-    oracle mirrors coarse assignment + probes + ADC end to end.
+    ``residual=False`` codes the ORIGINAL vectors (IVFFlat-style PQ);
+    ``residual=True`` is the classical FAISS composition: each vector is
+    coded as its residual v − c(v) w.r.t. its assigned coarse centroid,
+    against ONE SHARED residual codebook (the ``id % pq_stride`` rows'
+    own residuals — deterministic, like every codebook here). The query
+    side pays one ADC table per (query, probed centroid) instead of per
+    query — size nprobe × n_queries × m maps, still broadcast-scale.
+
+    Measured honestly (BENCH/ann_recall.json,
+    BENCH/ann_recall_clustered.json): with THIS repo's data-sampled
+    codebooks the residual tier does NOT beat original-vector coding
+    (clustered corpus: 0.27 vs 0.38 recall@10) — sampled corpus rows
+    are already data-adaptive, so the classical residual win (which
+    assumes a space-covering trained codebook wasting dynamic range on
+    inter-cell offsets) has nothing to reclaim. The variant is here
+    because real deployments train per-subspace k-means codebooks
+    (plug :func:`kmeans_step` into ``pq_stride``'s role) where residual
+    coding is the right default; its plan shape, per-probe ADC tables,
+    and integer algebra are what q101's oracle + the single-centroid
+    identity pytest pin.
+
+    Both variants keep the repo's determinism discipline (``id %
+    stride`` codebooks, integer L2, id tiebreaks), so the q94/q101
+    oracles mirror coarse assignment + probes + (residual) codes + ADC
+    end to end. Integer bounds: components ∈ [−QUANT, QUANT] →
+    residuals ∈ [−2·QUANT, 2·QUANT]; worst subspace d2 ≤
+    (dim/m)·(4·QUANT)² ≈ 1.3e8; adist < 2^31 — safely portable.
 
     Scale shape: encode is the same shuffle-free projection as
     :func:`pq_topk`; the probe join replaces PQ's broadcast crossJoin
@@ -833,6 +854,10 @@ def ivfpq_topk(
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "centroid_id")
     )
+    if residual:
+        return _ivfpq_residual(
+            cents, assigned, qv, probes, k, m, dim, pq_stride
+        )
     cand = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .where(F.col("id") != F.col("query_id"))
@@ -850,6 +875,164 @@ def ivfpq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def _ivfpq_residual(
+    cents: DataFrame,
+    assigned: DataFrame,
+    qv: DataFrame,
+    probes: DataFrame,
+    k: int,
+    m: int,
+    dim: int,
+    pq_stride: int,
+) -> DataFrame:
+    """The residual branch of :func:`ivfpq_topk` (see its docstring).
+
+    Structure vs the non-residual path: the coded corpus is built from
+    residual subvectors (one broadcast join of ``assigned`` against the
+    centroid table), and the ADC tables are keyed by (query_id,
+    centroid_id) — a query's distance table depends on WHICH list it is
+    probing, because its residual does. Identity pin
+    (tests/test_operators.py): with a single coarse centroid the shared
+    shift cancels out of every subspace L2, so residual IVF-PQ equals
+    flat :func:`pq_topk` row-for-row."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    seq_m = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def subvecs(col) -> F.Column:
+        return F.transform(
+            seq_m, lambda s: F.slice(col, s * sub + 1, F.lit(sub))
+        )
+
+    def d2(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    residual_sv = subvecs(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x - y)
+    )
+    rsub = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "id", "centroid_id", residual_sv.alias("sv")
+    )
+    cbook = (
+        rsub.where(F.col("id") % pq_stride == 0)
+        .select(F.struct(F.col("id").alias("code_id"), "sv").alias("cw"))
+        .agg(F.array_sort(F.collect_list("cw")).alias("cbook"))
+    )
+    coded = rsub.crossJoin(F.broadcast(cbook)).select(
+        F.col("id").alias("neighbor_id"),
+        "centroid_id",
+        F.transform(
+            seq_m,
+            lambda s: F.array_min(
+                F.transform(
+                    F.col("cbook"),
+                    lambda cw: F.struct(
+                        d2(
+                            F.element_at(F.col("sv"), s + 1),
+                            F.element_at(cw["sv"], s + 1),
+                        ).alias("d2"),
+                        cw["code_id"].alias("code_id"),
+                    ),
+                )
+            )["code_id"],
+        ).alias("codes"),
+    )
+    query_residual_sv = subvecs(
+        F.zip_with(F.col("qqv"), F.col("cv"), lambda x, y: x - y)
+    )
+    qres = (
+        probes.join(F.broadcast(cents), "centroid_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "centroid_id", query_residual_sv.alias("qsv"))
+    )
+    qtabs = qres.crossJoin(F.broadcast(cbook)).select(
+        "query_id",
+        "centroid_id",
+        F.transform(
+            seq_m,
+            lambda s: F.map_from_entries(
+                F.transform(
+                    F.col("cbook"),
+                    lambda cw: F.struct(
+                        cw["code_id"].alias("key"),
+                        d2(
+                            F.element_at(F.col("qsv"), s + 1),
+                            F.element_at(cw["sv"], s + 1),
+                        ).alias("value"),
+                    ),
+                )
+            ),
+        ).alias("qtab"),
+    )
+    adist = F.aggregate(
+        seq_m,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("qtab"), s + 1),
+            F.element_at(F.col("codes"), s + 1),
+        ),
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qtabs), ["query_id", "centroid_id"])
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def clustered_embeddings(
+    spark,
+    n: int = 2000,
+    dim: int = 64,
+    n_centers: int = 64,
+    jitter_milli: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mixture-of-centers embedding corpus — the STRUCTURED
+    counterpart of the driver's near-random embeddings table, for recall
+    measurement that can actually show the ANN ladder's value
+    (tools/ann_recall.py → BENCH/ann_recall_clustered.json; VERDICT r3
+    item 6: near-random vectors are ANN's worst case, so their recall
+    floors can't demonstrate the index).
+
+    Every component is a pure function of (id, dimension) through
+    xxhash64 — no RNG state, reproducible anywhere Spark runs:
+    ``center_id = xxh(id) mod n_centers``; component d =
+    ``u(center_id, d) + u(id, d) · jitter_milli/1000`` with u ∈ [−1, 1)
+    uniform from the hash. With the default 5% jitter, intra-cluster
+    squared distance ≪ inter-center distance, so the true top-k is
+    almost surely intra-cluster — the regime real embedding corpora
+    (near-duplicate web/image data) live in."""
+    seq_d = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def u(*cols) -> F.Column:
+        return (
+            (F.pmod(F.xxhash64(*cols), F.lit(20000)) - 10000) / 10000.0
+        )
+
+    cid = F.pmod(F.xxhash64(F.col("id"), F.lit("center")), F.lit(n_centers))
+    comp = lambda d: (  # noqa: E731
+        u(cid, d, F.lit("c")) + u(F.col("id"), d, F.lit("j"))
+        * (jitter_milli / 1000.0)
+    )
+    return spark.range(n).select(
+        F.col("id").alias(id_col),
+        F.transform(seq_d, lambda d: comp(d).cast("float")).alias(vec_col),
     )
 
 

@@ -1467,6 +1467,24 @@ def test_ann_recall_curve_pins(spark):
     assert res["pq_m8"] >= 0.10
     assert res["lsh_12bit"] >= 0.01
 
+    # structured corpus (similarity.py:clustered_embeddings): the regime
+    # real embedding data lives in — the ladder's value is finally
+    # visible (r3 VERDICT item 6). Deterministic, so floors are tight:
+    # measured at n=1000: 0.988/0.956/0.65/0.65/0.272 (the committed
+    # BENCH/ann_recall_clustered.json is the n=2000 run). Also pins the
+    # honest negative result: data-sampled codebooks give residual
+    # coding nothing to reclaim, so residual must NOT silently overtake
+    # flat ivfpq here — if it does, the codebook discipline changed and
+    # the docstrings are stale.
+    cl = mod.run_clustered(spark, n=1000)
+    assert cl["ivf_nprobe4"] >= 0.90
+    assert cl["lsh_12bit"] >= 0.80
+    assert cl["pq_m8"] >= 0.25
+    assert cl["ivfpq_nprobe8"] >= 0.25
+    assert cl["ivfpq_residual_nprobe8"] >= 0.15
+    assert cl["ivfpq_residual_nprobe8"] <= cl["ivfpq_nprobe8"]
+    assert cl["ivf_nprobe4"] > 2 * res["ivf_nprobe4"]
+
 
 def test_ivfpq_is_pq_restricted_to_probed_lists(spark):
     """IVF-PQ ≡ flat PQ restricted to the probed lists: with nprobe =
@@ -1506,6 +1524,44 @@ def test_ivfpq_is_pq_restricted_to_probed_lists(spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_residual_single_centroid_equals_flat_pq(spark):
+    """Residual IVF-PQ sanity identity: with ONE coarse centroid (stride
+    > max id, so only vec_id 0 qualifies) every residual is v − v0 and
+    the shared shift cancels out of every subspace L2 — codes, ADC
+    tables, and therefore the full top-k EQUAL flat pq_topk row-for-row.
+    The general-case values are pinned by q101's mirrored oracle; this
+    pins the residual algebra itself. Also: residual variant stays lazy
+    and Python-free."""
+    from osmcha_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    res = {
+        (r.query_id, r.rank, r.neighbor_id, r.adist)
+        for r in ivfpq_topk(emb, q, k=5, coarse_stride=10**9, nprobe=1,
+                            m=8, dim=64, pq_stride=50,
+                            residual=True).collect()
+    }
+    flat = {
+        (r.query_id, r.rank, r.neighbor_id, r.adist)
+        for r in pq_topk(emb, q, k=5, m=8, dim=64,
+                         centroid_stride=50).collect()
+    }
+    assert res == flat and len(res) == 40
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ivfpq-res-lazy", "laziness check")
+    try:
+        lazy = ivfpq_topk(emb, q, k=5, residual=True)
+        assert list(
+            sc.statusTracker().getJobIdsForGroup("ivfpq-res-lazy")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_time_weighted_avg_exact_and_burst_insensitive(spark):
@@ -1564,6 +1620,14 @@ def test_radius_join_complete_vs_brute(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # explicit-salt fallback (nsalt) is byte-identical to the unsalted
+    # plan, which the brute set above (and q98's definitional oracle)
+    # pins — the deterministic skew escape hatch measured in
+    # tools/radius_skew_experiment.py / BENCH/BASELINE.md
+    salted = radius_join(df, radius=r, nsalt=8).collect()
+    got_salted = [(x.left_id, x.right_id) for x in salted]
+    assert len(got_salted) == len(set(got_salted))
+    assert set(got_salted) == want
 
 
 def test_grouped_order_statistics_vs_brute(spark):

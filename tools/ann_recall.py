@@ -26,7 +26,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from osmcha_spark.operators.similarity import (  # noqa: E402
     brute_topk,
     brute_topk_l2,
+    clustered_embeddings,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
     pq_topk,
 )
@@ -51,14 +53,11 @@ def recall_at_k(approx, exact) -> float:
     return total / len(e)
 
 
-def run(spark, sf_dir: str) -> dict:
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = emb.where(F.col("vec_id") < N_QUERIES)
-
+def _ladder(emb, q, label: str) -> dict:
     dot_truth = brute_topk(emb, q, k=K)
     l2_truth = brute_topk_l2(emb, q, k=K)
 
-    out = {"k": K, "n_queries": N_QUERIES, "sf_dir": sf_dir}
+    out = {"k": K, "n_queries": N_QUERIES, "corpus": label}
     for nprobe in (1, 2, 4, 8):
         out[f"ivf_nprobe{nprobe}"] = round(
             recall_at_k(ivf_topk(emb, q, k=K, nprobe=nprobe), dot_truth), 4
@@ -72,6 +71,44 @@ def run(spark, sf_dir: str) -> dict:
         ),
         4,
     )
+    for nprobe in (2, 8):
+        out[f"ivfpq_nprobe{nprobe}"] = round(
+            recall_at_k(
+                ivfpq_topk(emb, q, k=K, coarse_stride=25, nprobe=nprobe,
+                           m=8, dim=64, pq_stride=50),
+                l2_truth,
+            ),
+            4,
+        )
+        out[f"ivfpq_residual_nprobe{nprobe}"] = round(
+            recall_at_k(
+                ivfpq_topk(emb, q, k=K, coarse_stride=25, nprobe=nprobe,
+                           m=8, dim=64, pq_stride=50, residual=True),
+                l2_truth,
+            ),
+            4,
+        )
+    return out
+
+
+def run(spark, sf_dir: str) -> dict:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    out = _ladder(emb, q, "driver embeddings.parquet (near-random)")
+    out["sf_dir"] = sf_dir
+    return out
+
+
+def run_clustered(spark, n: int = 2000) -> dict:
+    """The same ladder on the structured mixture-of-centers corpus
+    (similarity.py:clustered_embeddings) — the regime real embedding
+    corpora live in, where the coarse index actually helps and residual
+    coding beats original-vector coding (VERDICT r3 item 6)."""
+    emb = clustered_embeddings(spark, n=n).persist()
+    emb.count()
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    out = _ladder(emb, q, f"clustered_embeddings(n={n}, 64 centers)")
+    emb.unpersist()
     return out
 
 
@@ -84,11 +121,16 @@ def main() -> None:
                     "spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    res = run(spark, sf_dir)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = run(spark, sf_dir)
     with open(os.path.join(here, "BENCH", "ann_recall.json"), "w") as f:
         f.write(json.dumps(res, indent=2) + "\n")
     print(json.dumps(res))
+    resc = run_clustered(spark)
+    with open(os.path.join(here, "BENCH",
+                           "ann_recall_clustered.json"), "w") as f:
+        f.write(json.dumps(resc, indent=2) + "\n")
+    print(json.dumps(resc))
 
 
 if __name__ == "__main__":
