@@ -5255,6 +5255,167 @@ SELECT query_id, rank, neighbor_id, adist FROM ranked WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------- q102
+
+def q102_clustered_aoi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship AOI query over the storage-layout triad's scan path
+    (VERDICT r3 item 8 — turns R63's layout micro-benchmark into the
+    actual access path): changesets are written cluster-sorted on the
+    level-12 Morton cell of their bbox CENTER
+    (operators/layout.py:write_clustered), and each AOI becomes a
+    handful of contiguous Z-order cell ranges
+    (geo/cells.py:cell_ranges_for_rect) that range-scan the table with
+    footer-stat pruning (scan_cell_ranges) before the exact rect
+    intersect predicate.
+
+    Losslessness: synth bboxes extend ≤ 0.050009° from center per axis
+    (synth.changesets_sql: wdt/hgt ≤ 50009 µ°), so padding the AOI rect
+    by 0.0501 makes center-in-padded-rect a superset of
+    bbox-intersects-rect — the oracle is therefore EXACTLY q30's
+    unclustered definitional rect join. Row-group pruning is measured
+    in tests/test_layout.py (same AOIs, footer stats)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.layout import (
+        scan_cell_ranges,
+        write_clustered,
+    )
+    from osmcha_spark.geo.cells import cell_ranges_for_rect
+
+    fine, coarse, pad = 12, 6, 0.0501
+    work = _work_dir("q102")
+    path = os.path.join(work, "cs_clustered")
+    cs = synth.changesets_df(spark, sf_dir)
+    clustered = cs.withColumn(
+        "cell",
+        cell_col(
+            (F.col("min_lon") + F.col("max_lon")) / 2,
+            (F.col("min_lat") + F.col("max_lat")) / 2,
+            fine,
+        ),
+    )
+    write_clustered(clustered, path, "cell", partitions=8)
+
+    out = None
+    for aid, (a, b, c, d) in MULTI_AOIS:
+        ranges = cell_ranges_for_rect(
+            a - pad, b - pad, c + pad, d + pad, coarse, fine
+        )
+        hit = (
+            scan_cell_ranges(spark, path, "cell", ranges)
+            .where(
+                (F.col("min_lon") <= c) & (F.col("max_lon") >= a)
+                & (F.col("min_lat") <= d) & (F.col("max_lat") >= b)
+            )
+            .select(F.lit(aid).alias("aoi_id"), "id")
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+# --------------------------------------------------------------- q103
+
+def q103_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-variant table profile (operators/profile.py:
+    table_profile_kmv): rows/nulls/min/max exact in ONE Expand-free
+    pass; distinct counts by the KMV sketch (q67 discipline — a pure
+    function of each column's value set, so every estimate is
+    oracle-checked value-for-value). k=64 exercises BOTH estimator
+    branches: event_type/user_id have < k distincts (sketch IS the
+    set, exact), event_id/ts/props overflow k (ratio estimator).
+    The exact-vs-sketch crossover is measured in
+    tools/profile_crossover.py → BENCH/profile_crossover.md."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.profile import table_profile_kmv
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return table_profile_kmv(ev, {
+        "event_id": "long",
+        "ts": "ts",
+        "user_id": "long",
+        "event_type": "string",
+        "props": "string",
+    }, k=64).select("col_name", "metric", "value")
+
+
+_Q103_ORACLE = """
+WITH m AS (
+  SELECT
+    count(*) AS n_rows,
+    count(*) FILTER (WHERE event_id IS NULL) AS null_event_id,
+    min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+    count(*) FILTER (WHERE ts IS NULL) AS null_ts,
+    min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts,
+    count(*) FILTER (WHERE user_id IS NULL) AS null_user_id,
+    min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+    count(*) FILTER (WHERE event_type IS NULL) AS null_event_type,
+    min(length(event_type)) AS min_event_type,
+    max(length(event_type)) AS max_event_type,
+    count(*) FILTER (WHERE props IS NULL) AS null_props,
+    min(length(props)) AS min_props, max(length(props)) AS max_props
+  FROM events
+),
+exact AS (
+  SELECT col_name, metric, CAST(value AS BIGINT) AS value
+  FROM m, LATERAL (
+    VALUES
+      ('event_id', 'n_rows', n_rows),
+      ('event_id', 'n_null', null_event_id),
+      ('event_id', 'min', min_event_id),
+      ('event_id', 'max', max_event_id),
+      ('ts', 'n_rows', n_rows),
+      ('ts', 'n_null', null_ts),
+      ('ts', 'min', min_ts),
+      ('ts', 'max', max_ts),
+      ('user_id', 'n_rows', n_rows),
+      ('user_id', 'n_null', null_user_id),
+      ('user_id', 'min', min_user_id),
+      ('user_id', 'max', max_user_id),
+      ('event_type', 'n_rows', n_rows),
+      ('event_type', 'n_null', null_event_type),
+      ('event_type', 'min', min_event_type),
+      ('event_type', 'max', max_event_type),
+      ('props', 'n_rows', n_rows),
+      ('props', 'n_null', null_props),
+      ('props', 'min', min_props),
+      ('props', 'max', max_props)
+  ) AS t(col_name, metric, value)
+),
+vals AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v
+  FROM events WHERE event_id IS NOT NULL
+  UNION ALL
+  SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR)
+  FROM events WHERE ts IS NOT NULL
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR)
+  FROM events WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'event_type', event_type
+  FROM events WHERE event_type IS NOT NULL
+  UNION ALL
+  SELECT 'props', props FROM events WHERE props IS NOT NULL
+),
+hashed AS (
+  SELECT DISTINCT col_name,
+         CAST('0x' || substring(md5(v), 1, 10) AS BIGINT) AS h
+  FROM vals
+),
+ranked AS (
+  SELECT col_name, h,
+         row_number() OVER (PARTITION BY col_name ORDER BY h ASC) AS rn
+  FROM hashed
+),
+est AS (
+  SELECT col_name, 'n_distinct_est' AS metric,
+         CAST(CASE WHEN count(*) < 64 THEN count(*)
+              ELSE (63 * 1099511627776) // max(h) END AS BIGINT) AS value
+  FROM ranked WHERE rn <= 64
+  GROUP BY col_name
+)
+SELECT * FROM exact UNION ALL SELECT * FROM est
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5385,6 +5546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_split_sample": q50_split_sample,
         "q55_flagship_report": q55_flagship_report,
         "q101_ivfpq_residual": q101_ivfpq_residual,
+        "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
+        "q103_profile_kmv": q103_profile_kmv,
     }
 
 
@@ -5491,4 +5654,8 @@ def oracle_sql() -> dict[str, str]:
         "q50_split_sample": _q50_oracle(),
         "q55_flagship_report": _q55_oracle(),
         "q101_ivfpq_residual": _Q101_ORACLE,
+        # same definitional oracle as q30: the clustered scan path must
+        # change WHAT IS READ, never what is returned
+        "q102_clustered_aoi_scan": _q30_oracle(),
+        "q103_profile_kmv": _Q103_ORACLE,
     }

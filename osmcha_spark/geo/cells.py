@@ -238,6 +238,63 @@ def covering_cells_col(
     )
 
 
+def _spread_int(v: int) -> int:
+    v &= 0xFFFFFF
+    for shift, mask in _SPREAD_MASKS:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def cell_ranges_for_rect(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float,
+    coarse_level: int, fine_level: int,
+) -> list[tuple[int, int]]:
+    """Contiguous FINE-level cell-id ranges covering the rect, via its
+    COARSE-level covering cells — the Z-order range decomposition that
+    turns a lon/lat box into `cell BETWEEN lo AND hi` predicates over a
+    cluster-sorted table (operators/layout.py:scan_cell_ranges).
+
+    Z-order property: a coarse cell's fine descendants are one contiguous
+    morton run `[m·4^k, (m+1)·4^k)` (k = fine−coarse), because
+    interleave(x_P·2^k + dx, y_P·2^k + dy) = morton_P·4^k + morton(dx,dy)
+    — so each coarse cell is ONE range, and morton-adjacent coarse cells
+    merge. Driver-side on purpose: AOIs are metadata-scale, and literal
+    ranges are statically pushed into the parquet scan (footer min/max
+    row-group pruning, measured in tests/test_layout.py) — the same
+    static-beats-dynamic pruning choice as upsert_partitioned.
+
+    Axis indices clamp exactly like ``cell_col`` does, so padding a rect
+    past ±180/±90 is safe and the ranges stay a superset of every
+    ``cell_col(center)`` value inside the rect."""
+    if fine_level < coarse_level:
+        raise ValueError(
+            f"fine_level={fine_level} < coarse_level={coarse_level}"
+        )
+
+    def axis(coord: float, offset: float, span: float) -> int:
+        lim = 1 << coarse_level
+        raw = int(math.floor((coord + offset) / span * float(lim)))
+        return min(max(raw, 0), lim - 1)
+
+    x0, x1 = axis(min_lon, 180.0, 360.0), axis(max_lon, 180.0, 360.0)
+    y0, y1 = axis(min_lat, 90.0, 180.0), axis(max_lat, 90.0, 180.0)
+    mortons = sorted(
+        _spread_int(x) | (_spread_int(y) << 1)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    )
+    span4 = 4 ** (fine_level - coarse_level)
+    runs: list[list[int]] = []
+    for m in mortons:
+        lo, hi = m * span4, m * span4 + span4 - 1
+        if runs and runs[-1][1] + 1 == lo:
+            runs[-1][1] = hi
+        else:
+            runs.append([lo, hi])
+    tag = fine_level << 56
+    return [(tag | lo, tag | hi) for lo, hi in runs]
+
+
 def covering_cells_count_sql(
     min_lon: str, min_lat: str, max_lon: str, max_lat: str, level: int
 ) -> str:

@@ -45,6 +45,62 @@ def write_clustered(df: DataFrame, path: str, cluster_col: str,
     )
 
 
+def scan_cell_ranges(spark, path: str, cell_col_name: str,
+                     ranges: list[tuple[int, int]]) -> DataFrame:
+    """Range-scan a cluster-sorted parquet table: OR of
+    ``cell BETWEEN lo AND hi`` literal predicates (from
+    geo/cells.py:cell_ranges_for_rect), all of which push to the parquet
+    scan and prune files + row groups via footer min/max stats — the
+    layout triad's scan path composed with a real query
+    (tests/test_layout.py measures the pruning; q102 gates the result
+    against q30's unclustered oracle)."""
+    if not ranges:
+        raise ValueError("empty range list")
+    c = F.col(cell_col_name)
+    pred = None
+    for lo, hi in ranges:
+        term = (c >= lo) & (c <= hi)
+        pred = term if pred is None else pred | term
+    return spark.read.parquet(path).where(pred)
+
+
+def row_groups_intersecting_any(
+    path: str, column: str, ranges: list[tuple[int, int]]
+) -> tuple[int, int]:
+    """(intersecting, total) row groups whose [min, max] overlaps ANY of
+    the ranges — the multi-range form of :func:`row_groups_intersecting`
+    (what an AOI's Z-order range set actually touches)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = _leaf_index(md, column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or st.min is None:
+                hit += 1
+            elif any(not (st.max < lo or st.min > hi)
+                     for lo, hi in ranges):
+                hit += 1
+    return hit, total
+
+
+def _leaf_index(md, column: str) -> int:
+    """Parquet LEAF-column index of a top-level primitive column — the
+    arrow-schema field index diverges once nested columns (maps/structs)
+    flatten into multiple leaves, so match by path instead."""
+    rg = md.row_group(0)
+    for i in range(rg.num_columns):
+        if rg.column(i).path_in_schema == column:
+            return i
+    raise KeyError(column)
+
+
 def row_groups_intersecting(path: str, column: str,
                             lo: int, hi: int) -> tuple[int, int]:
     """(intersecting, total) parquet row groups whose [min, max] stats
@@ -58,7 +114,7 @@ def row_groups_intersecting(path: str, column: str,
     hit = total = 0
     for f in glob.glob(os.path.join(path, "part-*.parquet")):
         md = pq.ParquetFile(f).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(column)
+        idx = _leaf_index(md, column)
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             total += 1

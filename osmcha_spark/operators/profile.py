@@ -66,3 +66,87 @@ def table_profile(df: DataFrame, spec: dict[str, str]) -> DataFrame:
     return one.selectExpr(
         f"stack({len(stacked)}, {pairs}) AS (col_name, metric, value)"
     )
+
+
+def table_profile_kmv(
+    df: DataFrame, spec: dict[str, str], k: int = 256, bits: int = 40
+) -> DataFrame:
+    """The sketch variant of :func:`table_profile` for the regime where
+    exact multi-distinct's Expand fan-out dominates (the cost knob the
+    exact panel's docstring names — measured, not prose:
+    tools/profile_crossover.py → BENCH/profile_crossover.md).
+
+    Same long format; ``n_rows``/``n_null``/``min``/``max`` stay EXACT
+    from ONE Expand-free aggregation, and the exact ``n_distinct`` is
+    replaced by ``n_distinct_est`` — the KMV estimate
+    (operators/sketches.py:kmv_distinct), a pure deterministic function
+    of each column's value set, so the panel remains oracle-checkable
+    value-for-value (q103) unlike ``approx_count_distinct``'s
+    engine-internal HLL.
+
+    Plan shape vs exact: the melt (one in-row explode to
+    (col_name, value-string)) fans out rows like Expand does, but the
+    very next operator is groupBy(col_name, hash) whose map-side
+    combiner collapses in-partition duplicates — the shuffle carries at
+    most the per-column distinct HASH sets (40-bit longs), never the
+    values, and per-group state downstream is O(k) via the
+    WindowGroupLimit rank pushdown. Exact multi-distinct instead
+    shuffles every distinct VALUE per column through the Expand.
+    Distinctness keys are injective per kind: longs/strings as strings,
+    timestamps by epoch micros (a timestamp's string form is
+    dialect-dependent; its micros are not).
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    melts = []
+    for c, kind in spec.items():
+        if kind not in KINDS:
+            raise ValueError(f"unknown kind {kind!r} for column {c!r}")
+        col = F.col(c)
+        if kind == "ts":
+            col = F.unix_micros(col.cast("timestamp"))
+        elif kind == "string":
+            col = F.length(col)
+        else:
+            col = col.cast("long")
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+        ]
+        vcol = (
+            F.unix_micros(F.col(c).cast("timestamp")).cast("string")
+            if kind == "ts"
+            else F.col(c).cast("string")
+        )
+        melts.append(
+            F.struct(F.lit(c).alias("col_name"), vcol.alias("v"))
+        )
+    one = df.agg(*aggs)
+    stacked = []
+    for c in spec:
+        stacked += [
+            (c, "n_rows", "__rows"),
+            (c, "n_null", f"__null_{c}"),
+            (c, "min", f"__min_{c}"),
+            (c, "max", f"__max_{c}"),
+        ]
+    pairs = ", ".join(
+        f"'{c}', '{m}', CAST({src} AS LONG)" for c, m, src in stacked
+    )
+    exact = one.selectExpr(
+        f"stack({len(stacked)}, {pairs}) AS (col_name, metric, value)"
+    )
+
+    from osmcha_spark.operators.sketches import kmv_distinct
+
+    melted = (
+        df.select(F.explode(F.array(*melts)).alias("e"))
+        .select("e.col_name", "e.v")
+        .where(F.col("v").isNotNull())
+    )
+    est = kmv_distinct(melted, ["col_name"], "v", k=k, bits=bits).select(
+        "col_name",
+        F.lit("n_distinct_est").alias("metric"),
+        F.col("est_distinct").alias("value"),
+    )
+    return exact.unionByName(est)

@@ -490,6 +490,48 @@ def main() -> None:
         )),
     ))
 
+    from osmcha_spark.operators.similarity import ivfpq_topk
+
+    pq_emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    pq_q = pq_emb.where(F.col("vec_id") < 20)
+    sections.append((
+        "Residual IVF-PQ (q101)",
+        "expect: broadcast coarse-centroid join for residuals, one-row "
+        "collapsed codebook broadcast into the encode projection, "
+        "per-(query, probe) ADC tables broadcast onto the probe "
+        "equi-join, window top-k — Python-free, no cartesian beyond "
+        "1-row/codebook build sides",
+        formatted(ivfpq_topk(pq_emb, pq_q, k=5, residual=True)),
+    ))
+
+    from osmcha_spark.geo.cells import cell_col, cell_ranges_for_rect
+    from osmcha_spark.operators.layout import (
+        scan_cell_ranges,
+        write_clustered,
+    )
+
+    lay_path = "/tmp/plans_clustered_cs"
+    cs_cells = spark.sql(synth.changesets_sql(synth.SPARK)).withColumn(
+        "cell",
+        cell_col(
+            (F.col("min_lon") + F.col("max_lon")) / 2,
+            (F.col("min_lat") + F.col("max_lat")) / 2,
+            12,
+        ),
+    )
+    write_clustered(cs_cells, lay_path, "cell", partitions=8)
+    nyc_ranges = cell_ranges_for_rect(
+        -74.3511, 40.3499, -73.6499, 41.0501, 6, 12
+    )
+    sections.append((
+        "Z-order AOI range scan over the cluster-sorted table (q102)",
+        "expect: PushedFilters with the cell-range Or chain reaching "
+        "the parquet scan (file + row-group footer pruning measured in "
+        "tests/test_layout.py) — the read schema pruned, no shuffle, "
+        "no Python eval",
+        formatted(scan_cell_ranges(spark, lay_path, "cell", nyc_ranges)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
