@@ -5416,6 +5416,32 @@ SELECT * FROM exact UNION ALL SELECT * FROM est
 """
 
 
+# --------------------------------------------------------------- q104
+
+def q104_pyramid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tile-pyramid maintenance (operators/tiles.py:
+    pyramid_merge): the stored pyramid (points with id%3≠0) absorbs a
+    delta batch's pyramid (id%3=0) by one groupBy-sum over the union —
+    delta-sized work instead of a raw rescan, the aggregation-side
+    sibling of q58's bounded partition rewrites. The oracle recomputes
+    every level FROM RAW over ALL points (exactly q43's oracle), so the
+    gate proves merge(pyramid(old), pyramid(delta)) ≡
+    pyramid(old ∪ delta) value-for-value."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import pyramid_merge, tile_pyramid
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    base = tile_pyramid(
+        pts.where(F.col("id") % 3 != 0), "lon", "lat", level=10,
+        min_level=6,
+    )
+    delta = tile_pyramid(
+        pts.where(F.col("id") % 3 == 0), "lon", "lat", level=10,
+        min_level=6,
+    )
+    return pyramid_merge(base, delta)
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5548,6 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
         "q103_profile_kmv": q103_profile_kmv,
+        "q104_pyramid_merge": q104_pyramid_merge,
     }
 
 
@@ -5658,4 +5685,7 @@ def oracle_sql() -> dict[str, str]:
         # change WHAT IS READ, never what is returned
         "q102_clustered_aoi_scan": _q30_oracle(),
         "q103_profile_kmv": _Q103_ORACLE,
+        # q43's recompute-from-raw oracle: incremental merge must equal
+        # the from-scratch pyramid over the full point set
+        "q104_pyramid_merge": _q43_oracle(),
     }

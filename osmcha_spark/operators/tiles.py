@@ -150,3 +150,30 @@ def tile_pyramid(
     for df in levels[1:]:
         out = out.unionByName(df)
     return out
+
+
+def pyramid_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental pyramid maintenance: fold a DELTA pyramid — built by
+    :func:`tile_pyramid` over only the new (or, negated, the deleted)
+    rows, i.e. delta-sized work — into the stored pyramid. Counts are
+    additive per (level, cell), so the merge is one groupBy-sum over the
+    union, with exact-zero cells dropped (a cell whose count returns to
+    0 disappears, exactly as a from-scratch rebuild would never emit
+    it). Negative ``n`` in the delta is a retraction; intermediate
+    negative totals are the caller's bug, final zeros are handled.
+
+    Scale shape: the base pyramid is #cells-sized (MBs at planet scale)
+    while the raw table is the 100 TB — per minutely batch this costs
+    O(delta + touched cells), never a rescan; it is the aggregation-side
+    sibling of upsert_partitioned's bounded-rewrite story and composes
+    with it (partition the stored pyramid by level). Gate: q104 proves
+    merge(pyramid(old), pyramid(new)) == pyramid(old ∪ new)
+    value-for-value against the recompute-from-raw oracle; retraction
+    inverse pinned by pytest."""
+    return (
+        base.select("level", "cell", "n")
+        .unionByName(delta.select("level", "cell", "n"))
+        .groupBy("level", "cell")
+        .agg(F.sum("n").alias("n"))
+        .where(F.col("n") != 0)
+    )

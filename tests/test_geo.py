@@ -415,3 +415,47 @@ def test_q72_staircase_area_is_sum_of_columns(spark):
     got = {(r.doc_id, r.area2) for r in out.select("doc_id", "area2").collect()}
     want = {(r.doc_id, r.area2) for r in expect.collect()}
     assert got == want and len(got) == 500
+
+
+def test_cell_ranges_for_rect_lossless_volume():
+    """Z-order range-decomposition completeness (the q102 scan's safety
+    property): for ANY rect and any point inside it, the point's
+    fine-level cell falls inside one of the rect's ranges; points a full
+    coarse cell away fall outside every range. Pure-python volume test
+    (seeded), checked against the numpy encoder the Column/SQL encoders
+    are already pinned to."""
+    import random
+
+    import numpy as np
+
+    from osmcha_spark.geo.cells import cell_np, cell_ranges_for_rect
+
+    rng = random.Random(42)
+    for _ in range(300):
+        coarse = rng.randint(2, 8)
+        fine = coarse + rng.randint(0, 6)
+        cx = rng.uniform(-185.0, 185.0)  # includes clamp region
+        cy = rng.uniform(-95.0, 95.0)
+        w = rng.uniform(0.0, 30.0)
+        h = rng.uniform(0.0, 20.0)
+        a, b, c, d = cx - w, cy - h, cx + w, cy + h
+        ranges = cell_ranges_for_rect(a, b, c, d, coarse, fine)
+        assert ranges and all(lo <= hi for lo, hi in ranges)
+        lons = np.array(
+            [rng.uniform(max(a, -180.0), min(c, 180.0)) for _ in range(20)]
+        )
+        lats = np.array(
+            [rng.uniform(max(b, -90.0), min(d, 90.0)) for _ in range(20)]
+        )
+        cells = cell_np(lons, lats, fine)
+        for cell in cells.tolist():
+            assert any(lo <= cell <= hi for lo, hi in ranges), (
+                coarse, fine, a, b, c, d, cell
+            )
+        # negative control: a point > one coarse-cell edge beyond the
+        # rect (and not clamped) must miss every range
+        edge_lon, edge_lat = 360.0 / (1 << coarse), 180.0 / (1 << coarse)
+        ox, oy = c + 1.5 * edge_lon, d + 1.5 * edge_lat
+        if ox < 180.0 and oy < 90.0:
+            far = int(cell_np(np.array([ox]), np.array([oy]), fine)[0])
+            assert not any(lo <= far <= hi for lo, hi in ranges)

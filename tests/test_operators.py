@@ -1689,3 +1689,42 @@ def test_table_profile_metrics(spark):
     assert got[("t", "n_null")] == 1
     assert got[("t", "n_distinct")] == 2
     assert got[("t", "min")] == 1704067200_000000
+
+
+def test_pyramid_merge_retraction_inverse(spark):
+    """pyramid_merge with a NEGATED delta retracts exactly: merging
+    pyramid(all) with -pyramid(deleted) equals pyramid(all minus
+    deleted) row-for-row — including cells whose count returns to zero
+    VANISHING, as a from-scratch rebuild would never emit them. (The
+    additive direction is q104's oracle gate.)"""
+    from osmcha_spark.operators.tiles import pyramid_merge, tile_pyramid
+
+    pts = spark.range(3000).select(
+        F.col("id"),
+        ((F.pmod(F.xxhash64("id"), 3600) / 10.0) - 180.0).alias("lon"),
+        ((F.pmod(F.xxhash64(F.col("id") + 9), 1800) / 10.0) - 90.0)
+        .alias("lat"),
+    )
+    deleted = pts.where(F.col("id") % 5 == 0)
+    kept = pts.where(F.col("id") % 5 != 0)
+
+    full = tile_pyramid(pts, "lon", "lat", level=8, min_level=5)
+    neg_delta = tile_pyramid(
+        deleted, "lon", "lat", level=8, min_level=5
+    ).withColumn("n", -F.col("n"))
+    got = {
+        (r.level, r.cell, r.n)
+        for r in pyramid_merge(full, neg_delta).collect()
+    }
+    want = {
+        (r.level, r.cell, r.n)
+        for r in tile_pyramid(kept, "lon", "lat", level=8,
+                              min_level=5).collect()
+    }
+    assert got == want and len(want) > 100
+    # some finest-level cells really did hit zero and vanish
+    full_cells = {
+        (r.level, r.cell) for r in full.where(F.col("level") == 8).collect()
+    }
+    kept_cells = {(lvl, c) for (lvl, c, _) in want if lvl == 8}
+    assert full_cells - kept_cells
