@@ -5442,6 +5442,51 @@ def q104_pyramid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyramid_merge(base, delta)
 
 
+# --------------------------------------------------------------- q105
+
+def q105_stream_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained tile pyramid (streaming/ingest.py:
+    stream_pyramid): the points table replayed as three micro-batches
+    (ids ≡0/1/2 mod 3, one file per trigger) folds each batch's delta
+    pyramid into a VERSIONED pyramid table — v_<batch_id> dirs plus an
+    atomically-replaced _CURRENT pointer, the snapshot-commit protocol
+    that makes additive merges replay-safe (apply_pyramid_batch
+    docstring; crash windows pytest-gated). The final committed version
+    must equal the from-scratch pyramid over ALL points — q43's
+    recompute-from-raw oracle, now reached through three incremental
+    commits instead of one batch job."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import read_pyramid, stream_pyramid
+
+    work = _work_dir("q105")
+    in_dir = os.path.join(work, "in")
+    table = os.path.join(work, "pyramid")
+    os.makedirs(in_dir)
+    os.makedirs(table)
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    for i in range(3):
+        tmp = os.path.join(work, f"_stage_{i}")
+        pts.where(F.col("id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"b{i}.parquet"))
+
+    ss = (
+        spark.readStream.schema("id long, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_pyramid(
+        ss, table, "lon", "lat", level=10, min_level=6,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return read_pyramid(spark, table).select("level", "cell", "n")
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5575,6 +5620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
         "q103_profile_kmv": q103_profile_kmv,
         "q104_pyramid_merge": q104_pyramid_merge,
+        "q105_stream_pyramid": q105_stream_pyramid,
     }
 
 
@@ -5688,4 +5734,7 @@ def oracle_sql() -> dict[str, str]:
         # q43's recompute-from-raw oracle: incremental merge must equal
         # the from-scratch pyramid over the full point set
         "q104_pyramid_merge": _q43_oracle(),
+        # three incremental streamed commits must equal the from-scratch
+        # pyramid over all points — the same recompute-from-raw oracle
+        "q105_stream_pyramid": _q43_oracle(),
     }

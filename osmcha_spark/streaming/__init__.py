@@ -16,7 +16,12 @@ from osmcha_spark.streaming.dedup import (
     deduped_stream,
     run_dedup_stream,
 )
-from osmcha_spark.streaming.ingest import stream_upsert
+from osmcha_spark.streaming.ingest import (
+    apply_pyramid_batch,
+    read_pyramid,
+    stream_pyramid,
+    stream_upsert,
+)
 from osmcha_spark.streaming.joins import (
     enrich_stream,
     interval_stream_join,
@@ -37,6 +42,9 @@ __all__ = [
     "deduped_stream",
     "run_dedup_stream",
     "enrich_stream",
+    "apply_pyramid_batch",
+    "read_pyramid",
+    "stream_pyramid",
     "stream_upsert",
     "interval_stream_join",
     "run_stream_join",

@@ -684,3 +684,66 @@ def test_stream_upsert_replay_overlapping_keys_lww(
     add_file([(1, "p1", 999, 4)], "b_stale")
     drain()
     assert snapshot() == want, "stale batch regressed a newer row"
+
+
+def test_pyramid_commit_protocol_replay_and_crash(spark, tmp_path):
+    """apply_pyramid_batch's versioned commit makes the ADDITIVE merge
+    replay-safe: re-applying a committed batch is a no-op (no double
+    counting), the crash window between version-write and pointer
+    publish redoes as a pure repoint, and old versions are pruned down
+    to current + previous."""
+    from osmcha_spark.operators.tiles import tile_pyramid
+    from osmcha_spark.streaming import apply_pyramid_batch, read_pyramid
+
+    path = str(tmp_path / "pyr")
+    os.makedirs(path)
+
+    def pts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            ((F.pmod(F.xxhash64("id"), 3600) / 10.0) - 180.0)
+            .alias("lon"),
+            ((F.pmod(F.xxhash64(F.col("id") + 9), 1800) / 10.0) - 90.0)
+            .alias("lat"),
+        )
+
+    def snap():
+        return {
+            (r.level, r.cell, r.n)
+            for r in read_pyramid(spark, path).collect()
+        }
+
+    def want(df):
+        return {
+            (r.level, r.cell, r.n)
+            for r in tile_pyramid(df, "lon", "lat", 8, 5).collect()
+        }
+
+    apply_pyramid_batch(pts(0, 400), 0, path, "lon", "lat", 8, 5)
+    assert snap() == want(pts(0, 400))
+    # replay of a committed batch: byte-level no-op
+    apply_pyramid_batch(pts(0, 400), 0, path, "lon", "lat", 8, 5)
+    assert snap() == want(pts(0, 400))
+
+    apply_pyramid_batch(pts(400, 700), 1, path, "lon", "lat", 8, 5)
+    after_two = want(pts(0, 700))
+    assert snap() == after_two
+    apply_pyramid_batch(pts(400, 700), 1, path, "lon", "lat", 8, 5)
+    assert snap() == after_two
+
+    # crash window: v_2 fully written but _CURRENT still at v_1 — the
+    # replay must only repoint, not re-merge
+    apply_pyramid_batch(pts(700, 900), 2, path, "lon", "lat", 8, 5)
+    after_three = want(pts(0, 900))
+    assert snap() == after_three
+    with open(os.path.join(path, "_CURRENT"), "w") as fh:
+        fh.write(f"v_{1:020d}\n")  # simulate dying before the publish
+    assert snap() == after_two  # readers see the old committed version
+    apply_pyramid_batch(pts(700, 900), 2, path, "lon", "lat", 8, 5)
+    assert snap() == after_three
+
+    # pruning: only current + previous version dirs survive
+    versions = sorted(
+        d for d in os.listdir(path) if d.startswith("v_")
+    )
+    assert versions == [f"v_{1:020d}", f"v_{2:020d}"]
