@@ -78,9 +78,70 @@ def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def read_replication(spark: SparkSession, path: str) -> DataFrame:
     """Scan ``*.osm.gz`` replication files under ``path`` into the
-    changesets schema."""
+    changesets schema.
+
+    Strict (reference-parity) error behavior: a corrupt file fails the
+    scan, exactly as the reference's ``gzip.open`` + ElementTree would
+    crash (osmcha/changeset.py:213-228). For the planet-scale pipeline
+    where one bad minutely file must not poison a million-file scan,
+    use :func:`read_replication_robust`."""
     binary = spark.read.format("binaryFile").load(path).select("content")
     return binary.mapInPandas(parse_batches, CHANGESETS_SCHEMA)
+
+
+ROBUST_SCHEMA = (
+    CHANGESETS_SCHEMA + ", src_file string, parse_error string"
+)
+
+
+def parse_batches_robust(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fault-contained variant of :func:`parse_batches` (the q53
+    decode_safe discipline applied to the source): each file parses
+    inside its own try — good files yield their rows with
+    ``parse_error`` NULL, a corrupt file yields exactly ONE quarantine
+    row (all data columns NULL, ``src_file`` + ``parse_error`` set)
+    instead of killing the task. One scan, no second pass; the
+    quarantine is an ordinary filter (``parse_error IS NOT NULL``)
+    downstream operators can route to a dead-letter sink."""
+    cols = [
+        "id", "user", "uid", "created_at", "comments_count",
+        "min_lon", "min_lat", "max_lon", "max_lat", "tags",
+        "src_file", "parse_error",
+    ]
+    for pdf in batches:
+        out: list[dict] = []
+        for content, src in zip(pdf["content"], pdf["path"]):
+            try:
+                rows = _parse_file(bytes(content))
+            except Exception as exc:  # noqa: BLE001 — quarantine, not mask
+                out.append({
+                    "id": None, "user": None, "uid": None,
+                    "created_at": None, "comments_count": None,
+                    "min_lon": None, "min_lat": None,
+                    "max_lon": None, "max_lat": None, "tags": None,
+                    "src_file": src,
+                    "parse_error": f"{type(exc).__name__}: {exc}",
+                })
+                continue
+            for r in rows:
+                r["src_file"] = src
+                r["parse_error"] = None
+            out.extend(rows)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def read_replication_robust(spark: SparkSession, path: str) -> DataFrame:
+    """Planet-scale replication scan with per-file fault containment:
+    same rows as :func:`read_replication` for parseable files, plus one
+    quarantine row per corrupt file (see :func:`parse_batches_robust`).
+    Schema adds ``(src_file, parse_error)``; good-row set equality with
+    the strict scan and quarantine behavior are pytest-gated."""
+    binary = spark.read.format("binaryFile").load(path).select(
+        "content", "path"
+    )
+    return binary.mapInPandas(parse_batches_robust, ROBUST_SCHEMA)
 
 
 # Public replication endpoint the reference reads from (the docstring of
