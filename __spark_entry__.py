@@ -5487,6 +5487,90 @@ def q105_stream_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pyramid(spark, table).select("level", "cell", "n")
 
 
+# --------------------------------------------------------------- q106
+
+def q106_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlist → exact re-rank
+    (operators/similarity.py:pq_refine_topk, the FAISS IndexRefineFlat
+    pattern). Stage 1 is q79's compressed-code ADC scan kept to a
+    25-candidate shortlist; stage 2 broadcasts the shortlist into the
+    corpus scan, fetches ONLY those 25×n_queries original vectors, and
+    re-ranks by exact integer squared-L2 — the serving-path composition
+    that makes PQ recall usable without ever shuffling the corpus. The
+    oracle mirrors BOTH stages (q79's ADC CTEs + an exact-d2 re-rank),
+    so a green hash proves the shortlist and the refinement together."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.similarity import pq_refine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 20)
+    return pq_refine_topk(
+        emb, q, k=5, shortlist=25, m=8, dim=64, centroid_stride=50
+    ).select("query_id", "rank", "neighbor_id", "d2")
+
+
+_Q106_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, val, idx, CAST((idx - 1) // 8 AS INT) AS s FROM flat
+),
+cw AS (
+  SELECT vec_id AS code_id, s, idx, val FROM sub WHERE vec_id % 50 = 0
+),
+encd2 AS (
+  SELECT f.vec_id AS id, f.s, c.code_id,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM sub f JOIN cw c ON f.idx = c.idx
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT id, s, code_id FROM (
+    SELECT id, s, code_id,
+           row_number() OVER (PARTITION BY id, s ORDER BY d2, code_id) AS rn
+    FROM encd2
+  ) WHERE rn = 1
+),
+qd2 AS (
+  SELECT id AS query_id, s, code_id, d2 FROM encd2 WHERE id < 20
+),
+adist AS (
+  SELECT q.query_id, n.id AS neighbor_id, CAST(sum(q.d2) AS BIGINT) AS adist
+  FROM codes n JOIN qd2 q ON q.s = n.s AND q.code_id = n.code_id
+  WHERE n.id <> q.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rn
+    FROM adist
+  ) WHERE rn <= 25
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(sum((q.val - n.val) * (q.val - n.val)) AS BIGINT) AS d2
+  FROM short s
+  JOIN flat q ON q.vec_id = s.query_id
+  JOIN flat n ON n.vec_id = s.neighbor_id AND n.idx = q.idx
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, rank, neighbor_id, d2 FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5621,6 +5705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_profile_kmv": q103_profile_kmv,
         "q104_pyramid_merge": q104_pyramid_merge,
         "q105_stream_pyramid": q105_stream_pyramid,
+        "q106_pq_refine": q106_pq_refine,
     }
 
 
@@ -5737,4 +5822,7 @@ def oracle_sql() -> dict[str, str]:
         # three incremental streamed commits must equal the from-scratch
         # pyramid over all points — the same recompute-from-raw oracle
         "q105_stream_pyramid": _q43_oracle(),
+        # mirrors BOTH retrieval stages: q79's ADC CTEs → 25-shortlist →
+        # exact integer-L2 re-rank
+        "q106_pq_refine": _Q106_ORACLE,
     }

@@ -1036,6 +1036,65 @@ def clustered_embeddings(
     )
 
 
+def pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int = 25,
+    m: int = 8,
+    dim: int = 64,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlist → exact re-rank (the FAISS
+    ``IndexRefineFlat`` pattern; Jégou et al. TPAMI 2011 §V-E re-ranking).
+
+    Stage 1 scans only the COMPRESSED codes (m int64 codes per vector —
+    the representation that keeps a 10^12-vector index RAM-resident) and
+    keeps a ``shortlist`` of candidates per query by asymmetric distance.
+    Stage 2 fetches the ORIGINAL vectors of just those candidates
+    (n_queries × shortlist rows — the shortlist is broadcast INTO the
+    corpus scan, so the full-precision column is read once, filtered by
+    the broadcast hash join, and never shuffled) and re-ranks by exact
+    integer squared-L2.
+
+    Refinement dominates raw PQ by construction: every true neighbor that
+    ADC ranks anywhere inside the shortlist is restored to its exact-metric
+    position, so recall@k(refine, shortlist≥k) ≥ recall@k(pq) — pinned on
+    the clustered corpus by pytest and measured per-tier in
+    BENCH/ann_recall*.json. All-integer (QUANT=1024), so the q106 oracle
+    mirrors both stages end-to-end.
+    """
+    if shortlist < k:
+        raise ValueError(f"shortlist={shortlist} must be >= k={k}")
+    short = pq_topk(
+        corpus, queries, shortlist, m, dim, centroid_stride, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _qvec(F.col(vec_col)).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    refined = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def brute_topk_l2(
     corpus: DataFrame,
     queries: DataFrame,

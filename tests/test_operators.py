@@ -1466,6 +1466,11 @@ def test_ann_recall_curve_pins(spark):
     assert res["ivf_nprobe4"] >= 0.30
     assert res["pq_m8"] >= 0.10
     assert res["lsh_12bit"] >= 0.01
+    # exact refinement can only restore true neighbors the ADC shortlist
+    # already contains — so it dominates raw PQ, and a longer shortlist
+    # dominates a shorter one (pq_refine_topk docstring, q106)
+    assert res["pq_m8_refine25"] >= res["pq_m8"]
+    assert res["pq_m8_refine100"] >= res["pq_m8_refine25"]
 
     # structured corpus (similarity.py:clustered_embeddings): the regime
     # real embedding data lives in — the ladder's value is finally
@@ -1484,6 +1489,40 @@ def test_ann_recall_curve_pins(spark):
     assert cl["ivfpq_residual_nprobe8"] >= 0.15
     assert cl["ivfpq_residual_nprobe8"] <= cl["ivfpq_nprobe8"]
     assert cl["ivf_nprobe4"] > 2 * res["ivf_nprobe4"]
+    assert cl["pq_m8_refine25"] >= cl["pq_m8"]
+    assert cl["pq_m8_refine100"] >= cl["pq_m8_refine25"]
+
+
+def test_pq_refine_full_shortlist_equals_exact(spark):
+    """Refined PQ sanity identity: with shortlist ≥ corpus size the ADC
+    stage keeps EVERY candidate, so the exact re-rank must reproduce
+    brute_topk_l2 row-for-row — the q106 composition degrades gracefully
+    to the exact baseline, and any divergence is a re-rank bug, not
+    quantization loss. Also pins the shortlist-vs-k guard."""
+    import pytest as _pytest
+
+    from osmcha_spark.operators.similarity import (
+        brute_topk_l2,
+        pq_refine_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where(F.col("vec_id") < 120)
+    q = emb.where(F.col("vec_id") < 6)
+    refined = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d2)
+        for r in pq_refine_topk(emb, q, k=5, shortlist=200, m=8, dim=64,
+                                centroid_stride=50).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d2)
+        for r in brute_topk_l2(emb, q, k=5).collect()
+    }
+    assert refined == exact
+
+    with _pytest.raises(ValueError):
+        pq_refine_topk(emb, q, k=10, shortlist=5)
 
 
 def test_ivfpq_is_pq_restricted_to_probed_lists(spark):

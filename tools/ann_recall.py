@@ -30,6 +30,7 @@ from osmcha_spark.operators.similarity import (  # noqa: E402
     ivf_topk,
     ivfpq_topk,
     lsh_topk,
+    pq_refine_topk,
     pq_topk,
 )
 from osmcha_spark.session import get_spark  # noqa: E402
@@ -71,6 +72,15 @@ def _ladder(emb, q, label: str) -> dict:
         ),
         4,
     )
+    for shortlist in (25, 100):
+        out[f"pq_m8_refine{shortlist}"] = round(
+            recall_at_k(
+                pq_refine_topk(emb, q, k=K, shortlist=shortlist, m=8,
+                               dim=64, centroid_stride=50),
+                l2_truth,
+            ),
+            4,
+        )
     for nprobe in (2, 8):
         out[f"ivfpq_nprobe{nprobe}"] = round(
             recall_at_k(
