@@ -5571,6 +5571,75 @@ SELECT query_id, rank, neighbor_id, d2 FROM ranked WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------- q107
+
+def q107_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (operators/profile.py:
+    constraint_audit): uniqueness, not-null, range, accepted-values and
+    FK-orphan checks over orders in ONE scan + ONE shuffle — the
+    row-level flags ride the same groupBy the uniqueness check needs,
+    and the FK dim joins broadcast. The ingest gate every training-data
+    pipeline runs before anything else; violation counts are exact, so
+    the oracle is the literal per-constraint SQL. The range and
+    accepted-values checks fire (non-zero) on this corpus by design."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.profile import constraint_audit
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return constraint_audit(
+        orders,
+        key=["o_orderkey"],
+        not_null=["o_custkey", "o_orderdate"],
+        ranges={"o_totalprice": (0.0, 300000.0)},
+        accepted={
+            "o_orderstatus": ["O", "F", "P"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        },
+        fks=[("custkey", "o_custkey", customer, "c_custkey")],
+    ).select("check_name", "violations", "total_rows")
+
+
+_Q107_ORACLE = """
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM orders)
+SELECT v.check_name, CAST(v.violations AS BIGINT) AS violations,
+       t.total_rows
+FROM (
+  SELECT 'unique:o_orderkey' AS check_name,
+         (SELECT count(*) FROM orders)
+         - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
+           AS violations
+  UNION ALL
+  SELECT 'not_null:o_custkey',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'not_null:o_orderdate',
+         (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+  UNION ALL
+  SELECT 'range:o_totalprice',
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0))
+  UNION ALL
+  SELECT 'accepted:o_orderstatus',
+         (SELECT count(*) FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P'))
+  UNION ALL
+  SELECT 'accepted:o_orderpriority',
+         (SELECT count(*) FROM orders
+          WHERE o_orderpriority IS NOT NULL
+            AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM'))
+  UNION ALL
+  SELECT 'fk:custkey',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+) v, tot t
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5706,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_pyramid_merge": q104_pyramid_merge,
         "q105_stream_pyramid": q105_stream_pyramid,
         "q106_pq_refine": q106_pq_refine,
+        "q107_constraint_audit": q107_constraint_audit,
     }
 
 
@@ -5825,4 +5895,6 @@ def oracle_sql() -> dict[str, str]:
         # mirrors BOTH retrieval stages: q79's ADC CTEs → 25-shortlist →
         # exact integer-L2 re-rank
         "q106_pq_refine": _Q106_ORACLE,
+        # literal per-constraint SQL; every violation count exact
+        "q107_constraint_audit": _Q107_ORACLE,
     }

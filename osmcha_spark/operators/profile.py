@@ -150,3 +150,82 @@ def table_profile_kmv(
         F.col("est_distinct").alias("value"),
     )
     return exact.unionByName(est)
+
+
+def constraint_audit(
+    df: DataFrame,
+    key: list[str],
+    not_null: list[str] = (),
+    ranges: dict[str, tuple] | None = None,
+    accepted: dict[str, list] | None = None,
+    fks: list[tuple] | None = None,
+) -> DataFrame:
+    """Data-quality constraint audit in ONE scan + ONE shuffle: per
+    constraint a ``(check_name, violations, total_rows)`` row.
+
+    Checks: ``unique:<key>`` (extra rows beyond one per key group —
+    GROUP-BY null semantics, i.e. all-null keys form ONE group, matching
+    ``SELECT DISTINCT``), ``not_null:<col>`` (null count),
+    ``range:<col>`` (non-null values outside the closed [lo, hi]),
+    ``accepted:<col>`` (non-null values outside the allow-list), and
+    ``fk:<name>`` for each ``(name, child_col, dim_df, dim_key)`` in
+    ``fks`` (non-null child values with no parent — orphans).
+
+    Scale shape: every row-level check is a boolean flag in the initial
+    projection, so it rides the SAME ``groupBy(key)`` the uniqueness
+    check needs — flags are additive, so they survive the map-side
+    partial agg, and the shuffle carries one row per DISTINCT key, never
+    the table. FK dims join as broadcast left joins before the groupBy
+    (zero extra shuffles); null children are the not_null check's job,
+    not an orphan. The final reduction runs over per-key rows only.
+    Nothing here crosses into Python.
+    """
+    ranges = ranges or {}
+    accepted = accepted or {}
+    fks = fks or []
+
+    flags: list[tuple[str, F.Column]] = []
+    for c in not_null:
+        flags.append((f"not_null:{c}", F.col(c).isNull()))
+    for c, (lo, hi) in ranges.items():
+        flags.append(
+            (f"range:{c}", F.col(c).isNotNull() & ~F.col(c).between(lo, hi))
+        )
+    for c, vals in accepted.items():
+        flags.append(
+            (f"accepted:{c}", F.col(c).isNotNull() & ~F.col(c).isin(*vals))
+        )
+    work = df
+    for name, child, dim, dim_key in fks:
+        kcol, marker = f"__fk_key_{name}", f"__fk_hit_{name}"
+        d = (
+            dim.select(F.col(dim_key).alias(kcol))
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+        work = work.join(
+            F.broadcast(d), work[child] == F.col(kcol), "left"
+        ).drop(kcol)
+        flags.append(
+            (f"fk:{name}", F.col(child).isNotNull() & F.col(marker).isNull())
+        )
+
+    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.sum(flag.cast("long")).alias(f"__f{i}")
+        for i, (_, flag) in enumerate(flags)
+    ]
+    grouped = work.groupBy(*[F.col(c) for c in key]).agg(*aggs)
+    one = grouped.agg(
+        F.sum("__cnt").alias("__total"),
+        (F.sum("__cnt") - F.count(F.lit(1))).alias("__dups"),
+        *[F.sum(f"__f{i}").alias(f"__v{i}") for i in range(len(flags))],
+    )
+    names = [f"unique:{','.join(key)}"] + [n for n, _ in flags]
+    srcs = ["__dups"] + [f"__v{i}" for i in range(len(flags))]
+    pairs = ", ".join(
+        f"'{n}', CAST({s} AS LONG)" for n, s in zip(names, srcs)
+    )
+    return one.selectExpr(
+        f"stack({len(names)}, {pairs}) AS (check_name, violations)",
+        "CAST(__total AS LONG) AS total_rows",
+    )

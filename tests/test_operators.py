@@ -1493,6 +1493,48 @@ def test_ann_recall_curve_pins(spark):
     assert cl["pq_m8_refine100"] >= cl["pq_m8_refine25"]
 
 
+def test_constraint_audit_every_branch_fires(spark):
+    """constraint_audit (q107) on a deliberately dirty table: duplicate
+    keys (incl. the all-null key group counting as ONE group — SELECT
+    DISTINCT semantics), nulls, out-of-range, off-list values, and FK
+    orphans each produce their exact violation count; a null child is an
+    orphan of the not_null check, never of the fk check."""
+    from osmcha_spark.operators.profile import constraint_audit
+
+    rows = [
+        # (k, cust, price, status)
+        (1, 10, 50.0, "O"),
+        (1, 10, 50.0, "O"),       # dup key 1
+        (2, None, -5.0, "X"),     # null child + range + accepted
+        (3, 99, 150.0, "F"),      # orphan (99 not in dim)
+        (None, 10, 20.0, "O"),    # null key group...
+        (None, 10, 300.0, "O"),   # ...two rows, one group → 1 dup
+        (4, 11, None, "P"),       # null price: NOT a range violation
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, cust long, price double, status string"
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "ck long")
+    out = {
+        r.check_name: (r.violations, r.total_rows)
+        for r in constraint_audit(
+            df,
+            key=["k"],
+            not_null=["cust"],
+            ranges={"price": (0.0, 200.0)},
+            accepted={"status": ["O", "F", "P"]},
+            fks=[("cust", "cust", dim, "ck")],
+        ).collect()
+    }
+    assert out == {
+        "unique:k": (2, 7),        # dup of key 1 + dup of the null group
+        "not_null:cust": (1, 7),
+        "range:price": (2, 7),     # -5.0 and 300.0; the NULL price exempt
+        "accepted:status": (1, 7),
+        "fk:cust": (1, 7),         # cust=99; the NULL child exempt
+    }
+
+
 def test_pq_refine_full_shortlist_equals_exact(spark):
     """Refined PQ sanity identity: with shortlist ≥ corpus size the ADC
     stage keeps EVERY candidate, so the exact re-rank must reproduce
