@@ -5640,6 +5640,61 @@ FROM (
 """
 
 
+# --------------------------------------------------------------- q108
+
+def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (operators/graph.py:bfs_hops): min-hop
+    labels within 3 directed hops of the seed set doc_id % 97 == 0, over
+    the q74 deterministic link graph ((src·31+j) mod N, j ∈ 0..2). The
+    engine runs level-synchronous frontier expansion (frontier ⋈ edges →
+    anti-join visited, O(rounds) shuffles, lineage truncated per round);
+    the oracle is a DuckDB recursive CTE bounded at the same depth with
+    min(hops) — path-enumeration is affordable at gate scale precisely
+    where the frontier formulation is the one that survives 100 TB."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.graph import bfs_hops
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        docs.join(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            "__n",
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    seeds = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node_id")
+    )
+    return bfs_hops(edges, seeds, max_hops=3).select("node_id", "hops")
+
+
+_Q108_ORACLE = """
+WITH RECURSIVE
+n AS (SELECT count(*) AS nn FROM documents),
+series AS (SELECT unnest(range(0, 3)) AS j),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + s.j) % n.nn AS dst
+  FROM documents d, n, series s
+),
+reach(node_id, hops) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.node_id
+  WHERE r.hops < 3
+)
+SELECT node_id, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5776,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_stream_pyramid": q105_stream_pyramid,
         "q106_pq_refine": q106_pq_refine,
         "q107_constraint_audit": q107_constraint_audit,
+        "q108_bfs_hops": q108_bfs_hops,
     }
 
 
@@ -5897,4 +5953,7 @@ def oracle_sql() -> dict[str, str]:
         "q106_pq_refine": _Q106_ORACLE,
         # literal per-constraint SQL; every violation count exact
         "q107_constraint_audit": _Q107_ORACLE,
+        # bounded recursive CTE, min(hops) over enumerated paths — exact
+        # at gate scale; the engine's frontier anti-join is the scale form
+        "q108_bfs_hops": _Q108_ORACLE,
     }

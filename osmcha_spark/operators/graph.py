@@ -186,3 +186,60 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("tri_cnt")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    id_col: str = "node_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: ``(node_id, hops)`` — the minimum number of
+    directed ``src → dst`` edges from ANY seed, bounded by ``max_hops``
+    (pass the symmetrized edge table for undirected semantics). The
+    traversal primitive behind crawl-frontier expansion, seed-set
+    contamination spread, and "within k links of a known-bad host"
+    curation filters.
+
+    BSP frontier expansion, O(diameter) rounds like components.py: each
+    round joins ONLY the newest frontier against edges (frontier-sized,
+    never visited-sized), dedups the targets, and LEFT-ANTI joins the
+    visited set so a node keeps its FIRST (minimal) hop count — that
+    anti-join is what makes level-synchronous BFS compute min-hops
+    without a min-aggregate over all paths (path enumeration is
+    exponential; the frontier is bounded by |V|). Lineage truncates per
+    round (localCheckpoint, or reliable via ``checkpoint_dir`` — the
+    knn_join_adaptive durability tradeoff) and the only thing crossing
+    to the driver is each round's frontier count, which doubles as the
+    early-exit signal when the reachable set saturates before
+    ``max_hops``.
+    """
+    if checkpoint_dir is not None:
+        seeds.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.localCheckpoint() if checkpoint_dir is None
+            else df.checkpoint()
+        )
+
+    visited = _ckpt(
+        seeds.select(F.col(id_col))
+        .distinct()
+        .select(id_col, F.lit(0).cast("int").alias("hops"))
+    )
+    frontier = visited.select(id_col)
+    for h in range(1, int(max_hops) + 1):
+        nxt = _ckpt(
+            frontier.join(edges, frontier[id_col] == edges["src"])
+            .select(F.col("dst").alias(id_col))
+            .distinct()
+            .join(visited.select(id_col), id_col, "left_anti")
+            .select(id_col, F.lit(h).cast("int").alias("hops"))
+        )
+        if nxt.isEmpty():
+            break
+        visited = _ckpt(visited.unionByName(nxt))
+        frontier = nxt.select(id_col)
+    return visited

@@ -1493,6 +1493,37 @@ def test_ann_recall_curve_pins(spark):
     assert cl["pq_m8_refine100"] >= cl["pq_m8_refine25"]
 
 
+def test_bfs_hops_chain_multiseed_early_exit(spark):
+    """bfs_hops (q108) on a directed chain 0→1→…→9 plus a detached pair
+    20→21: hops are exact path lengths; a node reachable from two seeds
+    takes the MIN (seed 5 reaches 6 before seed 0 does); traversal
+    early-exits when the frontier empties (chain end + detached pair
+    exhausted well before max_hops=50); unreached nodes are absent, and
+    directedness holds (nothing upstream of a seed is labeled)."""
+    from osmcha_spark.operators.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(9)] + [(20, 21)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (5,)], "node_id long")
+    got = {
+        r.node_id: r.hops
+        for r in bfs_hops(edges, seeds, max_hops=50).collect()
+    }
+    assert got == {
+        0: 0, 5: 0,
+        1: 1, 6: 1,
+        2: 2, 7: 2,
+        3: 3, 8: 3,
+        4: 4, 9: 4,
+    }
+    # bounded: max_hops=2 truncates the reachable set at depth 2
+    got2 = {
+        r.node_id: r.hops
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got2 == {0: 0, 5: 0, 1: 1, 6: 1, 2: 2, 7: 2}
+
+
 def test_constraint_audit_every_branch_fires(spark):
     """constraint_audit (q107) on a deliberately dirty table: duplicate
     keys (incl. the all-null key group counting as ONE group — SELECT
