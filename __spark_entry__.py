@@ -5695,6 +5695,72 @@ SELECT node_id, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node_id
 """
 
 
+# --------------------------------------------------------------- q109
+
+def q109_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction with bounded rewrites (operators/
+    incremental.py:compact_partitioned): a snapshot partitioned by
+    ``part = id % 4`` with partitions 0-2 deliberately fragmented into
+    ~8 files each (the streaming-ingest aftermath) and partition 3
+    written compact. The gate asserts the full contract in-query:
+    (a) fragmented partitions collapse to exactly their bin count (1
+    here); (b) the already-compact partition's files are BYTE-IDENTICAL
+    across the run (q58's size+md5 manifest discipline — compaction
+    never touches what it doesn't need to); (c) contents are carried
+    row-for-row — the oracle is the table's own definition."""
+    _ensure(spark, sf_dir)
+    import hashlib
+
+    from osmcha_spark.operators.incremental import (
+        _partition_files,
+        compact_partitioned,
+    )
+    from osmcha_spark.plans.analyse import normalize_changesets
+
+    work = _work_dir("q109")
+    snap = os.path.join(work, "snapshot")
+
+    rows = normalize_changesets(synth.changesets_df(spark, sf_dir)).select(
+        "id", "editor", "comment", "comments_count",
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("part"),
+    )
+    rows.where(F.col("part") < 3).repartition(8).write.partitionBy(
+        "part"
+    ).parquet(snap)
+    rows.where(F.col("part") == 3).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("part").parquet(snap)
+
+    def _manifest() -> dict:
+        return {
+            f: (sz, hashlib.md5(open(f, "rb").read()).hexdigest())
+            for f, sz in _partition_files(snap, "part").get("3", [])
+        }
+
+    before = _manifest()
+    stats = compact_partitioned(
+        spark, snap, "part", target_bytes=1 << 30
+    )
+    if _manifest() != before:
+        raise RuntimeError("compaction rewrote the already-compact "
+                           "partition 3")
+    if stats["partitions_compacted"] != 3 or stats["files_after"] != 3:
+        raise RuntimeError(f"expected 3 partitions -> 1 file each: {stats}")
+    return spark.read.parquet(snap).select(
+        "id", "editor", "comment", "comments_count",
+        F.col("part").cast("int").alias("part"),
+    )
+
+
+def _q109_oracle() -> str:
+    return f"""
+WITH fresh AS ({_q02_oracle()})
+SELECT id, editor, comment, comments_count,
+       CAST(id % 4 AS INTEGER) AS part
+FROM fresh
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5832,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_pq_refine": q106_pq_refine,
         "q107_constraint_audit": q107_constraint_audit,
         "q108_bfs_hops": q108_bfs_hops,
+        "q109_compaction": q109_compaction,
     }
 
 
@@ -5956,4 +6023,8 @@ def oracle_sql() -> dict[str, str]:
         # bounded recursive CTE, min(hops) over enumerated paths — exact
         # at gate scale; the engine's frontier anti-join is the scale form
         "q108_bfs_hops": _Q108_ORACLE,
+        # compaction must carry content row-for-row: the oracle is the
+        # table's own definition (file-count + byte-identity asserted
+        # in-query)
+        "q109_compaction": _q109_oracle(),
     }

@@ -176,3 +176,126 @@ def snapshot_diff(
         j.select(*key_cols, status.alias("change"))
         .where(F.col("change").isNotNull())
     )
+
+
+def _partition_files(path: str, partition_col: str) -> dict[str, list]:
+    """Driver-side metadata listing: partition-value string → list of
+    (file_path, bytes) for every data file in its ``part=val`` dir.
+    Local-FS walk here; on a cluster the same listing comes from the
+    Hadoop FileSystem API (or the table format's manifest) — either way
+    it is O(#files) METADATA, never data."""
+    import os as _os
+
+    out: dict[str, list] = {}
+    prefix = f"{partition_col}="
+    for root, _dirs, files in _os.walk(path):
+        base = _os.path.basename(root)
+        if not base.startswith(prefix):
+            continue
+        val = base[len(prefix):]
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = _os.path.join(root, fn)
+                out.setdefault(val, []).append((p, _os.path.getsize(p)))
+    return out
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Small-file compaction with bounded rewrites — the storage
+    maintenance that keeps a streaming-ingested table scannable: minutely
+    micro-batches (streaming/ingest.py) each append a file per partition,
+    and a month later every scan pays thousands-of-files listing + open
+    overhead per partition. Compaction bin-packs each fragmented
+    partition back to ``ceil(partition_bytes / target_bytes)`` files.
+
+    Bounded exactly like :func:`upsert_partitioned`: a partition is
+    AFFECTED only when its file count exceeds its bin count AND at least
+    two of its files are genuinely SMALL (< target/2 — the same
+    small-file threshold family as Iceberg's binpack rewriter). The
+    small-file guard is what makes compaction IDEMPOTENT: a written bin
+    averages ``total/ceil(total/target) ≥ target/2`` by arithmetic, so
+    freshly compacted files can never re-qualify even though they
+    compress smaller than the fragments they replaced — a bare
+    count-vs-recomputed-bins rule would re-plan fewer bins on the very
+    next run and rewrite forever (pytest-pinned). Affected
+    partitions are read via a literal ``IN`` filter (guaranteed static
+    pruning), checkpointed (the write replaces the files the plan reads),
+    and rewritten with dynamic partition overwrite; every already-compact
+    partition's files stay byte-identical (q109 gates this with the q58
+    size+md5 manifest), and a second run is a no-op. Content is carried
+    row-for-row — the oracle is the table's own definition.
+
+    Bin assignment is ``pmod(xxhash64(<row>), n_bins)`` per partition
+    (deterministic, no RNG), and the shuffle lands on
+    ``(partition_col, bin)`` with 4× slack partitions so distinct bins
+    rarely share a task; when they do, the writer merges them into one
+    (still ≥ 1, never > requested) file — a fewer-files outcome, never a
+    correctness one. For the dominant n_bins == 1 case the output is
+    EXACTLY one file per partition regardless of hash collisions, since
+    the parquet writer splits by partition value within a task.
+
+    Returns a stats dict (partitions_compacted, files_before/after over
+    the affected set, bins_planned) — metadata-scale, like the listing.
+    """
+    import math
+
+    listing = _partition_files(path, partition_col)
+    plan: dict[str, int] = {}
+    files_before = 0
+    for val, files in listing.items():
+        total = sum(sz for _, sz in files)
+        n_bins = max(1, math.ceil(total / target_bytes))
+        n_small = sum(1 for _, sz in files if sz < target_bytes // 2)
+        if len(files) > n_bins and n_small >= 2:
+            plan[val] = n_bins
+            files_before += len(files)
+    if not plan:
+        return {"partitions_compacted": 0, "files_before": 0,
+                "files_after": 0, "bins_planned": 0}
+
+    table = spark.read.parquet(path)
+    ptype = dict(table.dtypes)[partition_col]
+    def _coerce(v: str):
+        return int(v) if ptype in ("int", "bigint", "smallint",
+                                   "tinyint") else v
+    vals = [_coerce(v) for v in plan]
+    affected = table.where(F.col(partition_col).isin(vals))
+
+    data_cols = [c for c in table.columns if c != partition_col]
+    bins_map = F.create_map(
+        *[x for v, n in plan.items()
+          for x in (F.lit(_coerce(v)), F.lit(n))]
+    )
+    n_bins_col = F.element_at(bins_map, F.col(partition_col))
+    total_bins = sum(plan.values())
+    binned = affected.withColumn(
+        "__bin",
+        F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), n_bins_col),
+    ).repartition(max(32, 4 * total_bins),
+                  F.col(partition_col), F.col("__bin"))
+    out = binned.drop("__bin")
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        out = out.checkpoint()
+    else:
+        out = out.localCheckpoint()
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    after_listing = _partition_files(path, partition_col)
+    files_after = sum(len(after_listing.get(v, [])) for v in plan)
+    return {
+        "partitions_compacted": len(plan),
+        "files_before": files_before,
+        "files_after": files_after,
+        "bins_planned": total_bins,
+    }

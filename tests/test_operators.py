@@ -1493,6 +1493,68 @@ def test_ann_recall_curve_pins(spark):
     assert cl["pq_m8_refine100"] >= cl["pq_m8_refine25"]
 
 
+def test_compact_partitioned_bins_content_idempotence(spark, tmp_path):
+    """compact_partitioned (q109) beyond the gate's 1-bin case: a
+    partition whose bytes exceed target_bytes plans MULTIPLE bins (never
+    more files than before, never fewer than one), content survives
+    row-for-row, and a second run is a no-op (zero partitions affected —
+    the min_input_files hysteresis: freshly-written bins compress
+    smaller, so a bare count-vs-bins rule would re-plan fewer bins and
+    rewrite forever; the stats say 0 and the files stay byte-identical)."""
+    import hashlib
+    import os as _os
+
+    from osmcha_spark.operators.incremental import (
+        _partition_files,
+        compact_partitioned,
+    )
+
+    snap = str(tmp_path / "snap")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        F.pmod(F.col("id"), F.lit(2)).cast("int").alias("part"),
+    )
+    df.repartition(16).write.partitionBy("part").parquet(snap)
+    listing = _partition_files(snap, "part")
+    assert all(len(fs) == 16 for fs in listing.values())
+    part_bytes = sum(sz for _, sz in listing["0"])
+    before_rows = sorted(
+        (r.id, r.payload, r.part)
+        for r in spark.read.parquet(snap).collect()
+    )
+
+    # target = ~1/3 of a partition's bytes → 3-4 bins per partition
+    stats = compact_partitioned(
+        spark, snap, "part", target_bytes=max(1, part_bytes // 3)
+    )
+    assert stats["partitions_compacted"] == 2
+    after = _partition_files(snap, "part")
+    for val, fs in after.items():
+        assert 1 <= len(fs) <= 16
+    assert stats["files_after"] <= stats["bins_planned"]
+    assert before_rows == sorted(
+        (r.id, r.payload, r.part)
+        for r in spark.read.parquet(snap).collect()
+    )
+
+    manifest = {
+        f: (sz, hashlib.md5(open(f, "rb").read()).hexdigest())
+        for fs in _partition_files(snap, "part").values()
+        for f, sz in fs
+    }
+    stats2 = compact_partitioned(
+        spark, snap, "part", target_bytes=max(1, part_bytes // 3)
+    )
+    assert stats2["partitions_compacted"] == 0
+    assert manifest == {
+        f: (sz, hashlib.md5(open(f, "rb").read()).hexdigest())
+        for fs in _partition_files(snap, "part").values()
+        for f, sz in fs
+    }
+    assert _os.path.isdir(snap)
+
+
 def test_bfs_hops_chain_multiseed_early_exit(spark):
     """bfs_hops (q108) on a directed chain 0→1→…→9 plus a detached pair
     20→21: hops are exact path lengths; a node reachable from two seeds
