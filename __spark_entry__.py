@@ -5761,6 +5761,184 @@ FROM fresh
 """
 
 
+# --------------------------------------------------------------- q110
+
+def q110_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (operators/similarity.py:
+    ivf_index_build/append/search): build the stored IVF layout —
+    inverted lists as centroid_id partition dirs + a sibling codebook —
+    from the vectors with vec_id % 3 != 0, then APPEND the % 3 == 0
+    batch: new vectors assign against the STORED (immutable) quantizer
+    and upsert into only the lists they land in. The gate asserts the
+    q58 byte-identity contract on every untouched list in-query, then
+    serves nprobe=2 top-5 from the maintained index. The oracle is the
+    from-scratch truth with the SAME codebook (centroids = vec_id % 25
+    = 0 AND % 3 != 0 — append must never re-train the quantizer, or
+    every existing list would shift), so a green hash proves the
+    append-maintained index is query-identical to a rebuild."""
+    _ensure(spark, sf_dir)
+    import hashlib
+
+    from osmcha_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    work = _work_dir("q110")
+    idx = os.path.join(work, "ivf")
+    ivf_index_build(emb.where(F.col("vec_id") % 3 != 0), idx,
+                    centroid_stride=25)
+
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    touched = {
+        r.centroid_id
+        for r in assign_to_centroids(
+            batch, spark.read.parquet(os.path.join(idx, "centroids"))
+        ).select("centroid_id").distinct().collect()
+    }
+
+    def _manifest() -> dict:
+        out = {}
+        lists_dir = os.path.join(idx, "lists")
+        for root, _d, files in os.walk(lists_dir):
+            base = os.path.basename(root)
+            if not base.startswith("centroid_id="):
+                continue
+            if int(base.split("=")[1]) in touched:
+                continue
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    blob = open(p, "rb").read()
+                    out[os.path.relpath(p, lists_dir)] = (
+                        len(blob), hashlib.md5(blob).hexdigest()
+                    )
+        return out
+
+    before = _manifest()
+    ivf_index_append(batch, idx)
+    if _manifest() != before:
+        raise RuntimeError("append rewrote untouched inverted lists")
+
+    q = emb.where(F.col("vec_id") < 20)
+    return ivf_index_search(spark, idx, q, k=5, nprobe=2).select(
+        "query_id", "rank", "neighbor_id", "score"
+    )
+
+
+_Q110_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, val, idx FROM flat
+  WHERE vec_id % 25 = 0 AND vec_id % 3 <> 0
+),
+d2 AS (
+  SELECT f.vec_id AS id, c.cid,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM flat f JOIN cent c ON f.idx = c.idx
+  GROUP BY f.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2 WHERE id < 20
+  ) WHERE rn <= 2
+),
+cands AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
+),
+scores AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(q.val * n.val) AS BIGINT) AS score
+  FROM cands c
+  JOIN flat q ON q.vec_id = c.query_id
+  JOIN flat n ON n.vec_id = c.neighbor_id AND n.idx = q.idx
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------- q111
+
+def q111_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: q40's near-dup clusters
+    (SimHash pairs → connected components) assigned to splits ATOMICALLY
+    — the content-addressed hash (operators/sampling.py:split_assign)
+    keys on ``cluster_id``, not ``doc_id``, so two near-duplicate
+    documents can never straddle train and test (the eval-contamination
+    failure mode doc-level splitting guarantees at 10^12 scale). The
+    no-straddle property is structural — split is a pure function of the
+    cluster id — and the oracle re-derives clusters via the recursive
+    transitive closure and applies the same md5-bucket thresholds, so a
+    green hash proves membership row-for-row, not just ratios."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.components import dedup_keep_canonical
+    from osmcha_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = phash_near_dup_pairs(
+        simhash(docs), max_hamming=3, id_col="doc_id", phash_col="simhash"
+    ).select("a", "b")
+    clusters = dedup_keep_canonical(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    return split_assign(
+        clusters, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "cluster_id", "split")
+
+
+def _q111_oracle() -> str:
+    from osmcha_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("cluster_id", "split")
+    return f"""
+WITH RECURSIVE sim AS ({_q11_oracle()}),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CASE WHEN ({bucket}) < 8000 THEN 'train'
+            WHEN ({bucket}) < 9000 THEN 'val'
+            WHEN ({bucket}) < 10000 THEN 'test'
+            ELSE 'rest' END AS split
+FROM comp
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5899,6 +6077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_constraint_audit": q107_constraint_audit,
         "q108_bfs_hops": q108_bfs_hops,
         "q109_compaction": q109_compaction,
+        "q110_ivf_index_maintenance": q110_ivf_index_maintenance,
+        "q111_cluster_split": q111_cluster_split,
     }
 
 
@@ -6027,4 +6207,10 @@ def oracle_sql() -> dict[str, str]:
         # table's own definition (file-count + byte-identity asserted
         # in-query)
         "q109_compaction": _q109_oracle(),
+        # from-scratch truth with the SAME stored codebook (centroids =
+        # %25==0 AND %3!=0): append-maintained ≡ rebuild, q29's CTE shape
+        "q110_ivf_index_maintenance": _Q110_ORACLE,
+        # q40's transitive-closure clusters + cluster-keyed md5 buckets:
+        # near-dups provably cannot straddle splits
+        "q111_cluster_split": _q111_oracle(),
     }

@@ -196,6 +196,37 @@ def cosine_near_dup_pairs(
     )
 
 
+def assign_to_centroids(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid in the GIVEN codebook
+    (``cents`` = (centroid_id, cv array<long>)) under integer-quantized
+    squared L2, ties to the lowest centroid id. Returns
+    (id, qv array<long>, centroid_id).
+
+    Plan: broadcast the (small) codebook against the vectors → min_by
+    argmin. One wide projection + one key shuffle for the per-id argmin —
+    the vectors never shuffle on data size.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"), _qvec(F.col(vec_col)).alias("qv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "id", "qv", "centroid_id", diff2.alias("d2")
+    )
+    return scored.groupBy("id", "qv").agg(
+        F.min(F.struct("d2", "centroid_id")).alias("best")
+    ).select("id", "qv", F.col("best.centroid_id").alias("centroid_id"))
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroid_stride: int,
@@ -206,12 +237,8 @@ def ivf_assign(
     corpus rows with ``id % stride == 0`` (no RNG, no training iterations —
     reproducible in any engine). Returns (centroids, assignments) where
     assignments = (id, qv array<long>, centroid_id) by nearest centroid
-    under integer-quantized squared L2, ties to the lowest centroid id.
-
-    Plan: broadcast the (small) codebook against the corpus → window argmin.
-    One wide projection + one window; the corpus never shuffles on data size,
-    only on (id) for the argmin window — at scale, replace the window with
-    ``min_by`` over a groupBy(id) which AQE handles identically.
+    under integer-quantized squared L2, ties to the lowest centroid id
+    (:func:`assign_to_centroids`).
     """
     v = corpus.select(
         F.col(id_col).alias("id"), _qvec(F.col(vec_col)).alias("qv")
@@ -219,18 +246,7 @@ def ivf_assign(
     cents = v.where(F.col("id") % centroid_stride == 0).select(
         F.col("id").alias("centroid_id"), F.col("qv").alias("cv")
     )
-    diff2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "id", "qv", "centroid_id", diff2.alias("d2")
-    )
-    assigned = scored.groupBy("id", "qv").agg(
-        F.min(F.struct("d2", "centroid_id")).alias("best")
-    ).select("id", "qv", F.col("best.centroid_id").alias("centroid_id"))
-    return cents, assigned
+    return cents, assign_to_centroids(corpus, cents, id_col, vec_col)
 
 
 def kmeans_step(
@@ -1127,5 +1143,132 @@ def brute_topk_l2(
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF index as STORAGE: the inverted lists are a
+    parquet table partitioned by ``centroid_id`` (one partition dir per
+    list — the layout that lets a probe read exactly its lists), and the
+    codebook is a small sibling table at ``<path>/centroids``. Centroids
+    derive from THIS corpus (id % stride == 0, the q29 deterministic
+    convention) unless an explicit ``centroids`` table
+    (centroid_id, cv) is given — the rebuild-with-the-existing-quantizer
+    path (pytest pins append-maintained ≡ such a rebuild). Either way
+    the codebook is the index's immutable quantizer from then on.
+    """
+    import os as _os
+
+    if centroids is None:
+        cents, assigned = ivf_assign(
+            corpus, centroid_stride, id_col, vec_col
+        )
+    else:
+        cents = centroids.select("centroid_id", "cv")
+        assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+    assigned.write.partitionBy("centroid_id").parquet(
+        _os.path.join(path, "lists")
+    )
+    cents.write.parquet(_os.path.join(path, "centroids"))
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Append-only index maintenance WITHOUT a rebuild: assign the new
+    vectors against the STORED centroids — the quantizer is immutable
+    after build; re-deriving it from the grown corpus would silently
+    shift every existing list — then merge them into the lists table
+    with :func:`~osmcha_spark.operators.incremental.upsert_partitioned`,
+    which rewrites ONLY the partitions (inverted lists) that actually
+    receive vectors (q58's byte-identity discipline, asserted by q110).
+    At 10^12 vectors a minutely ingest touches a handful of lists; the
+    index never pays a full rewrite.
+    """
+    import os as _os
+
+    from osmcha_spark.operators.incremental import upsert_partitioned
+
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    assigned = assign_to_centroids(new_vectors, cents, id_col, vec_col)
+    upsert_partitioned(
+        assigned,
+        _os.path.join(path, "lists"),
+        key="id",
+        partition_col="centroid_id",
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from the STORED index: probe the ``nprobe`` nearest
+    stored centroids per query, then scan ONLY those lists — the probed
+    centroid ids are collected (n_queries × nprobe, metadata-scale) into
+    a literal ``IN`` filter so the partitioned read statically prunes to
+    the probed lists (the same guaranteed-pruning choice as
+    upsert_partitioned; pinned by tests/test_plans.py). Ranking matches
+    :func:`ivf_topk`: exact quantized-dot within the probed lists,
+    descending, ties to the lowest neighbor id, self excluded.
+    """
+    import os as _os
+
+    cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qqv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("query_id", "qqv", "centroid_id", diff2.alias("d2"))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qqv", "centroid_id")
+    )
+    probed_cids = sorted(
+        {r.centroid_id for r in probes.select("centroid_id").collect()}
+    )
+    lists = spark.read.parquet(_os.path.join(path, "lists")).where(
+        F.col("centroid_id").isin(probed_cids)
+    )
+    cands = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _dot_int(F.col("qqv"), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

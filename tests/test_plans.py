@@ -508,3 +508,57 @@ def test_prefix_jaccard_reuses_exchanges(spark):
     out.collect()  # AQE finalizes reuse only at execution
     plan = _plan(out)
     assert "ReusedExchange" in plan
+
+
+def test_ivf_index_search_prunes_to_probed_lists(spark, tmp_path):
+    """ivf_index_search (q110) must reach the lists scan with a literal
+    partition filter on the PROBED centroid ids only — the stored-index
+    serving contract: nprobe lists read, every other inverted list never
+    touched. Also pins: append-then-search equals search over a
+    from-scratch index built with the SAME codebook (the oracle proves
+    this vs SQL; here it is pinned engine-vs-engine so a probe-layer
+    regression can't hide behind an oracle edit)."""
+    import os
+
+    from osmcha_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where(F.col("vec_id") < 300)
+    q = emb.where(F.col("vec_id") < 6)
+
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb.where(F.col("vec_id") % 3 != 0), idx,
+                    centroid_stride=25)
+    ivf_index_append(emb.where(F.col("vec_id") % 3 == 0), idx)
+
+    out = ivf_index_search(spark, idx, q, k=5, nprobe=2)
+    plan = _plan(out)
+    pf_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "centroid_id" in ln
+    ]
+    assert pf_lines, f"no centroid_id partition filter:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # engine-vs-engine identity: a from-scratch rebuild over the FULL
+    # corpus with the SAME stored codebook (explicit centroids — a bare
+    # stride-25 rebuild would also pick up % 3 == 0 centroid rows and
+    # shift every list) serves the identical rows. The oracle proves
+    # this vs SQL; pinning it engine-vs-engine means a probe-layer
+    # regression can't hide behind an oracle edit.
+    stored = ivf_index_search(spark, idx, q, k=5, nprobe=2).collect()
+    idx2 = str(tmp_path / "ivf_scratch")
+    ivf_index_build(
+        emb, idx2,
+        centroids=spark.read.parquet(os.path.join(idx, "centroids")),
+    )
+    scratch = ivf_index_search(spark, idx2, q, k=5, nprobe=2).collect()
+    key = lambda rows: {(r.query_id, r.rank): (r.neighbor_id, r.score)
+                        for r in rows}
+    assert key(stored) == key(scratch)
