@@ -5939,6 +5939,97 @@ FROM comp
 """
 
 
+# --------------------------------------------------------------- q112
+
+def q112_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (streaming/windows.py:
+    tumbling_agg): per-(user, 6-hour window) count + integer-cents sum
+    in append mode, the events table replayed as TWO time-split
+    micro-batches (early half, then late half — so windows straddling
+    the split accumulate across batches in the state store before
+    emitting once, with the total) plus the far-future sentinel batch
+    that raises the watermark past every real window's end (the q45
+    flush discipline; the sentinel's own window never closes and is
+    never emitted). The time split keeps every real row ahead of the
+    watermark, so the emitted set is EXACTLY the batch rollup — the
+    oracle is the plain div-bucket GROUP BY."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import tumbling_agg
+
+    work = _work_dir("q112")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+
+    def _one_file(df, name):
+        tmp = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        return dest
+
+    f1 = _one_file(ev.where(F.unix_micros("ts") <= mid), "b1.parquet")
+    f2 = _one_file(ev.where(F.unix_micros("ts") > mid), "b2.parquet")
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(hi + 86400_000_000 * 2)).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    f3 = _one_file(sentinel, "b3.parquet")
+    now = os.path.getmtime(f1)
+    os.utime(f2, (now + 10, now + 10))
+    os.utime(f3, (now + 20, now + 20))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        tumbling_agg(stream, key="user_id", ts_col="ts", width="6 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "win_start_us", "n_events", "cents"
+    )
+
+
+_Q112_ORACLE = """
+SELECT user_id,
+       (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6079,6 +6170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_compaction": q109_compaction,
         "q110_ivf_index_maintenance": q110_ivf_index_maintenance,
         "q111_cluster_split": q111_cluster_split,
+        "q112_stream_tumbling": q112_stream_tumbling,
     }
 
 
@@ -6213,4 +6305,7 @@ def oracle_sql() -> dict[str, str]:
         # q40's transitive-closure clusters + cluster-keyed md5 buckets:
         # near-dups provably cannot straddle splits
         "q111_cluster_split": _q111_oracle(),
+        # every real window closes under the sentinel flush, so the
+        # streamed emission equals the batch div-bucket rollup
+        "q112_stream_tumbling": _Q112_ORACLE,
     }

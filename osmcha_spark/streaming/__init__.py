@@ -37,6 +37,7 @@ from osmcha_spark.streaming.sessions import (
     sessionized_stream,
 )
 from osmcha_spark.streaming.stateful import user_stats_stream
+from osmcha_spark.streaming.windows import tumbling_agg
 
 __all__ = [
     "deduped_stream",
@@ -54,4 +55,5 @@ __all__ = [
     "run_session_stream",
     "sessionized_stream",
     "user_stats_stream",
+    "tumbling_agg",
 ]

@@ -1,0 +1,53 @@
+"""Streaming tumbling-window aggregation: the incremental twin of the
+batch bucket aggregations (events.py gap_fill/TWAP bucketing) and the
+most common streaming operator there is — per-(key, fixed window)
+counts/sums maintained in the state store and emitted in append mode
+once the watermark passes the window end.
+
+Bounded state is the point: the store holds only windows the watermark
+has not yet closed (open windows × keys), never history — the property
+that lets a replication-style endless feed maintain per-user minutely /
+hourly rollups forever. Cross-batch accumulation is the semantics the
+q112 gate pins: one window receives rows from MULTIPLE micro-batches
+and still emits once, with the total.
+
+Emission semantics (same discipline as sessions.py): with watermark
+delay d, a window emits when the watermark (max event time seen minus
+d) passes its END. Windows still open when the stream drains are NOT
+emitted; the q112 harness appends a far-future sentinel micro-batch so
+every real window closes deterministically, and the sentinel's own
+window never does (nothing later ever raises the watermark past it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    width: str = "6 hours",
+    cents_col: str = "cents",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-(key, tumbling window) count + integer-cents sum, append mode.
+    Output: (key, win_start_us, n_events, cents) — window bounds leave
+    as epoch micros so the q112 oracle's ``div``-bucket SQL hashes
+    identically."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.col(key), F.window(F.col(ts_col), width))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(cents_col)).alias("cents"),
+        )
+        .select(
+            key,
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "n_events",
+            "cents",
+        )
+    )

@@ -747,3 +747,76 @@ def test_pyramid_commit_protocol_replay_and_crash(spark, tmp_path):
         d for d in os.listdir(path) if d.startswith("v_")
     )
     assert versions == [f"v_{1:020d}", f"v_{2:020d}"]
+
+
+def test_tumbling_agg_cross_batch_accumulation(spark, tmp_path):
+    """tumbling_agg (q112): a window that receives rows in TWO separate
+    micro-batches emits ONCE with the combined total — the state-store
+    accumulation that distinguishes streaming windowed agg from
+    per-batch groupBy. Also pins: the sentinel's own window is never
+    emitted, and no (key, window) appears twice."""
+    import glob as _glob
+
+    from osmcha_spark.streaming import tumbling_agg
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000_000_000  # epoch micros
+
+    def write_batch(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long, cents long"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "user_id", "cents",
+        )
+        tmp = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    hour = 3600_000_000
+    width = 6 * hour
+    base = base // width * width  # align so the window math below is exact
+    # window [base, base+6h): two rows in batch 1, one more in batch 2
+    write_batch(
+        [(1, base + 1 * hour, 7, 100), (2, base + 5 * hour, 7, 10)],
+        "b1.parquet", 1_000_000_000.0,
+    )
+    write_batch(
+        [(3, base + 5 * hour + 1800_000_000, 7, 1)],
+        "b2.parquet", 1_000_000_010.0,
+    )
+    write_batch(
+        [(-1, base + 100 * hour, -1, 0)],
+        "b3.parquet", 1_000_000_020.0,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        tumbling_agg(stream, key="user_id", ts_col="ts", width="6 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r.user_id, r.win_start_us): (r.n_events, r.cents)
+           for r in rows}
+    assert len(rows) == len(got), "duplicate (key, window) emission"
+    # all three rows share the [base, base+6h) window; 2 arrived in
+    # batch 1, the third in batch 2 — one emission, combined total
+    assert got == {(7, base): (3, 111)}, got  # sentinel window absent

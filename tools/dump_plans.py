@@ -532,6 +532,58 @@ def main() -> None:
         formatted(scan_cell_ranges(spark, lay_path, "cell", nyc_ranges)),
     ))
 
+    from osmcha_spark.operators.similarity import pq_refine_topk
+
+    sections.append((
+        "Two-stage PQ retrieval with exact refinement (q106)",
+        "expect: the q79 ADC scan feeding a window-top-shortlist, then "
+        "the shortlist BROADCAST into the corpus scan (broadcast hash "
+        "join on neighbor_id — the original vectors are fetched, never "
+        "shuffled), exact in-row zip_with L2, final window top-k — "
+        "Python-free",
+        formatted(pq_refine_topk(pq_emb, pq_q, k=5, shortlist=25)),
+    ))
+
+    from osmcha_spark.operators.profile import constraint_audit
+
+    ca_orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    ca_cust = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+    sections.append((
+        "Data-quality constraint audit (q107)",
+        "expect: ONE fact Exchange (the groupBy(key) carrying every "
+        "row-level flag as an additive partial sum), FK dim as a "
+        "BroadcastHashJoin before the groupBy, a SinglePartition final "
+        "agg over per-key rows only, stack projection — no Python eval",
+        formatted(constraint_audit(
+            ca_orders, key=["o_orderkey"],
+            not_null=["o_custkey"],
+            ranges={"o_totalprice": (0.0, 300000.0)},
+            accepted={"o_orderstatus": ["O", "F", "P"]},
+            fks=[("custkey", "o_custkey", ca_cust, "c_custkey")],
+        )),
+    ))
+
+    from osmcha_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    ivf_path = "/tmp/plans_ivf_index"
+    import shutil as _shutil
+    _shutil.rmtree(ivf_path, ignore_errors=True)
+    ivf_index_build(pq_emb.where(F.col("vec_id") % 3 != 0), ivf_path,
+                    centroid_stride=25)
+    ivf_index_append(pq_emb.where(F.col("vec_id") % 3 == 0), ivf_path)
+    sections.append((
+        "Stored IVF index serve (q110)",
+        "expect: PartitionFilters with centroid_id IN (<probed lists "
+        "only>) on the lists scan — the static probe pruning that reads "
+        "nprobe lists per query and nothing else; broadcast probes, "
+        "window top-k, no Python eval",
+        formatted(ivf_index_search(spark, ivf_path, pq_q, k=5, nprobe=2)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
