@@ -6030,6 +6030,35 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q113
+
+def q113_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over raw video clips (images/
+    multimodal.py:frame_sads/shot_cuts): decode rawrgb, SAD between
+    consecutive frames INSIDE the Arrow batch (a clip's frames live in
+    one row — no frame self-join), then a pure-Column threshold +
+    groupBy for per-video cut count and first cut. SAD, not a per-frame
+    aggregate delta: a mod-256 gradient shift moves every pixel while
+    leaving the frame SUM nearly unchanged, so the metric must
+    difference pixels before reducing. The fixture stores the expected
+    counts computed at generation with the same integer rule (the q34/
+    q90 stored-expectation pattern); the synthetic clips cut exactly at
+    their 4-frame shot boundaries, which the expectations confirm."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.images.multimodal import shot_cuts
+
+    video = spark.read.parquet(os.path.join(FIXTURE_DIR, "video.parquet"))
+    return shot_cuts(video).select("video_id", "n_cuts", "first_cut")
+
+
+def _q113_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "video.parquet")
+    return f"""
+SELECT video_id, exp_n_cuts AS n_cuts, exp_first_cut AS first_cut
+FROM read_parquet('{path}')
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6171,6 +6200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_ivf_index_maintenance": q110_ivf_index_maintenance,
         "q111_cluster_split": q111_cluster_split,
         "q112_stream_tumbling": q112_stream_tumbling,
+        "q113_shot_cuts": q113_shot_cuts,
     }
 
 
@@ -6308,4 +6338,7 @@ def oracle_sql() -> dict[str, str]:
         # every real window closes under the sentinel flush, so the
         # streamed emission equals the batch div-bucket rollup
         "q112_stream_tumbling": _Q112_ORACLE,
+        # generation-time expectations computed with the same integer SAD
+        # rule (q34/q90 stored-expectation pattern)
+        "q113_shot_cuts": _q113_oracle(),
     }

@@ -438,18 +438,30 @@ def write_multimodal_fixtures(data_dir: str) -> None:
         os.path.join(data_dir, "audio.parquet"),
     )
 
+    from osmcha_spark.images.multimodal import SHOT_THR
+
     vdf = video_rows_for_batch(np.arange(24))
     vrows = []
     for _, r in vdf.iterrows():
         frames = np.frombuffer(r["bytes"], dtype=np.uint8).reshape(
             r["n_frames"], r["h"], r["w"], 3
         )
+        # the q113 expectation, computed with the SAME integer rule the
+        # engine applies (frame_sads/shot_cuts): SAD between consecutive
+        # frames, cut iff sad > SHOT_THR · w·h·3
+        a = frames.astype(np.int64)
+        sads = np.abs(a[1:] - a[:-1]).sum(axis=(1, 2, 3))
+        denom = int(r["w"]) * int(r["h"]) * 3
+        cut_idx = [i for i, s in enumerate(sads, start=1)
+                   if int(s) > SHOT_THR * denom]
         vrows.append({
             **{k: r[k] for k in ("video_id", "bytes", "w", "h", "n_frames",
                                  "fps", "fmt", "caption")},
             "exp_mean_r0": float(frames[0, :, :, 0].mean()),
             "exp_mean_g0": float(frames[0, :, :, 1].mean()),
             "exp_mean_b0": float(frames[0, :, :, 2].mean()),
+            "exp_n_cuts": len(cut_idx),
+            "exp_first_cut": cut_idx[0] if cut_idx else -1,
         })
     pq.write_table(
         pa.Table.from_pylist(vrows, schema=pa.schema([
@@ -459,6 +471,7 @@ def write_multimodal_fixtures(data_dir: str) -> None:
             ("fmt", pa.string()), ("caption", pa.string()),
             ("exp_mean_r0", pa.float64()), ("exp_mean_g0", pa.float64()),
             ("exp_mean_b0", pa.float64()),
+            ("exp_n_cuts", pa.int32()), ("exp_first_cut", pa.int32()),
         ])),
         os.path.join(data_dir, "video.parquet"),
     )

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 AUDIO_SCHEMA = (
     "audio_id string, bytes binary, sample_rate int, n_samples int, "
@@ -117,8 +118,18 @@ def audio_rows_for_batch(indices: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+#: shot-cut threshold: a frame pair is a CUT when the mean absolute
+#: per-subpixel luma-sum jump exceeds this (integer rule, see shot_cuts).
+#: The synthetic clips drift ~45/subpixel within a shot and jump
+#: ~110/subpixel across the 4-frame shot boundaries.
+SHOT_THR = 80
+SHOT_LEN = 4
+
+
 def video_rows_for_batch(indices: np.ndarray) -> pd.DataFrame:
-    """Deterministic rawrgb clips: per-frame shifted gradient."""
+    """Deterministic rawrgb clips: per-frame shifted gradient within
+    4-frame SHOTS; each shot boundary adds a large gradient offset (the
+    scene cut the q113 detector looks for)."""
     rows = []
     for idx in np.asarray(indices, dtype=np.int64):
         h = int(_mix(np.array([idx], dtype=np.uint64), 37)[0])
@@ -127,7 +138,9 @@ def video_rows_for_batch(indices: np.ndarray) -> pd.DataFrame:
         ys, xs = np.mgrid[0:ht, 0:w].astype(np.int64)
         frames = np.empty((n_frames, ht, w, 3), dtype=np.uint8)
         for f in range(n_frames):
-            base = (xs * 7 + ys * 3 + f * 11 + (h >> 16) % 97)
+            shot = f // SHOT_LEN
+            base = (xs * 7 + ys * 3 + f * 11 + shot * 101
+                    + (h >> 16) % 97)
             frames[f, :, :, 0] = base % 256
             frames[f, :, :, 1] = (base * 2) % 256
             frames[f, :, :, 2] = (base + f * 29) % 256
@@ -226,3 +239,69 @@ def sample_frames(video: DataFrame, every_k: int = 2) -> DataFrame:
             )
 
     return cols.mapInPandas(frames, FRAME_SCHEMA)
+
+
+SAD_SCHEMA = (
+    "video_id string, frame_idx int, sad long, denom long"
+)
+
+
+def frame_sads(video: DataFrame) -> DataFrame:
+    """One row per CONSECUTIVE frame pair with the integer SAD (sum of
+    absolute per-subpixel differences) — the classic shot-boundary
+    signal. A per-frame aggregate (e.g. the luma-sum delta) cannot see a
+    cut in wrap-around gradients: a mod-256 shift moves every pixel but
+    leaves the frame SUM nearly unchanged, so the metric must difference
+    pixels BEFORE reducing. All int64 (≤ 255·w·h·3 per pair), so the
+    q113 expectations are exact.
+
+    The whole clip sits in one row (bytes = all frames), so adjacent
+    pairs difference inside the same Arrow batch — a flatMap-shaped
+    mapInPandas like :func:`sample_frames`, no self-join on frame index.
+    ``denom`` = w·h·3 rides along so the threshold rule downstream stays
+    a pure Column comparison.
+    """
+    cols = video.select("video_id", "bytes", "fmt", "w", "h")
+
+    def sads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, data, fmt, w, h in zip(
+                pdf["video_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                fr = decode_frames(bytes(data), fmt, int(w), int(h))
+                a = fr.astype(np.int64)
+                d = np.abs(a[1:] - a[:-1]).sum(axis=(1, 2, 3))
+                for i, s in enumerate(d, start=1):
+                    out.append({
+                        "video_id": vid,
+                        "frame_idx": i,
+                        "sad": int(s),
+                        "denom": int(w) * int(h) * 3,
+                    })
+            yield pd.DataFrame(
+                out, columns=["video_id", "frame_idx", "sad", "denom"]
+            )
+
+    return cols.mapInPandas(sads, SAD_SCHEMA)
+
+
+def shot_cuts(video: DataFrame, thr: int = SHOT_THR) -> DataFrame:
+    """Per-video shot-cut report: ``(video_id, n_cuts, first_cut)`` where
+    frame f is a cut iff SAD(f-1, f) > thr · w·h·3 (mean per-subpixel
+    jump above ``thr``; exact integer comparison). ``first_cut`` = -1
+    when a clip has no cuts. Everything after the Arrow crossing is
+    Column algebra: one groupBy(video_id), conditional count + min."""
+    s = frame_sads(video)
+    is_cut = F.col("sad") > F.lit(int(thr)) * F.col("denom")
+    return (
+        s.groupBy("video_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_cut, 1)), F.lit(0)
+            ).cast("int").alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(is_cut, F.col("frame_idx"))), F.lit(-1)
+            ).cast("int").alias("first_cut"),
+        )
+    )

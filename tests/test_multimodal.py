@@ -61,3 +61,32 @@ def test_generators_deterministic(spark):
     a2 = generate_audio(spark, 8, partitions=7).collect()
     k = lambda rows: sorted((r["audio_id"], bytes(r["bytes"])) for r in rows)
     assert k(a1) == k(a2)
+
+
+def test_shot_cuts_land_on_shot_boundaries(spark):
+    """shot_cuts (q113): detected cuts are EXACTLY the generator's
+    4-frame shot boundaries — the threshold separates within-shot drift
+    from the boundary jump with no false positives/negatives on any of
+    the 24 fixture clips; clips shorter than one shot have none, and
+    per-frame-aggregate deltas would see none of this (mod-256 shifts
+    conserve frame sums — frame_sads docstring)."""
+    from osmcha_spark.images.multimodal import (
+        SHOT_LEN,
+        generate_video,
+        shot_cuts,
+    )
+
+    video = generate_video(spark, 24, partitions=4)
+    meta = {r.video_id: r.n_frames
+            for r in video.select("video_id", "n_frames").collect()}
+    got = {r.video_id: (r.n_cuts, r.first_cut)
+           for r in shot_cuts(video).collect()}
+    assert set(got) == set(meta)
+    saw_zero = saw_cuts = False
+    for vid, nf in meta.items():
+        boundaries = list(range(SHOT_LEN, nf, SHOT_LEN))
+        want = (len(boundaries), boundaries[0] if boundaries else -1)
+        assert got[vid] == want, (vid, nf, got[vid], want)
+        saw_zero |= not boundaries
+        saw_cuts |= bool(boundaries)
+    assert saw_zero and saw_cuts
