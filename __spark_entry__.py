@@ -6059,6 +6059,58 @@ FROM read_parquet('{path}')
 """
 
 
+# --------------------------------------------------------------- q114
+
+def q114_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via a MIRRORED content-addressed sample
+    (operators/sampling.py:deterministic_sample ∘ exact percentile):
+    the 10% sample is a pure function of event_id (md5-bucket), so the
+    oracle reproduces the IDENTICAL sample and checks the quantiles
+    value-for-value — the q36/q38 mirrored-candidate pattern applied to
+    the sampling layer. This is the scale path q46's exact quantiles
+    trade against: exact needs the full column through a sort/selection;
+    the sampled variant bounds work to the sample and, unlike Spark's
+    approxQuantile / approx_percentile (opaque engine-internal sketches,
+    unmirrorable), stays reproducible across engines, reruns, and
+    partitionings."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sampling import deterministic_sample
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    samp = deterministic_sample(ev, "event_id", 0.10)
+    q = F.percentile("cents", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return samp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.floor(q.getItem(0) * 1000).alias("p50_milli"),
+        F.floor(q.getItem(1) * 1000).alias("p90_milli"),
+        F.floor(q.getItem(2) * 1000).alias("p99_milli"),
+    )
+
+
+def _q114_oracle() -> str:
+    from osmcha_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("event_id", "sample")
+    return f"""
+WITH samp AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ({bucket}) < 1000
+)
+SELECT event_type,
+       count(*) AS n_sampled,
+       CAST(floor(quantile_cont(cents, 0.50) * 1000) AS BIGINT)
+         AS p50_milli,
+       CAST(floor(quantile_cont(cents, 0.90) * 1000) AS BIGINT)
+         AS p90_milli,
+       CAST(floor(quantile_cont(cents, 0.99) * 1000) AS BIGINT)
+         AS p99_milli
+FROM samp GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6201,6 +6253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_cluster_split": q111_cluster_split,
         "q112_stream_tumbling": q112_stream_tumbling,
         "q113_shot_cuts": q113_shot_cuts,
+        "q114_sampled_quantiles": q114_sampled_quantiles,
     }
 
 
@@ -6341,4 +6394,7 @@ def oracle_sql() -> dict[str, str]:
         # generation-time expectations computed with the same integer SAD
         # rule (q34/q90 stored-expectation pattern)
         "q113_shot_cuts": _q113_oracle(),
+        # the oracle reproduces the IDENTICAL md5-bucket sample, then
+        # exact quantiles of it — mirrored-candidate at the sample layer
+        "q114_sampled_quantiles": _q114_oracle(),
     }
