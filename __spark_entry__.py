@@ -6111,6 +6111,55 @@ FROM samp GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------- q115
+
+def q115_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster focal aggregation (operators/tiles.py:focal_sum): the
+    hotspot / density surface over the clustered points — per occupied
+    level-10 cell, its point count and the 3×3-neighborhood sum. Map
+    algebra done Spark-shaped: the convolution explodes the CELL table
+    (≤ 4^10 rows after the map-side-combined point→cell reduction),
+    never the points, so the focal stage costs the same at 10^12 points
+    as at 10^5. Edge cells keep partial neighborhoods (off-grid targets
+    dropped, never wrapped) — pinned by the corner-clamped points the
+    clustered synth produces. The morton cell id rides along, so the
+    surface joins back to every cell-keyed table (q43 pyramid, q102
+    layout)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import focal_sum
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return focal_sum(pts, level=10).select(
+        "x", "y", "cell", "n", "focal_n"
+    )
+
+
+def _q115_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+
+    xs = _axis_sql("lon", 180.0, 360.0, 10)
+    ys = _axis_sql("lat", 90.0, 180.0, 10)
+    cell = f"(({_spread_sql('c.x')}) | (({_spread_sql('c.y')}) << 1) " \
+           f"| {10 << 56})"
+    return f"""
+WITH pts AS ({synth.points_sql(D)}),
+xy AS (SELECT ({xs}) AS x, ({ys}) AS y FROM pts),
+counts AS (SELECT x, y, count(*) AS n FROM xy GROUP BY 1, 2),
+off AS (SELECT unnest(range(-1, 2)) AS d),
+contrib AS (
+  SELECT c.x + dx.d AS x, c.y + dy.d AS y, sum(c.n) AS focal_n
+  FROM counts c, off dx, off dy
+  WHERE c.x + dx.d BETWEEN 0 AND 1023
+    AND c.y + dy.d BETWEEN 0 AND 1023
+  GROUP BY 1, 2
+)
+SELECT c.x, c.y, {cell} AS cell,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(f.focal_n AS BIGINT) AS focal_n
+FROM counts c JOIN contrib f USING (x, y)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6254,6 +6303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_stream_tumbling": q112_stream_tumbling,
         "q113_shot_cuts": q113_shot_cuts,
         "q114_sampled_quantiles": q114_sampled_quantiles,
+        "q115_focal_density": q115_focal_density,
     }
 
 
@@ -6397,4 +6447,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle reproduces the IDENTICAL md5-bucket sample, then
         # exact quantiles of it — mirrored-candidate at the sample layer
         "q114_sampled_quantiles": _q114_oracle(),
+        # the convolution mirrored cell-for-cell: same axis clamp, same
+        # 3x3 offsets, same occupied-cells-only surface
+        "q115_focal_density": _q115_oracle(),
     }

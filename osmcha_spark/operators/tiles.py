@@ -177,3 +177,61 @@ def pyramid_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
         .agg(F.sum("n").alias("n"))
         .where(F.col("n") != 0)
     )
+
+
+def focal_sum(
+    points: DataFrame,
+    level: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    radius: int = 1,
+) -> DataFrame:
+    """Raster focal (neighborhood) aggregation — the map-algebra
+    operation behind density surfaces / hotspot maps: per grid cell, the
+    point count ``n`` plus ``focal_n`` = the sum of counts over the
+    (2r+1)×(2r+1) cell neighborhood (edge cells simply have fewer
+    neighbors; off-grid targets are dropped, never wrapped).
+
+    Scale shape — the convolution runs on the RASTER, never the points:
+    one point→cell aggregation (map-side combined) reduces the fact to
+    at most 4^level cells, and only that cell table explodes ×(2r+1)²
+    into a second groupBy. For a 10^12-point corpus at level 10 the
+    focal stage touches ≤ 1M rows regardless of input size. Grid
+    coordinates (x, y) are the integer quantization used by the Morton
+    key (geo/cells.py spec), and the level-tagged ``cell`` id rides
+    along so the surface joins back to every cell-keyed table.
+    """
+    from osmcha_spark.geo.cells import _axis_col, _spread_col
+
+    lim = 1 << level
+    x = _axis_col(F.col(lon_col), 180.0, 360.0, level)
+    y = _axis_col(F.col(lat_col), 90.0, 180.0, level)
+    counts = (
+        points.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    off = F.sequence(F.lit(-radius), F.lit(radius))
+    contrib = (
+        counts.select("x", "y", "n", F.explode(off).alias("dx"))
+        .select(
+            (F.col("x") + F.col("dx")).alias("tx"), "y", "n",
+            F.explode(off).alias("dy"),
+        )
+        .select("tx", (F.col("y") + F.col("dy")).alias("ty"), "n")
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < lim)
+            & (F.col("ty") >= 0) & (F.col("ty") < lim)
+        )
+        .groupBy(F.col("tx").alias("x"), F.col("ty").alias("y"))
+        .agg(F.sum("n").alias("focal_n"))
+    )
+    cell = (
+        _spread_col(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_col(F.col("y")), 1))
+        .bitwiseOR(F.lit(level << 56))
+    )
+    return (
+        counts.join(contrib, ["x", "y"])
+        .select("x", "y", cell.alias("cell"), "n", "focal_n")
+    )

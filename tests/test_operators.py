@@ -1555,6 +1555,34 @@ def test_compact_partitioned_bins_content_idempotence(spark, tmp_path):
     assert _os.path.isdir(snap)
 
 
+def test_focal_sum_hand_grid_and_edges(spark):
+    """focal_sum (q115) on a hand-built grid at level 2 (4×4 cells over
+    the world): counts and 3×3 neighborhood sums are exact, the corner
+    cell keeps a partial neighborhood (no wrap), and only OCCUPIED cells
+    appear in the surface. Cell centers chosen mid-cell so quantization
+    is unambiguous."""
+    from osmcha_spark.operators.tiles import focal_sum
+
+    # level 2: x = floor((lon+180)/90), y = floor((lat+90)/45)
+    def pt(x, y):
+        return (x * 90.0 - 180.0 + 45.0, y * 45.0 - 90.0 + 22.5)
+
+    # 3 points in (0,0) corner, 1 in (1,0), 2 in (1,1), 1 far at (3,3)
+    pts = [pt(0, 0)] * 3 + [pt(1, 0)] + [pt(1, 1)] * 2 + [pt(3, 3)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = {(r.x, r.y): (r.n, r.focal_n)
+           for r in focal_sum(df, level=2).collect()}
+    assert got == {
+        (0, 0): (3, 6),   # corner: sees (0,0)+(1,0)+(1,1); no wrap to x=3
+        (1, 0): (1, 6),
+        (1, 1): (2, 6),
+        (3, 3): (1, 1),   # isolated
+    }
+    # occupied-cells-only surface: empty neighbors of occupied cells
+    # (e.g. (2,1), focal 3) are not rows
+    assert (2, 1) not in got
+
+
 def test_bfs_hops_chain_multiseed_early_exit(spark):
     """bfs_hops (q108) on a directed chain 0→1→…→9 plus a detached pair
     20→21: hops are exact path lengths; a node reachable from two seeds
