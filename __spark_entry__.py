@@ -6160,6 +6160,81 @@ FROM counts c JOIN contrib f USING (x, y)
 """
 
 
+# --------------------------------------------------------------- q116
+
+def q116_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) enrichment: probes looked up against
+    the COLLAPSED SCD2 dimension history — the q70 ∘ q42 composition
+    that is how a 100-TB pipeline does temporal joins: the as-of runs
+    against one row per value REIGN (the collapsed history), not one
+    row per observation, so the dimension side shrinks by the
+    re-observation factor before the single-window as-of pass. Probes
+    are each event's own instant +30 minutes; the as-of convention is
+    STRICTLY-before (a reign opening exactly at the probe instant is
+    not yet visible — as_of_join's tie rule, mirrored by the oracle's
+    `<`). Every probe lands inside some reign by construction (its own
+    event's reign opened at or before it), so the left-outer payload is
+    never null here."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import as_of_join, scd2_history
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    obs = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    hist = scd2_history(obs, "user_id", "ts_us", "event_type").select(
+        "user_id", F.col("valid_from").alias("pts"),
+        F.col("valid_from").alias("tb"), "event_type",
+    )
+    probes = ev.select(
+        "event_id", "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + F.lit(1800_000_000)).alias("pts"),
+    ).withColumn("tb", F.col("pts"))
+    out = as_of_join(
+        probes, hist, key="user_id", ts_col="pts", tiebreak="tb",
+        right_payload=("event_type",), prefix="pit_",
+    )
+    return out.select("event_id", "user_id", "pts", "pit_event_type")
+
+
+_Q116_ORACLE = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_type ASC
+         ) AS prev
+  FROM events
+), opens AS (
+  SELECT *, CASE WHEN prev IS NULL OR event_type <> prev
+                 THEN 1 ELSE 0 END AS op
+  FROM obs
+), isl AS (
+  SELECT *, sum(op) OVER (
+              PARTITION BY user_id ORDER BY ts_us ASC, event_type ASC
+              ROWS UNBOUNDED PRECEDING
+            ) AS island
+  FROM opens
+), hist AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         min(ts_us) AS valid_from
+  FROM isl GROUP BY user_id, island
+), probes AS (
+  SELECT event_id, user_id, epoch_us(ts) + 1800000000 AS pts FROM events
+), j AS (
+  SELECT p.event_id, p.user_id, p.pts, h.event_type,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY h.valid_from DESC) AS rn
+  FROM probes p
+  JOIN hist h ON h.user_id = p.user_id AND h.valid_from < p.pts
+)
+SELECT event_id, user_id, pts, event_type AS pit_event_type
+FROM j WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6304,6 +6379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_shot_cuts": q113_shot_cuts,
         "q114_sampled_quantiles": q114_sampled_quantiles,
         "q115_focal_density": q115_focal_density,
+        "q116_pit_enrich": q116_pit_enrich,
     }
 
 
@@ -6450,4 +6526,6 @@ def oracle_sql() -> dict[str, str]:
         # the convolution mirrored cell-for-cell: same axis clamp, same
         # 3x3 offsets, same occupied-cells-only surface
         "q115_focal_density": _q115_oracle(),
+        # q70's island CTEs -> reign table -> strictly-before PIT lookup
+        "q116_pit_enrich": _Q116_ORACLE,
     }
