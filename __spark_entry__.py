@@ -6235,6 +6235,49 @@ FROM j WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------- q117
+
+def q117_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed consumption with deletes (operators/incremental.py:
+    apply_changes) — the other half of q75's snapshot_diff and the full
+    MERGE INTO semantics plain upsert lacks: a change feed marks ids
+    ≡ 3 (mod 7) as upserts (comments_count bumped +1000) and ids ≡ 0
+    (mod 11) as deletes; upserted keys take the feed's values, deleted
+    keys VANISH, everything else passes through. One shuffle: deletes
+    ride the same anti-join LWW replacement already pays (a key in the
+    feed never passes through, whatever its op). Delete wins the
+    overlap (ids ≡ 3 mod 7 AND ≡ 0 mod 11 are marked delete), matching
+    the key-unique feed precondition."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.incremental import apply_changes
+    from osmcha_spark.plans.analyse import normalize_changesets
+
+    prior = normalize_changesets(synth.changesets_df(spark, sf_dir)).select(
+        "id", "editor", "comments_count"
+    )
+    touched = prior.where(
+        (F.col("id") % 7 == 3) | (F.col("id") % 11 == 0)
+    )
+    changes = touched.select(
+        "id", "editor",
+        (F.col("comments_count") + 1000).alias("comments_count"),
+        F.when(F.col("id") % 11 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    return apply_changes(prior, changes, key="id")
+
+
+def _q117_oracle() -> str:
+    return f"""
+WITH fresh AS ({_q02_oracle()})
+SELECT id, editor,
+       CASE WHEN id % 7 = 3 THEN comments_count + 1000
+            ELSE comments_count END AS comments_count
+FROM fresh
+WHERE id % 11 <> 0
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6380,6 +6423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_sampled_quantiles": q114_sampled_quantiles,
         "q115_focal_density": q115_focal_density,
         "q116_pit_enrich": q116_pit_enrich,
+        "q117_apply_changes": q117_apply_changes,
     }
 
 
@@ -6528,4 +6572,7 @@ def oracle_sql() -> dict[str, str]:
         "q115_focal_density": _q115_oracle(),
         # q70's island CTEs -> reign table -> strictly-before PIT lookup
         "q116_pit_enrich": _Q116_ORACLE,
+        # stated post-merge truth: upserted values where op=upsert,
+        # deleted keys absent, prior rows elsewhere
+        "q117_apply_changes": _q117_oracle(),
     }

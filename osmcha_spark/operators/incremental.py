@@ -299,3 +299,33 @@ def compact_partitioned(
         "files_after": files_after,
         "bins_planned": total_bins,
     }
+
+
+def apply_changes(
+    prior: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Consume a CDC feed WITH DELETES — the other half of
+    :func:`snapshot_diff` (which produces feeds) and the full MERGE
+    INTO semantics :func:`upsert` lacks: ``changes`` carries ``op_col``
+    ∈ {'upsert', 'delete'}; upserted keys take the change row's values,
+    deleted keys vanish, untouched prior rows pass through.
+
+    ONE shuffle shape: the prior anti-joins the ENTIRE change key set
+    once (delete and upsert keys together — a deleted key must not pass
+    through, an upserted key is replaced anyway), then the upsert rows
+    union on top. Deletes are therefore free: they ride the same
+    anti-join that LWW replacement already needs. Table formats spell
+    this MERGE INTO ... WHEN MATCHED [AND op='delete'] THEN DELETE;
+    underneath it compiles to exactly this join shape.
+
+    PRECONDITION: ``changes`` key-unique (collapse a multi-event batch
+    to final state per key first — e.g. max_by(version) — the
+    :func:`upsert` version_col discipline).
+    """
+    data_cols = [c for c in changes.columns if c != op_col]
+    keep = prior.join(changes.select(key), key, "left_anti")
+    ups = changes.where(F.col(op_col) == "upsert").select(*data_cols)
+    return keep.unionByName(ups)

@@ -1555,6 +1555,42 @@ def test_compact_partitioned_bins_content_idempotence(spark, tmp_path):
     assert _os.path.isdir(snap)
 
 
+def test_apply_changes_roundtrips_snapshot_diff(spark):
+    """The CDC algebra identity: apply_changes(old, feed(snapshot_diff(
+    old, new))) ≡ new, row-for-row — the q75 producer and the q117
+    consumer compose to an exact snapshot transport. Exercises all
+    three ops (added/changed → upsert with new values, removed →
+    delete) plus null-value changes (null-safe diff)."""
+    from osmcha_spark.operators.incremental import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id long, v string, n int",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged; 2 changed; 3 null→value changed; 4 removed; 5 added
+        [(1, "a", 10), (2, "B", 21), (3, "c", 30), (5, "e", 50)],
+        "id long, v string, n int",
+    )
+    d = snapshot_diff(old, new, ["id"])
+    feed = (
+        d.withColumn(
+            "op",
+            F.when(F.col("change") == "removed", F.lit("delete"))
+            .otherwise(F.lit("upsert")),
+        )
+        .join(new, "id", "left")
+        .select("id", "v", "n", "op")
+    )
+    got = {(r.id, r.v, r.n)
+           for r in apply_changes(old, feed, key="id").collect()}
+    want = {(r.id, r.v, r.n) for r in new.collect()}
+    assert got == want
+
+
 def test_focal_sum_hand_grid_and_edges(spark):
     """focal_sum (q115) on a hand-built grid at level 2 (4×4 cells over
     the world): counts and 3×3 neighborhood sums are exact, the corner

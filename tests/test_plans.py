@@ -562,3 +562,36 @@ def test_ivf_index_search_prunes_to_probed_lists(spark, tmp_path):
     key = lambda rows: {(r.query_id, r.rank): (r.neighbor_id, r.score)
                         for r in rows}
     assert key(stored) == key(scratch)
+
+
+def test_constraint_audit_one_fact_exchange(spark):
+    """constraint_audit (q107) plan contract: the FACT shuffles exactly
+    once (the groupBy(key) hashpartitioning); the FK dim joins as a
+    broadcast BEFORE that groupBy; the final reduction is a
+    SinglePartition exchange over per-key rows; no Python eval. A
+    second fact-sized exchange would mean a row-level check stopped
+    riding the uniqueness groupBy."""
+    from osmcha_spark.operators.profile import constraint_audit
+
+    # k must be non-unique: on a provably-unique key Catalyst removes
+    # the per-key aggregate outright (RemoveRedundantAggregates) and the
+    # pin would be vacuous
+    fact = spark.range(5000).select(
+        F.pmod("id", F.lit(1000)).alias("k"),
+        F.pmod("id", F.lit(97)).alias("fkv"),
+        (F.col("id") % 100).cast("double").alias("price"),
+    )
+    dim = spark.range(90).select(F.col("id").alias("dk"))
+    plan = _plan(constraint_audit(
+        fact, key=["k"], not_null=["fkv"],
+        ranges={"price": (0.0, 50.0)},
+        fks=[("fk", "fkv", dim, "dk")],
+    ))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    fact_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(k#" in ln
+    ]
+    assert len(fact_exchanges) == 1, plan
+    assert "Exchange SinglePartition" in plan
