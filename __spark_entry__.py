@@ -6278,6 +6278,66 @@ WHERE id % 11 <> 0
 """
 
 
+# --------------------------------------------------------------- q118
+
+def q118_suspect_caption_density(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The graft-cell composition in one query — image+caption corpus ×
+    suspect-word rule × spatial tiling: captions scored with the
+    reference's find_words semantics (native Columns, functions/
+    words.py), flagged images cell-encoded, and the level-5 focal
+    density surface (q115's convolution) over the flagged set — "where
+    on the map are the suspicious captions clustering". Zero new
+    operator code: P7's rule, G4's cells, R80's focal, composed; the
+    oracle composes the same three mirrored fragments (find_words_sql,
+    _axis_sql/_spread_sql, the 3×3 offset convolution)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.functions.words import find_words_col
+    from osmcha_spark.operators.tiles import focal_sum
+
+    cfg = RulesConfig()
+    imgs = spark.read.parquet(os.path.join(FIXTURE_DIR, "images.parquet"))
+    hit = find_words_col(
+        F.col("caption"), cfg.suspect_words, cfg.excluded_words
+    )
+    flagged = imgs.where(F.coalesce(hit, F.lit(False))).select("lon", "lat")
+    return focal_sum(flagged, level=5).select(
+        "x", "y", "cell", "n", "focal_n"
+    )
+
+
+def _q118_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+    from osmcha_spark.oracle import find_words_sql
+
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    xs = _axis_sql("lon", 180.0, 360.0, 5)
+    ys = _axis_sql("lat", 90.0, 180.0, 5)
+    cell = f"(({_spread_sql('c.x')}) | (({_spread_sql('c.y')}) << 1) " \
+           f"| {5 << 56})"
+    return f"""
+WITH flagged AS (
+  SELECT lon, lat FROM read_parquet('{path}')
+  WHERE caption IS NOT NULL AND {find_words_sql("caption", "duckdb")}
+),
+xy AS (SELECT ({xs}) AS x, ({ys}) AS y FROM flagged),
+counts AS (SELECT x, y, count(*) AS n FROM xy GROUP BY 1, 2),
+off AS (SELECT unnest(range(-1, 2)) AS d),
+contrib AS (
+  SELECT c.x + dx.d AS x, c.y + dy.d AS y, sum(c.n) AS focal_n
+  FROM counts c, off dx, off dy
+  WHERE c.x + dx.d BETWEEN 0 AND 31
+    AND c.y + dy.d BETWEEN 0 AND 31
+  GROUP BY 1, 2
+)
+SELECT c.x, c.y, {cell} AS cell,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(f.focal_n AS BIGINT) AS focal_n
+FROM counts c JOIN contrib f USING (x, y)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6424,6 +6484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_focal_density": q115_focal_density,
         "q116_pit_enrich": q116_pit_enrich,
         "q117_apply_changes": q117_apply_changes,
+        "q118_suspect_caption_density": q118_suspect_caption_density,
     }
 
 
@@ -6575,4 +6636,7 @@ def oracle_sql() -> dict[str, str]:
         # stated post-merge truth: upserted values where op=upsert,
         # deleted keys absent, prior rows elsewhere
         "q117_apply_changes": _q117_oracle(),
+        # three mirrored fragments composed: find_words_sql + axis/spread
+        # + the 3x3 convolution — same shape as the engine composition
+        "q118_suspect_caption_density": _q118_oracle(),
     }
