@@ -584,6 +584,18 @@ def main() -> None:
         formatted(ivf_index_search(spark, ivf_path, pq_q, k=5, nprobe=2)),
     ))
 
+    from osmcha_spark.operators.tiles import focal_sum
+
+    sections.append((
+        "Raster focal aggregation (q115)",
+        "expect: point→cell HashAggregate with a map-side partial "
+        "(the fact reduces before anything fans out), then the 3×3 "
+        "Generate(explode) pair over the CELL table only, one more "
+        "aggregate, and the counts⋈contrib equi-join — no Python eval, "
+        "no point-table explode",
+        formatted(focal_sum(r_pts, level=10)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
