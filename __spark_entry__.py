@@ -6338,6 +6338,58 @@ FROM counts c JOIN contrib f USING (x, y)
 """
 
 
+# --------------------------------------------------------------- q119
+
+def q119_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/curation.py:
+    embed_decontaminate): corpus vectors whose cosine against ANY
+    benchmark vector (vec_id % 37 == 0 plays the eval suite) reaches
+    3/10 are flagged with their hit count and exact integer max dot —
+    the semantic complement of q66's verbatim-shingle probe, catching
+    paraphrase contamination. The q23 integer cosine rule makes every
+    decision and the max_dot value bit-identical engine-vs-oracle; the
+    benchmark side broadcasts (it is small by definition) and the
+    corpus never shuffles on data size."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import embed_decontaminate
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    refs = emb.where(F.col("vec_id") % 37 == 0)
+    corpus = emb.where(F.col("vec_id") % 37 != 0)
+    return embed_decontaminate(
+        corpus, refs, threshold_num=3, threshold_den=10
+    ).select("id", "n_hits", "max_dot")
+
+
+_Q119_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+refs AS (SELECT * FROM flat WHERE vec_id % 37 = 0),
+corp AS (SELECT * FROM flat WHERE vec_id % 37 <> 0),
+dots AS (
+  SELECT c.vec_id AS id, r.vec_id AS rid, sum(c.val * r.val) AS dot
+  FROM corp c JOIN refs r ON c.idx = r.idx
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sum(val * val) AS n2 FROM flat GROUP BY 1),
+hits AS (
+  SELECT d.id, d.dot
+  FROM dots d
+  JOIN norms nc ON nc.vec_id = d.id
+  JOIN norms nr ON nr.vec_id = d.rid
+  WHERE d.dot > 0 AND 100 * d.dot * d.dot >= 9 * nc.n2 * nr.n2
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(max(dot) AS BIGINT) AS max_dot
+FROM hits GROUP BY id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6485,6 +6537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_pit_enrich": q116_pit_enrich,
         "q117_apply_changes": q117_apply_changes,
         "q118_suspect_caption_density": q118_suspect_caption_density,
+        "q119_embed_decontaminate": q119_embed_decontaminate,
     }
 
 
@@ -6639,4 +6692,7 @@ def oracle_sql() -> dict[str, str]:
         # three mirrored fragments composed: find_words_sql + axis/spread
         # + the 3x3 convolution — same shape as the engine composition
         "q118_suspect_caption_density": _q118_oracle(),
+        # the q23 integer cosine rule against the benchmark subset —
+        # every flag decision and max_dot bit-identical
+        "q119_embed_decontaminate": _Q119_ORACLE,
     }

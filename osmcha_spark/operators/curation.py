@@ -245,3 +245,61 @@ def decontaminate(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= F.lit(int(min_shared)))
     )
+
+
+def embed_decontaminate(
+    corpus: DataFrame,
+    refs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling
+    of :func:`decontaminate` (which matches verbatim shingles): corpus
+    vectors whose cosine against ANY reference-set vector reaches
+    ``threshold_num/threshold_den`` are flagged as eval-contaminated,
+    catching paraphrases the n-gram probe can't. Output (one row per
+    FLAGGED corpus vector): ``(id, n_hits, max_dot)``.
+
+    The threshold test is the q23 integer rule — ``dot > 0 ∧ den²·dot²
+    ≥ num²·‖c‖²·‖r‖²`` on QUANT-quantized int64 vectors — so the
+    decision (and max_dot itself) is bit-identical in any engine, no
+    float boundary cases.
+
+    Scale shape: the benchmark set is small BY DEFINITION (it's an eval
+    suite), so it broadcasts; the corpus streams through one projection
+    + broadcast nested-loop over ~hundreds of refs per row, then a
+    map-side-combined groupBy(id). No corpus shuffle on data size. At
+    extreme ref counts, pre-prune with sign-LSH bands
+    (similarity.py:lsh_band_candidates) and pass the survivors here.
+    """
+    from osmcha_spark.operators.similarity import _dot_int, _qvec
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), _qvec(F.col(vec_col)).alias("cv")
+    )
+    r = refs.select(
+        F.col(id_col).alias("rid"), _qvec(F.col(vec_col)).alias("rv")
+    )
+    n2 = lambda col: _dot_int(F.col(col), F.col(col))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    pairs = (
+        c.crossJoin(F.broadcast(r))
+        .select(
+            "id",
+            _dot_int(F.col("cv"), F.col("rv")).alias("dot"),
+            n2("cv").alias("c2"),
+            n2("rv").alias("r2"),
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (F.lit(den2) * F.col("dot") * F.col("dot")
+               >= F.lit(num2) * F.col("c2") * F.col("r2"))
+        )
+    )
+    return pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max("dot").alias("max_dot"),
+    )
