@@ -6390,6 +6390,57 @@ FROM hits GROUP BY id
 """
 
 
+# --------------------------------------------------------------- q120
+
+def q120_image_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact image duplicate groups (operators/dedup_images.py:
+    exact_image_dup_groups) — the cheapest rung of the visual dedup
+    ladder, below phash (q19) and luma grids (q91). Duplicates planted
+    deterministically: every 5th fixture image re-enters under a
+    'zzdup<id>' identity, so each planted group has exactly 2 copies
+    with the ORIGINAL id canonical ('zzdup…' sorts after 'img…' — a
+    bare 'dup' prefix would sort BEFORE and steal the canonical slot). The content
+    key is md5(hex(bytes)) — hex first because DuckDB's md5 takes only
+    VARCHAR, and both engines render identical hex (cross-checked), so
+    the oracle reproduces the digest byte-for-byte."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.dedup_images import exact_image_dup_groups
+
+    imgs = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "images.parquet")
+    ).select("image_id", "bytes")
+    dups = imgs.where(
+        F.substring("image_id", 4, 12).cast("long") % 5 == 0
+    ).select(
+        F.concat(F.lit("zzdup"), F.col("image_id")).alias("image_id"),
+        "bytes",
+    )
+    return exact_image_dup_groups(imgs.unionByName(dups)).select(
+        "content_md5", "n_copies", "canonical_id"
+    )
+
+
+def _q120_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    return f"""
+WITH base AS (
+  SELECT image_id, bytes FROM read_parquet('{path}')
+),
+unioned AS (
+  SELECT image_id, bytes FROM base
+  UNION ALL
+  SELECT 'zzdup' || image_id, bytes FROM base
+  WHERE CAST(substring(image_id, 4, 12) AS BIGINT) % 5 = 0
+)
+SELECT md5(hex(bytes)) AS content_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(image_id) AS canonical_id
+FROM unioned
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6538,6 +6589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_apply_changes": q117_apply_changes,
         "q118_suspect_caption_density": q118_suspect_caption_density,
         "q119_embed_decontaminate": q119_embed_decontaminate,
+        "q120_image_exact_dup": q120_image_exact_dup,
     }
 
 
@@ -6695,4 +6747,7 @@ def oracle_sql() -> dict[str, str]:
         # the q23 integer cosine rule against the benchmark subset —
         # every flag decision and max_dot bit-identical
         "q119_embed_decontaminate": _Q119_ORACLE,
+        # md5(hex(bytes)) digests verified identical cross-engine; the
+        # planted-dup union is mirrored literally
+        "q120_image_exact_dup": _q120_oracle(),
     }

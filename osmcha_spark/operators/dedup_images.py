@@ -168,3 +168,33 @@ def grid_near_dup_pairs(
         .where(F.col("l1") <= threshold)
         .select("a", "b", "l1")
     )
+
+
+def exact_image_dup_groups(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Byte-exact duplicate groups — the cheapest rung of the visual
+    dedup ladder (below phash q19 and luma-grid q91): group by a
+    content hash of the RAW bytes, emit groups with more than one copy
+    as ``(content_md5, n_copies, canonical_id)``, canonical = min id.
+
+    The hash is ``md5(hex(bytes))`` — hex first because DuckDB's md5
+    only takes VARCHAR, and both engines render identical uppercase hex
+    of the same bytes, so the q120 oracle reproduces the key exactly
+    (verified cross-engine). At 10^12 images this is ONE map-side
+    projection (the 3 KB payload reduces to 32 hex chars before the
+    shuffle) + one groupBy on the digest; re-encoded or resized copies
+    don't hash equal — that's the perceptual tiers' job.
+    """
+    k = F.md5(F.hex(F.col(bytes_col))).alias("content_md5")
+    return (
+        images.select(k, F.col(id_col).alias("id"))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("id").alias("canonical_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
