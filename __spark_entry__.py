@@ -6441,6 +6441,56 @@ HAVING count(*) > 1
 """
 
 
+# --------------------------------------------------------------- q121
+
+def q121_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier flags (operators/curation.py:
+    mad_outliers): per event_type, rows whose integer-cents value sits
+    more than 5 MADs from the group median — median/MAD so the
+    contaminated tail can't inflate its own acceptance band. Exact
+    integer millis end-to-end (q46's floor discipline), so the flag
+    decisions hash identically; the per-group stats broadcast back onto
+    the fact, which never shuffles."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import mad_outliers
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(ev, "event_type", "cents", k=5).select(
+        "event_id", "event_type", "cents", "med_milli", "mad_milli"
+    )
+
+
+_Q121_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(cents, 0.5) * 1000) AS BIGINT)
+           AS med_milli
+  FROM ev GROUP BY 1
+),
+dev AS (
+  SELECT e.*, m.med_milli,
+         abs(e.cents * 1000 - m.med_milli) AS dev_milli
+  FROM ev e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(dev_milli, 0.5)) AS BIGINT) AS mad_milli
+  FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.cents, d.med_milli, a.mad_milli
+FROM dev d JOIN mad a USING (event_type)
+WHERE d.dev_milli > 5 * a.mad_milli
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6590,6 +6640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_suspect_caption_density": q118_suspect_caption_density,
         "q119_embed_decontaminate": q119_embed_decontaminate,
         "q120_image_exact_dup": q120_image_exact_dup,
+        "q121_mad_outliers": q121_mad_outliers,
     }
 
 
@@ -6750,4 +6801,7 @@ def oracle_sql() -> dict[str, str]:
         # md5(hex(bytes)) digests verified identical cross-engine; the
         # planted-dup union is mirrored literally
         "q120_image_exact_dup": _q120_oracle(),
+        # exact integer millis both sides (q46 floor discipline): flag
+        # decisions hash identically
+        "q121_mad_outliers": _Q121_ORACLE,
     }

@@ -303,3 +303,47 @@ def embed_decontaminate(
         F.count(F.lit(1)).alias("n_hits"),
         F.max("dot").alias("max_dot"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    cents_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Robust per-group outlier flags — median/MAD, not mean/stddev, so
+    the contaminated tail can't inflate its own acceptance band (the
+    curation step that drops corrupt numeric rows before training).
+    Emits ONLY the outliers: ``(key, <cents_col>, med_milli, mad_milli)``
+    rows where ``|x·1000 − med_milli| > k · mad_milli``.
+
+    Everything is exact integer millis: medians interpolate at worst to
+    .5 over int cents, so floor(×1000) is exact and both engines make
+    bit-identical flag decisions (q46's discipline). When more than
+    half a group is one value, MAD = 0 and every other value flags —
+    the standard robust-stats degeneracy, intentionally kept.
+
+    Plan: two grouped percentile aggregations + two broadcast joins of
+    the (small) per-group stats back onto the fact — the fact itself
+    never shuffles. Spark's exact ``percentile`` buffers a group's
+    values in the aggregation state, which is fine for bounded groups;
+    at extreme per-group cardinality swap each stage for the bucketed
+    selection in operators/quantiles.py:grouped_order_statistics (q99),
+    which never materializes a group.
+    """
+    med = df.groupBy(key).agg(
+        F.floor(F.percentile(cents_col, F.lit(0.5)) * 1000)
+        .alias("med_milli")
+    )
+    with_dev = df.join(F.broadcast(med), key).withColumn(
+        "__dev_milli",
+        F.abs(F.col(cents_col) * 1000 - F.col("med_milli")),
+    )
+    mad = with_dev.groupBy(key).agg(
+        F.floor(F.percentile("__dev_milli", F.lit(0.5))).alias("mad_milli")
+    )
+    return (
+        with_dev.join(F.broadcast(mad), key)
+        .where(F.col("__dev_milli") > F.lit(int(k)) * F.col("mad_milli"))
+        .drop("__dev_milli")
+    )
