@@ -6491,6 +6491,90 @@ WHERE d.dev_milli > 5 * a.mad_milli
 """
 
 
+# --------------------------------------------------------------- q122
+
+def q122_stream_distinct_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chained stateful streaming (streaming/windows.py:
+    tumbling_distinct): distinct users per 6-hour window as TWO stateful
+    operators in one query — event-time dedup on (user, window) feeding
+    a windowed count, Spark's multi-stateful-operator regime (every
+    stage event-time-driven, append mode). Same q112 replay harness
+    (time-split batches + sentinel flush), so the emitted set must
+    equal the batch COUNT(DISTINCT) rollup exactly; state at both
+    stages is watermark-bounded (open (key, window) pairs, then open
+    windows)."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import tumbling_distinct
+
+    work = _work_dir("q122")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+        )
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+
+    def _one_file(df, name):
+        tmp = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        return dest
+
+    f1 = _one_file(ev.where(F.unix_micros("ts") <= mid), "b1.parquet")
+    f2 = _one_file(ev.where(F.unix_micros("ts") > mid), "b2.parquet")
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(hi + 86400_000_000 * 2)).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+    )
+    f3 = _one_file(sentinel, "b3.parquet")
+    now = os.path.getmtime(f1)
+    os.utime(f2, (now + 10, now + 10))
+    os.utime(f3, (now + 20, now + 20))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        tumbling_distinct(stream, key="user_id", ts_col="ts",
+                          width="6 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("win_start_us", "n_distinct")
+
+
+_Q122_ORACLE = """
+SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6641,6 +6725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_embed_decontaminate": q119_embed_decontaminate,
         "q120_image_exact_dup": q120_image_exact_dup,
         "q121_mad_outliers": q121_mad_outliers,
+        "q122_stream_distinct_windows": q122_stream_distinct_windows,
     }
 
 
@@ -6804,4 +6889,6 @@ def oracle_sql() -> dict[str, str]:
         # exact integer millis both sides (q46 floor discipline): flag
         # decisions hash identically
         "q121_mad_outliers": _Q121_ORACLE,
+        # chained stateful emission == the batch COUNT(DISTINCT) rollup
+        "q122_stream_distinct_windows": _Q122_ORACLE,
     }

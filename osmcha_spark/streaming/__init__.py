@@ -37,7 +37,7 @@ from osmcha_spark.streaming.sessions import (
     sessionized_stream,
 )
 from osmcha_spark.streaming.stateful import user_stats_stream
-from osmcha_spark.streaming.windows import tumbling_agg
+from osmcha_spark.streaming.windows import tumbling_agg, tumbling_distinct
 
 __all__ = [
     "deduped_stream",
@@ -56,4 +56,5 @@ __all__ = [
     "sessionized_stream",
     "user_stats_stream",
     "tumbling_agg",
+    "tumbling_distinct",
 ]

@@ -51,3 +51,35 @@ def tumbling_agg(
             "cents",
         )
     )
+
+
+def tumbling_distinct(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    width: str = "6 hours",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Distinct-``key`` count per tumbling window — unique visitors per
+    hour — as a CHAIN of two stateful operators in one streaming query:
+    event-time dedup on (key, window) feeding a windowed count. Spark
+    only allows stateful chaining when every stage is event-time driven
+    in append mode (the dedup emits rows that still carry the window's
+    event time for the downstream watermark); this operator exists
+    partly to pin that the chain survives version bumps.
+
+    State is bounded at BOTH stages: the dedup store holds (key, open
+    window) pairs, the agg store open windows — each evicted as the
+    watermark passes the window end. Output:
+    ``(win_start_us, n_distinct)``."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .withColumn("__win", F.window(F.col(ts_col), width))
+        .dropDuplicates([key, "__win"])
+        .groupBy("__win")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(
+            F.unix_micros(F.col("__win.start")).alias("win_start_us"),
+            "n_distinct",
+        )
+    )
