@@ -4046,7 +4046,9 @@ _Q81_ORACLE = """
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id,
          CAST(round(value * 100) AS BIGINT) AS cents,
-         epoch_us(ts) // 21600000000 AS bucket
+         -- floor (not truncating //) division: mirrors the engine's
+         -- _floordiv so pre-1970 timestamps bucket identically
+         (epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000) // 21600000000 AS bucket
   FROM events
 ),
 obs AS (
@@ -4264,7 +4266,8 @@ agg AS (
 est AS (
   SELECT key_a, key_b, union_kept, rho,
          CAST(CASE WHEN union_kept < 128 THEN union_kept
-              ELSE (127 * 1099511627776) // tau END AS BIGINT) AS est_union
+              ELSE (127 * 1099511627776) // GREATEST(tau, 1) END AS BIGINT)
+           AS est_union
   FROM agg
 )
 SELECT key_a, key_b, union_kept, rho, est_union,
@@ -4656,7 +4659,9 @@ def q92_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q92_ORACLE = """
 WITH e AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+  -- floor division (engine _floordiv mirror): pre-1970 cohorts stay < 0
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - ((epoch_us(ts) % 604800000000) + 604800000000) % 604800000000) // 604800000000 AS wk
   FROM events WHERE event_id % 13 = 0
 ),
 c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
@@ -4845,7 +4850,10 @@ agg AS (
 )
 SELECT a.key AS user_id, a.span_us, a.integral,
        CAST(CASE WHEN a.span_us = 0 THEN f.first_cents
-            ELSE a.integral // a.span_us END AS BIGINT) AS twap_cents
+            -- floor division (engine _floordiv mirror): negative
+            -- integrals round toward -inf, not toward zero
+            ELSE (a.integral - ((a.integral % a.span_us) + a.span_us) % a.span_us) // a.span_us
+       END AS BIGINT) AS twap_cents
 FROM agg a JOIN firsts f ON f.key = a.key
 """
 
@@ -6022,7 +6030,10 @@ def q112_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q112_ORACLE = """
 SELECT user_id,
-       (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+       -- floor division: Spark's window() uses floorMod, so the
+       -- mirrored start must floor too for pre-1970 event times
+       ((epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000) // 21600000000) * 21600000000
+         AS win_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events
@@ -6568,7 +6579,9 @@ def q122_stream_distinct_windows(
 
 
 _Q122_ORACLE = """
-SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+-- floor division mirror of Spark window()'s floorMod start
+SELECT ((epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000) // 21600000000) * 21600000000
+         AS win_start_us,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events
 GROUP BY 1

@@ -230,11 +230,13 @@ def kmv_set_ops(
     - ``rho`` = how many of those union-sketch hashes appear in BOTH
       sides' sketches — the unbiased intersection indicator;
     - ``est_union`` = exact count when the union kept < k (the sketch
-      IS the set), else ``(k-1)·2^bits div tau``. Assumes tau > 0: the
+      IS the set), else ``(k-1)·2^bits div greatest(tau, 1)``. The
       k-th smallest ``bits``-bit hash is zero only when union_kept == k
-      AND a value hashes to exactly 0 (P ≈ 2^-bits per pair) — there
-      Spark's div-by-zero yields NULL while DuckDB `//` raises, an
-      accepted engine/oracle divergence at ~2^-40 odds (ADVICE r3);
+      AND a value hashes to exactly 0 (P ≈ 2^-bits per pair) — the
+      ``greatest(tau, 1)`` guard (mirrored in the q84 oracle, pinned by
+      a planted-zero-hash pytest) keeps that 2^-40 event finite and
+      cross-engine identical instead of Spark-NULL-vs-DuckDB-raise
+      (closes ADVICE r3/r4);
     - ``est_inter`` = ``rho`` exactly in the exact regime, else
       ``rho·est_union div k``;
     - ``jaccard_ppm`` = ``rho·10^6 div union_kept`` (exact in the
@@ -295,15 +297,27 @@ def kmv_set_ops(
         merged.withColumn("_rn", F.row_number().over(wp))
         .where(F.col("_rn") <= F.lit(int(k)))
     )
-    numer = (k - 1) * (1 << bits)
     aggd = union_kept.groupBy("key_a", "key_b").agg(
         F.count(F.lit(1)).cast("long").alias("union_kept"),
         F.max("h").alias("tau"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"),
     )
+    return _kmv_estimates(aggd, k, bits)
+
+
+def _kmv_estimates(aggd: DataFrame, k: int, bits: int) -> DataFrame:
+    """Estimator tail of :func:`kmv_set_ops`, split out so the 2^-bits
+    tau == 0 branch (a value hashing to exactly zero while the union
+    sketch is full) is directly testable with a planted row — the
+    ``greatest(tau, 1)`` guard must agree with the q84 oracle's
+    ``GREATEST(tau, 1)`` cross-engine (ADVICE r3/r4 closure).
+
+    Input: one row per key pair ``(key_a, key_b, union_kept, tau, rho)``.
+    """
+    numer = (k - 1) * (1 << bits)
     est_union = (
         F.when(F.col("union_kept") < F.lit(int(k)), F.col("union_kept"))
-        .otherwise(F.expr(f"{numer}L div tau"))
+        .otherwise(F.expr(f"{numer}L div greatest(tau, 1L)"))
         .cast("long")
     )
     return aggd.select(

@@ -14,7 +14,12 @@ Portability rules used throughout:
 - integer mod/multiply stays < 2^62 (DuckDB raises on int64 overflow,
   Spark wraps — avoid the divergence entirely),
 - array indexing differs (0- vs 1-based) → pool selection uses CASE chains,
-- double arithmetic is identical IEEE expression trees on both sides.
+- double arithmetic is identical IEEE expression trees on both sides,
+- integer division TRUNCATES toward zero in BOTH dialects (Spark ``div``
+  and DuckDB ``//`` — measured: ``SELECT -7 // 2`` is −3 in DuckDB 1.0);
+  when the engine needs FLOOR semantics (time bucketing, TWAP) it uses
+  events.py:_floordiv and the oracle must mirror with
+  ``(x - ((x % d) + d) % d) // d`` — never bare ``//``.
 """
 
 from __future__ import annotations

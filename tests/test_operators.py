@@ -1966,3 +1966,71 @@ def test_pyramid_merge_retraction_inverse(spark):
     }
     kept_cells = {(lvl, c) for (lvl, c, _) in want if lvl == 8}
     assert full_cells - kept_cells
+
+
+def test_floor_div_hostile_inputs_match_duckdb(spark):
+    """ADVICE r3/r4 closure pins: the engine's _floordiv idiom and the
+    oracles' mirrored SQL idiom ``(x - ((x % d) + d) % d) // d`` agree
+    on the hostile inputs that distinguish floor from truncation —
+    negative integrals (time_weighted_avg) and pre-1970 timestamps
+    (gap_fill, retention_cohorts). NB the measured ground truth that
+    reshaped the fix: DuckDB 1.0's integer `//` TRUNCATES toward zero
+    exactly like Spark's `div` (SELECT -7 // 2 = -3), so a bare `//`
+    oracle would diverge from the floor-semantics engine — the mirror
+    idiom, not bare `//`, is what the q81/q92/q95 oracles use."""
+
+    def floor_sql(x, d):
+        return f"({x} - (({x} % {d}) + {d}) % {d}) // {d}"
+    from datetime import datetime, timedelta, timezone
+
+    import duckdb
+
+    from osmcha_spark.operators.events import (
+        gap_fill, retention_cohorts, time_weighted_avg)
+
+    EPOCH = datetime(1970, 1, 1)
+
+    # -- time_weighted_avg: negative cents, non-exact quotient ---------
+    # integral = (-3c)(1us) + (-4c)(1us) = -7 over span 2us:
+    # floor(-7/2) = -4 where truncation would give -3.
+    t0 = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, t0, -0.03),
+         (2, 1, t0 + timedelta(microseconds=1), -0.04),
+         (3, 1, t0 + timedelta(microseconds=2), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    r = time_weighted_avg(ev).collect()[0]
+    assert (r.integral, r.span_us) == (-7, 2)
+    assert duckdb.sql("SELECT -7 // 2").fetchone()[0] == -3  # truncates!
+    oracle_twap = duckdb.sql(
+        f"SELECT {floor_sql(-7, 2)}").fetchone()[0]
+    assert r.twap_cents == oracle_twap == -4
+
+    # -- gap_fill: pre-1970 event buckets floor to negative ------------
+    # ts_us = -5_000_000 with 10 s buckets → bucket -1 (bucket_ts -10),
+    # where truncation would collapse it into bucket 0.
+    ev = spark.createDataFrame(
+        [(1, 1, EPOCH - timedelta(seconds=5), 2.00),
+         (2, 1, EPOCH + timedelta(seconds=15), 3.00)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r.bucket_ts: (r.cents, r.observed)
+           for r in gap_fill(ev, bucket_s=10).collect()}
+    first_bucket = duckdb.sql(
+        f"SELECT {floor_sql(-5000000, 10000000)}").fetchone()[0]
+    assert first_bucket == -1
+    assert got == {-10: (200, 1), 0: (200, 0), 10: (300, 1)}
+
+    # -- retention_cohorts: pre-1970 cohort stays distinct from 0 ------
+    ev = spark.createDataFrame(
+        [(1, 7, EPOCH - timedelta(seconds=3), 0.0),   # bucket -1
+         (2, 7, EPOCH + timedelta(seconds=25), 0.0)],  # bucket 2 → age 3
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {(r.cohort, r.age): r.n_users
+           for r in retention_cohorts(ev, bucket_s=10).collect()}
+    cohort = duckdb.sql(
+        f"SELECT {floor_sql(-3000000, 10000000)}").fetchone()[0]
+    assert cohort == -1
+    assert got == {(-1, 0): 1, (-1, 3): 1}

@@ -165,3 +165,45 @@ def test_countmin_never_undercounts_and_merges(spark):
     ghost = spark.createDataFrame([("zzz-never-seen",)], "v string")
     g = countmin_estimate(cms_wide, ghost, "v", d=3, w=4096).collect()[0]
     assert g.est == 0
+
+
+def test_kmv_estimates_zero_tau_guard_matches_oracle(spark):
+    """ADVICE r3/r4 closure: when the union sketch is full AND the k-th
+    smallest hash is exactly 0 (P ~ 2^-40 per pair — planted here, since
+    no feasible input hashes there), the greatest(tau, 1) guard yields
+    the same finite values as the q84 oracle's GREATEST(tau, 1), instead
+    of the old Spark-NULL-vs-DuckDB-raise divergence."""
+    import duckdb
+
+    from osmcha_spark.operators.sketches import _kmv_estimates
+
+    k, bits = 128, 40
+    aggd = spark.createDataFrame(
+        [("a", "b", k, 0, 10),      # full sketch, planted zero tau
+         ("a", "c", k, 1, 10),      # guard is identity for tau >= 1
+         ("b", "c", 5, 0, 3)],      # exact regime ignores tau entirely
+        "key_a string, key_b string, union_kept long, tau long, rho long",
+    )
+    got = {(r.key_a, r.key_b): (r.est_union, r.est_inter, r.jaccard_ppm)
+           for r in _kmv_estimates(aggd, k=k, bits=bits).collect()}
+    oracle = duckdb.sql(f"""
+        WITH agg(key_a, key_b, union_kept, tau, rho) AS (
+          VALUES ('a', 'b', {k}, 0, 10),
+                 ('a', 'c', {k}, 1, 10),
+                 ('b', 'c', 5, 0, 3)
+        ), est AS (
+          SELECT key_a, key_b, union_kept, rho,
+                 CASE WHEN union_kept < {k} THEN union_kept
+                      ELSE ({k - 1} * {1 << bits}) // GREATEST(tau, 1)
+                 END AS est_union
+          FROM agg)
+        SELECT key_a, key_b, est_union,
+               CASE WHEN union_kept < {k} THEN rho
+                    ELSE (rho * est_union) // {k} END AS est_inter,
+               (rho * 1000000) // union_kept AS jaccard_ppm
+        FROM est
+    """).fetchall()
+    for key_a, key_b, eu, ei, jp in oracle:
+        assert got[(key_a, key_b)] == (eu, ei, jp)
+    # the planted-zero pair is finite (not NULL) and equals the tau=1 arm
+    assert got[("a", "b")][0] == (k - 1) * (1 << bits)
