@@ -6588,6 +6588,101 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q123
+
+def q123_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/dedup.py:shared_spans) —
+    the Lee et al. 2022 rung between whole-doc exact (q08) and near-dup
+    (q09/q80): longest exactly-shared token span per document pair,
+    found via a LOSSLESS k-shingle inverted-index join (any span >= k
+    tokens contains a shared k-shingle) + gaps-and-islands run chaining
+    on each (pair, diagonal). Two duplicate classes planted
+    deterministically so the gate always has both shapes: every 50th
+    doc re-enters verbatim under doc_id+1000000 (full-doc span,
+    start_a == start_b == 1), and every doc with doc_id % 50 == 7
+    re-enters with three 'f<id>' filler tokens prepended (same full
+    original span, but start_b == 4 — pins position arithmetic).
+    Natural cross-doc spans from the small word pool surface identically
+    in both engines: the oracle mirrors the construction shingle-for-
+    shingle (the q36/q38 mirrored-candidate rule, here applied to an
+    EXACT operator, so the mirror is also the definition)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.dedup import shared_spans
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    shifted = docs.where(F.col("doc_id") % 50 == 7).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("f"), F.col("doc_id").cast("string"),
+            F.lit(" f"), F.col("doc_id").cast("string"),
+            F.lit(" f"), F.col("doc_id").cast("string"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
+    )
+    return shared_spans(
+        docs.unionByName(copies).unionByName(shifted), k=8
+    ).select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
+
+
+_Q123_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         'f' || CAST(doc_id AS VARCHAR) || ' f' || CAST(doc_id AS VARCHAR)
+           || ' f' || CAST(doc_id AS VARCHAR) || ' ' || text
+  FROM documents WHERE doc_id % 50 = 7
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM base
+),
+pos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+  FROM toks WHERE len(ts) >= 8
+),
+sh AS (
+  SELECT doc_id, i,
+         CAST('0x' || substring(md5(
+           array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15)
+           AS BIGINT) AS h
+  FROM pos
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS pa, b.i AS pb,
+         a.i - b.i AS diag
+  FROM sh a JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS isl
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(count(*) + 7 AS BIGINT) AS span_tokens,
+         CAST(min(pa) AS BIGINT) AS start_a,
+         CAST(min(pb) AS BIGINT) AS start_b
+  FROM isl GROUP BY doc_a, doc_b, diag, isl
+)
+SELECT doc_a, doc_b, span_tokens, start_a, start_b
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+        ORDER BY span_tokens DESC, start_a, start_b) AS rn
+      FROM runs) t
+WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6739,6 +6834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_image_exact_dup": q120_image_exact_dup,
         "q121_mad_outliers": q121_mad_outliers,
         "q122_stream_distinct_windows": q122_stream_distinct_windows,
+        "q123_shared_spans": q123_shared_spans,
     }
 
 
@@ -6904,4 +7000,7 @@ def oracle_sql() -> dict[str, str]:
         "q121_mad_outliers": _Q121_ORACLE,
         # chained stateful emission == the batch COUNT(DISTINCT) rollup
         "q122_stream_distinct_windows": _Q122_ORACLE,
+        # exact operator whose mirrored construction IS the definition:
+        # the k-shingle join is lossless for spans >= k tokens
+        "q123_shared_spans": _Q123_ORACLE,
     }

@@ -396,3 +396,102 @@ def prefix_jaccard_pairs(docs: DataFrame, threshold: float,
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "union_size", "jaccard")
     )
+
+
+def shared_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 max_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, span_tokens, start_a, start_b) — the longest run of
+    exactly-shared consecutive tokens per document pair, over every pair
+    sharing at least one ``k``-token span: substring-level exact dedup,
+    the operator class of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") at token granularity — the rung
+    between whole-doc exact dedup (md5 group-by) and near-dup (MinHash/
+    SimHash/Jaccard), catching the boilerplate/quote/mirror overlap that
+    is invisible to both. No reference counterpart (engine-only).
+
+    Semantics: tokens are lowercased whitespace splits (the engine's
+    standard tokenization, char-for-char equal to the oracle's). Any
+    shared token span of length >= k contains a shared k-shingle, so the
+    k-shingle inverted-index equi-join is LOSSLESS candidate generation;
+    matched shingle positions on one (pair, diagonal) chain into runs via
+    the gaps-and-islands trick (pa - row_number), and a run of c
+    consecutive matches is a shared span of exactly c + k - 1 tokens.
+    Per pair the longest span wins (ties: smallest start_a, start_b).
+    Positions are 1-based token indices.
+
+    ``max_df`` (optional) drops shingles whose document frequency exceeds
+    it from candidate generation — the stop-shingle skew guard, exactly
+    jaccard_pairs' contract: recall-only approximation (a span ALL of
+    whose k-shingles are stop-shingles is missed; its spans through rarer
+    shingles shorten to the surviving runs). Pass None for lossless.
+
+    Scale shape: one explode to Θ(total tokens) shingle rows, hashed to
+    int64 (md5 prefix) BEFORE the one candidate-generation shuffle (the
+    equi-join on the hash — AQE-splittable; max_df bounds the worst
+    fan-out, df capped means <= df^2 match rows per shingle). The island
+    windows partition by (pair, diagonal) — never a global sort; output
+    and window state are Θ(matched positions), bounded by the candidate
+    join. A 100 TB corpus runs this per shard/bucket the way an inverted
+    index shards: the shingle hash is the natural partition key.
+    """
+    from pyspark.sql import Window
+
+    ts = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
+        .where(F.size("ts") >= k)
+    )
+    # one generator per select; the slice/hash projection rides the next
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts") - (k - 1))
+        ).alias("i"),
+        "ts",
+    ).select(
+        "doc_id", "i",
+        md5_long_col(
+            F.concat_ws(" ", F.slice(F.col("ts"), F.col("i"), k))
+        ).alias("h"),
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") <= int(max_df))
+            .select("h")
+        )
+        sh = sh.join(keep, "h")
+    m = (
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("pa"),
+                  "h")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("i").alias("pb"), "h"),
+            "h",
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    wisl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long")
+            .alias("span_tokens"),
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+        )
+    )
+    wbest = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("span_tokens").desc(), F.col("start_a"), F.col("start_b")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
+    )

@@ -2034,3 +2034,38 @@ def test_floor_div_hostile_inputs_match_duckdb(spark):
         f"SELECT {floor_sql(-3000000, 10000000)}").fetchone()[0]
     assert cohort == -1
     assert got == {(-1, 0): 1, (-1, 3): 1}
+
+
+def test_shared_spans_planted_fixture(spark):
+    """Substring-level exact dedup (Lee et al. 2022 class): planted
+    spans come back with exact length and 1-based start positions,
+    sub-k overlaps are never emitted, and the max_df stop-shingle guard
+    is recall-only (surviving rarer shingles still chain)."""
+    from osmcha_spark.operators.dedup import shared_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),            # 10 tokens
+            (2, "x x a b c d e f g h z z"),        # shares a..h at pos 3
+            (3, "a b c d e f g Q i j"),            # longest shared run 7
+            (4, "A B C D E F G H I J"),            # case-folded copy of 1
+            (5, "a b c"),                          # < k tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): (r.span_tokens, r.start_a, r.start_b)
+           for r in shared_spans(docs, k=8).collect()}
+    assert got == {
+        (1, 2): (8, 1, 3),    # the full 8-token planted overlap
+        (1, 4): (10, 1, 1),   # identical docs: whole-doc span
+        (2, 4): (8, 3, 1),
+    }
+    # doc 3's 7-token overlap with 1/2/4 is sub-k: correctly absent;
+    # doc 5 never reaches shingling.
+
+    # max_df=2 drops the pos-1 shingle "a b c d e f g h" (df=3): the
+    # (1,2)/(2,4) pairs lose their only shingle; (1,4) survives through
+    # its rarer pos-2/pos-3 shingles, chained to a 9-token span at pos 2.
+    capped = {(r.doc_a, r.doc_b): (r.span_tokens, r.start_a, r.start_b)
+              for r in shared_spans(docs, k=8, max_df=2).collect()}
+    assert capped == {(1, 4): (9, 2, 2)}

@@ -595,3 +595,34 @@ def test_constraint_audit_one_fact_exchange(spark):
     ]
     assert len(fact_exchanges) == 1, plan
     assert "Exchange SinglePartition" in plan
+
+
+def test_shared_spans_plan_shape(spark):
+    """shared_spans (q123) plan contract: every crossing is JVM-side
+    Column code (no Python eval anywhere), the candidate generator is an
+    equi-join on the int64 shingle hash (never a cartesian), and the
+    island/best windows ride hash partitioning on the pair key — no
+    global (empty-key) sort window."""
+    from osmcha_spark.operators.dedup import shared_spans
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("w"), ((F.col("id") + i) % 17).cast("string"))
+              for i in range(12)],
+        ).alias("text"),
+    )
+    plan = _plan(shared_spans(docs, k=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # candidate join keyed on the hash column
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    # windows partition by (doc_a, doc_b[, diag]) — no empty partition
+    # spec (a global sort would serialize the whole match table)
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs and all("doc_a" in ln for ln in specs), plan
+    # the per-pair best-span rank-1 select runs as a group limit
+    # (per-partition partial top-1), not a full window sort
+    assert "WindowGroupLimit" in plan
