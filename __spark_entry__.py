@@ -6683,6 +6683,85 @@ WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------- q124
+
+def q124_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table format with time travel (sources/tables.py, the
+    S10 manifest/snapshot layer): create a partitioned table from the
+    even events, copy-on-write upsert a batch (overwrites + inserts),
+    then compact — and read BOTH snapshot 0 (time travel: immutable
+    bytes, pre-merge truth) and the current snapshot in one result,
+    tagged by ``snap``. The oracle states both table states
+    declaratively; matching proves the commit/manifest machinery
+    changes WHAT VERSION is read, never the rows. Untouched-partition
+    files are carried by manifest reference across both commits
+    (pinned structurally in tests/test_tables.py)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q124")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.pmod(F.col("user_id"), F.lit(8)).alias("part"),
+        )
+    )
+    base = ev.where(F.col("event_id") % 2 == 0)
+    s0 = T.snapshot_create(base, path, partition_col="part")
+    updates = ev.where(F.col("event_id") % 4 == 1).select(
+        "event_id", "user_id",
+        (F.col("cents") + 10000).alias("cents"), "part",
+    ).unionByName(
+        ev.where(F.col("event_id") % 8 == 2).select(
+            "event_id", "user_id",
+            (F.col("cents") - 5000).alias("cents"), "part",
+        )
+    )
+    T.snapshot_upsert(updates, path, key="event_id")
+    T.snapshot_compact(spark, path, target_bytes=1 << 30)
+    old = T.read_snapshot(spark, path, snapshot=s0).select(
+        F.lit(0).cast("long").alias("snap"),
+        "event_id", "user_id", "cents", "part",
+    )
+    cur = T.read_snapshot(spark, path).select(
+        F.lit(1).cast("long").alias("snap"),
+        "event_id", "user_id", "cents", "part",
+    )
+    return old.unionByName(cur)
+
+
+_Q124_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         user_id % 8 AS part
+  FROM events
+),
+base AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+ups AS (
+  SELECT event_id, user_id, cents + 10000 AS cents, part
+  FROM ev WHERE event_id % 4 = 1
+  UNION ALL
+  SELECT event_id, user_id, cents - 5000 AS cents, part
+  FROM ev WHERE event_id % 8 = 2
+),
+cur AS (
+  SELECT * FROM ups
+  UNION ALL
+  SELECT * FROM base
+  WHERE event_id NOT IN (SELECT event_id FROM ups)
+)
+SELECT CAST(0 AS BIGINT) AS snap, event_id, user_id, cents, part
+FROM base
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS snap, event_id, user_id, cents, part
+FROM cur
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6835,6 +6914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_mad_outliers": q121_mad_outliers,
         "q122_stream_distinct_windows": q122_stream_distinct_windows,
         "q123_shared_spans": q123_shared_spans,
+        "q124_snapshot_table": q124_snapshot_table,
     }
 
 
@@ -7003,4 +7083,8 @@ def oracle_sql() -> dict[str, str]:
         # exact operator whose mirrored construction IS the definition:
         # the k-shingle join is lossless for spans >= k tokens
         "q123_shared_spans": _Q123_ORACLE,
+        # both table states stated declaratively: snapshot 0 = the
+        # pre-merge base, current = post-merge truth (compaction must
+        # carry content row-for-row, q109 discipline)
+        "q124_snapshot_table": _Q124_ORACLE,
     }

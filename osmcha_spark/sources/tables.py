@@ -30,3 +30,353 @@ def load_table(
             pass
     df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
     return df.select(*columns) if columns else df
+
+
+# --------------------------------------------------------------------
+# Snapshot table format (S10 made real)
+#
+# A minimal manifest/snapshot layer — the Iceberg ideas the engine had
+# already grown piecemeal (versioned commits streaming/ingest.py:89-150,
+# bounded partition rewrites operators/incremental.py:upsert_partitioned,
+# small-file compaction operators/incremental.py:compact_partitioned)
+# unified behind one API with the two properties those pieces lacked:
+# ATOMIC commits and TIME TRAVEL.
+#
+# Layout:
+#   <path>/data/<commit>-...parquet      immutable data files
+#   <path>/snapshots/s_<n>.json          manifest: the file list (name,
+#                                        partition value, bytes, rows)
+#   <path>/_CURRENT                      catalog pointer (os.replace)
+#
+# Commit protocol (single writer; a multi-writer deployment swaps the
+# _CURRENT file for a catalog CAS, exactly Iceberg's contract):
+#   1. write NEW data files into data/ (never overwriting — a snapshot
+#      table has no self-overwrite problem, so upsert_partitioned's
+#      checkpoint-before-write dance disappears by construction);
+#   2. write the manifest to a temp name, os.replace to s_<n>.json —
+#      manifest existence is the commit point;
+#   3. os.replace the _CURRENT pointer.
+# Crash before (2): the new files are invisible (reads go through the
+# manifest) and vacuum() reclaims them. Crash between (2) and (3):
+# readers keep the old consistent snapshot; a replay bearing the same
+# commit_id finds its manifest and just repoints (streaming/ingest.py's
+# apply_pyramid_batch semantics, generalized).
+#
+# Reads prune FILES from the manifest (partition-value selection happens
+# driver-side on metadata, before Spark ever lists a directory), then the
+# parquet scan prunes row groups within the survivors as usual. At 100 TB
+# the manifest is O(#files) JSON — the same metadata scale as the Hadoop
+# listing it replaces, paid once per commit instead of per query.
+# --------------------------------------------------------------------
+
+import json as _json
+import shutil as _shutil
+import uuid as _uuid
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _snapshots_dir(path: str) -> str:
+    return os.path.join(path, "snapshots")
+
+
+def _manifest_file(path: str, sid: int) -> str:
+    return os.path.join(_snapshots_dir(path), f"s_{sid:010d}.json")
+
+
+def list_snapshots(path: str) -> list[int]:
+    """Committed snapshot ids, ascending (metadata-scale listing)."""
+    d = _snapshots_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n[2:-5]) for n in os.listdir(d)
+        if n.startswith("s_") and n.endswith(".json")
+    )
+
+
+def current_snapshot(path: str) -> int | None:
+    """The snapshot id the _CURRENT pointer names, or None."""
+    cur = os.path.join(path, "_CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as fh:
+        return int(fh.read().strip())
+
+
+def _load_manifest(path: str, sid: int) -> dict:
+    with open(_manifest_file(path, sid)) as fh:
+        return _json.load(fh)
+
+
+def _point_current(path: str, sid: int) -> None:
+    tmp = os.path.join(path, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{sid}\n")
+    os.replace(tmp, os.path.join(path, "_CURRENT"))
+
+
+def _commit(path: str, files: list[dict], partition_col: str | None,
+            parent: int | None, commit_id: str | None) -> int:
+    """Steps (2)+(3) of the protocol: atomic manifest, then repoint."""
+    os.makedirs(_snapshots_dir(path), exist_ok=True)
+    existing = list_snapshots(path)
+    sid = (max(existing) + 1) if existing else 0
+    manifest = {
+        "snapshot": sid,
+        "parent": parent,
+        "partition_col": partition_col,
+        "commit_id": commit_id,
+        "files": files,
+    }
+    tmp = _manifest_file(path, sid) + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    os.replace(tmp, _manifest_file(path, sid))
+    _point_current(path, sid)
+    return sid
+
+
+def _find_commit(path: str, commit_id: str) -> int | None:
+    """Snapshot id already committed under commit_id, if any (replay)."""
+    for sid in list_snapshots(path):
+        if _load_manifest(path, sid).get("commit_id") == commit_id:
+            return sid
+    return None
+
+
+def _write_files(df: DataFrame, path: str,
+                 partition_col: str | None) -> list[dict]:
+    """Step (1): write df as immutable files under data/, grouped by
+    partition value, and return their manifest entries. ONE Spark job:
+    partitionBy on a DUPLICATE column so the partition column stays a
+    real column inside every file (Iceberg-style — the manifest carries
+    the value for pruning, the file carries it for the scan)."""
+    import pyarrow.parquet as _pq
+    from urllib.parse import unquote as _unquote
+
+    token = _uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f"_staging_{token}")
+    if partition_col is not None:
+        (
+            df.withColumn("__pv", df[partition_col])
+            .write.mode("overwrite").partitionBy("__pv").parquet(staging)
+        )
+    else:
+        df.write.mode("overwrite").parquet(staging)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    entries: list[dict] = []
+    for root, _dirs, fnames in os.walk(staging):
+        base = os.path.basename(root)
+        pval = _unquote(base[len("__pv="):]) if base.startswith("__pv=") \
+            else None
+        for fn in sorted(fnames):
+            if not fn.endswith(".parquet"):
+                continue
+            name = f"{token}-{len(entries):05d}.parquet"
+            dest = os.path.join(_data_dir(path), name)
+            _shutil.move(os.path.join(root, fn), dest)
+            meta = _pq.ParquetFile(dest).metadata
+            entries.append({
+                "name": name,
+                "partition": pval,
+                "bytes": os.path.getsize(dest),
+                "rows": meta.num_rows,
+            })
+    _shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+def snapshot_create(df: DataFrame, path: str,
+                    partition_col: str | None = None,
+                    commit_id: str | None = None) -> int:
+    """Create the table: snapshot 0 holds df's rows. ``partition_col``
+    (optional) sets the copy-on-write granularity for later upserts and
+    the manifest's file-pruning key."""
+    os.makedirs(path, exist_ok=True)
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    files = _write_files(df, path, partition_col)
+    return _commit(path, files, partition_col, None, commit_id)
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  snapshot: int | None = None,
+                  partitions: list | None = None) -> DataFrame:
+    """Read a snapshot — the CURRENT one by default, or any committed id
+    (time travel: snapshots are immutable, so s_n reads the same bytes
+    forever). ``partitions`` (values of partition_col) prunes FILES from
+    the manifest driver-side before the scan is even planned."""
+    sid = current_snapshot(path) if snapshot is None else int(snapshot)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, sid)
+    files = man["files"]
+    if partitions is not None:
+        want = {str(v) for v in partitions}
+        files = [f for f in files if f["partition"] in want]
+    paths = [os.path.join(_data_dir(path), f["name"]) for f in files]
+    if not paths:
+        raise ValueError(f"snapshot {sid} has no files for {partitions}")
+    return spark.read.parquet(*paths)
+
+
+def snapshot_append(df: DataFrame, path: str,
+                    commit_id: str | None = None) -> int:
+    """Append-only commit: write df's rows as new files and reference
+    them ALONGSIDE every current file — zero reads, zero rewrites, the
+    log/fact-table ingest op (a minutely micro-batch costs exactly its
+    own bytes). Key-unique tables want :func:`snapshot_upsert` instead;
+    appends are what :func:`snapshot_compact` exists to clean up after."""
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    new_files = _write_files(df, path, man["partition_col"])
+    return _commit(path, man["files"] + new_files, man["partition_col"],
+                   cur, commit_id)
+
+
+def snapshot_upsert(updates: DataFrame, path: str, key: str,
+                    version_col: str | None = None,
+                    commit_id: str | None = None) -> int:
+    """Copy-on-write MERGE: last-writer-wins upsert of ``updates`` into
+    the current snapshot, rewriting only the partitions the batch
+    touches — files of untouched partitions are CARRIED OVER by
+    reference in the new manifest (zero read, zero write; q58's dynamic
+    partition overwrite achieved the bounded WRITE but still mutated the
+    table in place — here every prior snapshot stays readable).
+
+    ``updates`` must carry the table's partition_col. Key-uniqueness per
+    operators/incremental.py:upsert's contract; pass ``version_col`` for
+    unconditional out-of-order-safe LWW. ``commit_id`` makes replays
+    no-ops (exactly-once foreachBatch sinks)."""
+    from osmcha_spark.operators.incremental import upsert
+
+    spark = updates.sparkSession
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    pcol = man["partition_col"]
+    if pcol is None:
+        prior = read_snapshot(spark, path, cur)
+        merged = upsert(prior, updates, key, version_col=version_col)
+        files = _write_files(merged, path, None)
+        return _commit(path, files, None, cur, commit_id)
+    affected = {
+        str(r[0]) for r in updates.select(pcol).distinct().collect()
+    }
+    carried = [f for f in man["files"] if f["partition"] not in affected]
+    prior_files = [
+        os.path.join(_data_dir(path), f["name"])
+        for f in man["files"] if f["partition"] in affected
+    ]
+    if prior_files:
+        prior = spark.read.parquet(*prior_files)
+        merged = upsert(prior, updates, key, version_col=version_col)
+    else:
+        merged = updates
+    new_files = _write_files(merged, path, pcol)
+    return _commit(path, carried + new_files, pcol, cur, commit_id)
+
+
+def snapshot_compact(spark: SparkSession, path: str,
+                     target_bytes: int = 128 * 1024 * 1024) -> int | None:
+    """Bin-pack fragmented partitions into ceil(bytes/target) files and
+    commit the result as a new snapshot; content is carried row-for-row
+    and untouched partitions' files are carried by reference. Returns
+    the new snapshot id, or None when nothing qualifies (the no-op).
+
+    Same self-stabilizing guard as compact_partitioned: a partition is
+    affected only when its file count exceeds its bin count AND >= 2 of
+    its files are < target/2 — written bins average >= target/2 by
+    arithmetic, so a second run is always the no-op (idempotence without
+    remembering state)."""
+    import math
+
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    by_part: dict = {}
+    for f in man["files"]:
+        by_part.setdefault(f["partition"], []).append(f)
+    plan: dict = {}
+    for pval, files in by_part.items():
+        total = sum(f["bytes"] for f in files)
+        n_bins = max(1, math.ceil(total / target_bytes))
+        n_small = sum(1 for f in files if f["bytes"] < target_bytes // 2)
+        if len(files) > n_bins and n_small >= 2:
+            plan[pval] = n_bins
+    if not plan:
+        return None
+    carried = [f for f in man["files"] if f["partition"] not in plan]
+    new_files: list[dict] = []
+    for pval, n_bins in plan.items():
+        paths = [os.path.join(_data_dir(path), f["name"])
+                 for f in by_part[pval]]
+        part_df = spark.read.parquet(*paths).coalesce(n_bins)
+        # one rewrite job per affected partition (bounded by the guard);
+        # _write_files sees no hive dir here, so stamp the manifest
+        # partition value explicitly
+        batch = _write_files(part_df, path, None)
+        for e in batch:
+            e["partition"] = pval
+        new_files.extend(batch)
+    return _commit(path, carried + new_files, man["partition_col"],
+                   cur, None)
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` manifests (the current one
+    always survives) and vacuum files they exclusively referenced.
+    Returns the expired ids. Bounded storage is what makes per-commit
+    snapshots viable at a minutely ingest cadence."""
+    sids = list_snapshots(path)
+    cur = current_snapshot(path)
+    keep = set(sids[-keep_last:]) | ({cur} if cur is not None else set())
+    expired = [s for s in sids if s not in keep]
+    for s in expired:
+        os.remove(_manifest_file(path, s))
+    vacuum(path)
+    return expired
+
+
+def vacuum(path: str) -> list[str]:
+    """Delete data files referenced by NO committed manifest (crash
+    orphans from step (1), files released by expire_snapshots) plus any
+    leftover staging dirs. Returns the removed file names."""
+    referenced: set[str] = set()
+    for sid in list_snapshots(path):
+        for f in _load_manifest(path, sid)["files"]:
+            referenced.add(f["name"])
+    removed: list[str] = []
+    ddir = _data_dir(path)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            if name.endswith(".parquet") and name not in referenced:
+                os.remove(os.path.join(ddir, name))
+                removed.append(name)
+    for name in os.listdir(path):
+        if name.startswith("_staging_"):
+            _shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    return removed

@@ -1,0 +1,138 @@
+"""Snapshot table format (sources/tables.py, S10): commit atomicity,
+crash windows, time travel, copy-on-write file carry-over, compaction
+idempotence, expiry + vacuum."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmcha_spark.sources import tables as T
+
+
+def _mk(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("part"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def test_snapshot_create_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _mk(spark)
+    sid = T.snapshot_create(df, path, partition_col="part")
+    assert sid == 0 and T.current_snapshot(path) == 0
+    got = T.read_snapshot(spark, path)
+    assert got.count() == 400
+    assert {r.k for r in got.where("part = 3").collect()} == \
+        {r.k for r in df.where("part = 3").collect()}
+
+
+def test_upsert_time_travel_and_carryover(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _mk(spark)
+    s0 = T.snapshot_create(df, path, partition_col="part")
+    man0 = T._load_manifest(path, s0)
+    # updates touch parts 0 and 1 only: overwrite k<10, insert k>=1000
+    ups = spark.createDataFrame(
+        [(7, 0, 999), (1000, 1, 111)], "k long, part long, v long")
+    s1 = T.snapshot_upsert(ups, path, key="k")
+    cur = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+    assert cur[7] == 999 and cur[1000] == 111 and cur[8] == 80
+    assert len(cur) == 401
+    # TIME TRAVEL: snapshot 0 still reads its original bytes
+    old = {r.k: r.v for r in T.read_snapshot(spark, path, snapshot=s0)
+           .collect()}
+    assert old[7] == 70 and 1000 not in old and len(old) == 400
+    # untouched partitions carried over by file REFERENCE (same names)
+    man1 = T._load_manifest(path, s1)
+    f0 = {f["name"] for f in man0["files"] if f["partition"] not in
+          ("0", "1")}
+    f1 = {f["name"] for f in man1["files"] if f["partition"] not in
+          ("0", "1")}
+    assert f0 == f1 and f0
+    # manifest partition pruning: only the asked partitions' files scan
+    pruned = T.read_snapshot(spark, path, partitions=[3])
+    assert all("data" in f for f in pruned.inputFiles())
+    assert len(pruned.inputFiles()) == len(
+        [f for f in man1["files"] if f["partition"] == "3"])
+    assert pruned.count() == df.where("part = 3").count()
+
+
+def test_crash_windows_and_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _mk(spark, 100)
+    T.snapshot_create(df, path, partition_col="part")
+
+    # crash window (a): data files written, NO manifest — invisible
+    orphans = T._write_files(
+        spark.createDataFrame([(1, 1, 5)], "k long, part long, v long"),
+        path, "part")
+    assert T.read_snapshot(spark, path).count() == 100
+    removed = T.vacuum(path)
+    assert sorted(removed) == sorted(e["name"] for e in orphans)
+
+    # crash window (b): manifest committed, _CURRENT repoint lost
+    ups = spark.createDataFrame([(3, 3, 777)], "k long, part long, v long")
+    s1 = T.snapshot_upsert(ups, path, key="k", commit_id="batch-1")
+    T._point_current(path, 0)  # simulate the lost repoint
+    assert T.read_snapshot(spark, path).count() == 100  # old, consistent
+    files_before = set(os.listdir(T._data_dir(path)))
+    # replay of the same commit: pure repoint, no new files, same id
+    s1b = T.snapshot_upsert(ups, path, key="k", commit_id="batch-1")
+    assert s1b == s1 and T.current_snapshot(path) == s1
+    assert set(os.listdir(T._data_dir(path))) == files_before
+    got = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+    assert got[3] == 777
+
+    # replay when already current: still a no-op
+    s1c = T.snapshot_upsert(ups, path, key="k", commit_id="batch-1")
+    assert s1c == s1
+    assert set(os.listdir(T._data_dir(path))) == files_before
+
+
+def test_compact_binpacks_and_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _mk(spark, 50).where("part = 2")
+    T.snapshot_create(base, path, partition_col="part")
+    # fragment partition 2 with several tiny appends (the streaming-
+    # ingest shape snapshot_compact exists to clean up after)
+    for i in range(4):
+        rows = spark.createDataFrame(
+            [(9000 + i, 2, i)], "k long, part long, v long")
+        T.snapshot_append(rows, path)
+    man = T._load_manifest(path, T.current_snapshot(path))
+    assert len(man["files"]) >= 3
+    before = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+    sid = T.snapshot_compact(spark, path, target_bytes=1 << 30)
+    assert sid is not None
+    man2 = T._load_manifest(path, sid)
+    assert len(man2["files"]) == 1
+    assert man2["files"][0]["partition"] == "2"
+    after = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+    assert after == before  # content carried row-for-row
+    # idempotent: the freshly written bin never re-qualifies
+    assert T.snapshot_compact(spark, path, target_bytes=1 << 30) is None
+
+
+def test_expire_and_vacuum_bound_storage(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.snapshot_create(_mk(spark, 60), path, partition_col="part")
+    for i in range(3):
+        ups = spark.createDataFrame(
+            [(i, i % 7, 12345 + i)], "k long, part long, v long")
+        T.snapshot_upsert(ups, path, key="k")
+    assert T.list_snapshots(path) == [0, 1, 2, 3]
+    expired = T.expire_snapshots(path, keep_last=2)
+    assert expired == [0, 1]
+    assert T.list_snapshots(path) == [2, 3]
+    # current read intact (the three upserts overwrote keys 0-2);
+    # expired ids now unreadable
+    got = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+    assert len(got) == 60 and got[2] == 12347
+    with pytest.raises(FileNotFoundError):
+        T.read_snapshot(spark, path, snapshot=0)
+    # every remaining data file is referenced by a live manifest
+    live = {f["name"] for s in T.list_snapshots(path)
+            for f in T._load_manifest(path, s)["files"]}
+    assert set(os.listdir(T._data_dir(path))) == live
