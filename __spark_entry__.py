@@ -6762,6 +6762,121 @@ FROM cur
 """
 
 
+# --------------------------------------------------------------- q125
+
+def q125_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-outer stream-stream interval join (streaming/joins.py,
+    how='left_outer' — the SPARK-26154 unmatched-side regime): every
+    view emits, matched views with their purchases, view-with-no-
+    purchase as a watermark-timed NULL row — emitted only once the
+    watermark passes view_ts + 1h, the instant a future match becomes
+    impossible. Real rows replay in two TIME-split batches per side
+    (cross-batch matches exercised; an id split would make half of
+    batch 2 late-and-dropped under the 0s watermark), then two
+    far-future sentinel batches push the global watermark past every
+    view's reach so all held NULL rows flush (outer emission trails the
+    watermark by one batch — the second sentinel drains what the first
+    one's watermark released). The drained set therefore equals the
+    batch LEFT JOIN, which the oracle states. Sentinel lefts never leak:
+    the first sentinel's own NULL row is filtered (user_id < 0) and the
+    second's reach stays beyond the final watermark."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import interval_stream_join, run_stream_join
+
+    work = _work_dir("q125")
+    in_l = os.path.join(work, "in_l")
+    in_r = os.path.join(work, "in_r")
+    os.makedirs(in_l)
+    os.makedirs(in_r)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    views = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("view_event_id"), "ts", "user_id"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "ts", "user_id"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+
+    def _one_file(df, dest_dir, name, bump):
+        tmp = os.path.join(work, f"_stage_{os.path.basename(dest_dir)}_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.move(part, dest)
+        now = os.path.getmtime(dest)
+        os.utime(dest, (now + bump, now + bump))
+
+    def _sentinel(idcol, us):
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias(idcol),
+            F.timestamp_micros(F.lit(us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+        )
+
+    day_us = 86400_000_000
+    _one_file(views.where(F.unix_micros("ts") <= mid), in_l, "b1.parquet", 0)
+    _one_file(buys.where(F.unix_micros("ts") <= mid), in_r, "b1.parquet", 0)
+    _one_file(views.where(F.unix_micros("ts") > mid), in_l, "b2.parquet", 10)
+    _one_file(buys.where(F.unix_micros("ts") > mid), in_r, "b2.parquet", 10)
+    _one_file(_sentinel("view_event_id", hi + 2 * day_us),
+              in_l, "b3.parquet", 20)
+    _one_file(_sentinel("purchase_event_id", hi + 2 * day_us),
+              in_r, "b3.parquet", 20)
+    _one_file(_sentinel("view_event_id", hi + 4 * day_us),
+              in_l, "b4.parquet", 30)
+    _one_file(_sentinel("purchase_event_id", hi + 4 * day_us),
+              in_r, "b4.parquet", 30)
+
+    ls = spark.readStream.schema(
+        "view_event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", "1").parquet(in_l)
+    rs = spark.readStream.schema(
+        "purchase_event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", "1").parquet(in_r)
+    joined = interval_stream_join(
+        ls, rs, key="user_id", left_ts="ts", right_ts="ts",
+        upper="1 hour", how="left_outer",
+    )
+    out_dir = os.path.join(work, "out")
+    q = run_stream_join(joined, out_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
+    return out.select(
+        "view_event_id", "purchase_event_id", "user_id",
+        (F.unix_micros(F.col("ts_r")) - F.unix_micros(F.col("ts")))
+        .alias("delta_us"),
+    )
+
+
+_Q125_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type <> 'purchase'
+),
+p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.view_event_id, p.purchase_event_id, v.user_id,
+       p.p_us - v.v_us AS delta_us
+FROM v LEFT JOIN p
+  ON p.user_id = v.user_id
+ AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6915,6 +7030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_stream_distinct_windows": q122_stream_distinct_windows,
         "q123_shared_spans": q123_shared_spans,
         "q124_snapshot_table": q124_snapshot_table,
+        "q125_stream_left_outer_join": q125_stream_left_outer_join,
     }
 
 
@@ -7087,4 +7203,7 @@ def oracle_sql() -> dict[str, str]:
         # pre-merge base, current = post-merge truth (compaction must
         # carry content row-for-row, q109 discipline)
         "q124_snapshot_table": _Q124_ORACLE,
+        # drained left-outer emission == the batch LEFT JOIN (matched
+        # rows when both present, watermark-timed NULLs for the rest)
+        "q125_stream_left_outer_join": _Q125_ORACLE,
     }

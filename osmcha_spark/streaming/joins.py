@@ -44,13 +44,26 @@ def interval_stream_join(
     upper: str = "1 hour",
     left_delay: str = "0 seconds",
     right_delay: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``key`` with
+    """Join two streams on ``key`` with
     ``left_ts <= right_ts <= left_ts + upper`` (both ends inclusive).
 
     ``left``/``right`` column names must be disjoint apart from ``key``
     and the ts columns; the right key/ts are suffixed ``_r`` in the
     output to keep the join unambiguous.
+
+    ``how='left_outer'`` is the SPARK-26154 unmatched-side regime (the
+    "views with no purchase" production shape): a left row that finds no
+    right match is emitted WITH NULL right columns — but only once the
+    watermark passes ``left_ts + upper``, the instant a future match
+    becomes impossible (emitting earlier could contradict a
+    still-to-arrive right row; this is why outer results trail the
+    watermark by design, and why a drain harness must push the watermark
+    past the last left row's reach before reading the emitted set —
+    q125 / tests/test_streaming.py pin the timing). State stays exactly
+    as finite as the inner join's: the null emission happens at the same
+    instant eviction does.
     """
     l = left.withWatermark(left_ts, left_delay)
     r = right.withWatermark(right_ts, right_delay)
@@ -64,7 +77,7 @@ def interval_stream_join(
         & (r[f"{right_ts}_r"] >= l[left_ts])
         & (r[f"{right_ts}_r"] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def run_stream_join(

@@ -820,3 +820,81 @@ def test_tumbling_agg_cross_batch_accumulation(spark, tmp_path):
     # all three rows share the [base, base+6h) window; 2 arrived in
     # batch 1, the third in batch 2 — one emission, combined total
     assert got == {(7, base): (3, 111)}, got  # sentinel window absent
+
+
+def test_stream_left_outer_join_null_timing_and_drain(spark, tmp_path):
+    """Left-outer stream-stream join (SPARK-26154 regime): an unmatched
+    left row's NULL emission is WATERMARK-TIMED — absent while the
+    global watermark has not passed view_ts + upper (run 1), flushed
+    once sentinel batches push it past (run 2, same checkpoint), with
+    the drained set equal to the batch LEFT join and no sentinel leak.
+    Cross-batch matches (view in batch 1, purchase in batch 2) emit
+    exactly once."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.streaming import interval_stream_join, run_stream_join
+
+    T0 = 1_700_000_000_000_000
+    MIN = 60 * 1_000_000
+    DAY = 86_400 * 1_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts_us long, k long"
+        ).select("id", F.timestamp_micros("ts_us").alias("ts"), "k")
+
+    base = time.time()
+
+    def stage(rows, dest_dir, name, bump):
+        df = mk(rows)
+        tmp = str(tmp_path / f"_s_{os.path.basename(dest_dir)}_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (base + bump, base + bump))
+
+    in_l = str(tmp_path / "l"); os.makedirs(in_l)
+    in_r = str(tmp_path / "r"); os.makedirs(in_r)
+    # b1: v1 matched in-batch; v2 never matched; v4 matched cross-batch
+    stage([(1, T0, 1), (2, T0 + MIN, 2), (4, T0 + 5 * MIN, 3)],
+          in_l, "b1.parquet", 0)
+    stage([(101, T0 + 30 * MIN, 1)], in_r, "b1.parquet", 0)
+    # b2 (right only): p2 matches v4 cross-batch, 40 min after T0
+    stage([(102, T0 + 40 * MIN, 3)], in_r, "b2.parquet", 10)
+
+    def run():
+        ls = spark.readStream.schema("id long, ts timestamp, k long") \
+            .option("maxFilesPerTrigger", "1").parquet(in_l)
+        rs = spark.readStream.schema("id long, ts timestamp, k long") \
+            .option("maxFilesPerTrigger", "1").parquet(in_r) \
+            .withColumnRenamed("id", "rid")
+        j = interval_stream_join(
+            ls, rs, key="k", left_ts="ts", right_ts="ts",
+            upper="45 minutes", how="left_outer",
+        )
+        q = run_stream_join(j, str(tmp_path / "out"), str(tmp_path / "ck"))
+        q.awaitTermination()
+        return {(r.id, r.rid)
+                for r in spark.read.parquet(str(tmp_path / "out"))
+                .where("k >= 0").collect()}
+
+    got1 = run()
+    # matches emit when both rows are present; the unmatched v2 is HELD:
+    # global watermark (min of sides) is still T0+5min < v2.ts + 45min
+    assert (1, 101) in got1 and (4, 102) in got1
+    assert (2, None) not in got1
+
+    # sentinel batches push the watermark past every view's reach; the
+    # second drains what the first's watermark released
+    stage([(-1, T0 + 2 * DAY, -1)], in_l, "b3.parquet", 20)
+    stage([(-1, T0 + 2 * DAY, -1)], in_r, "b3.parquet", 20)
+    stage([(-2, T0 + 4 * DAY, -2)], in_l, "b4.parquet", 30)
+    stage([(-2, T0 + 4 * DAY, -2)], in_r, "b4.parquet", 30)
+    got2 = run()
+    assert got2 == {(1, 101), (4, 102), (2, None)}
