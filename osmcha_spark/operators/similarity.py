@@ -266,10 +266,11 @@ def kmeans_step(
     (centroid, dimension): ``centroid_id, idx`` (1-based), ``n_members``
     and ``sum_q`` = Σ quantized-component — the un-divided numerator, so
     everything is int64 and summation-order-free (the mean is
-    ``sum_q / n_members``; division is left to the caller because
-    integer division of NEGATIVE sums is dialect-divergent — Spark
-    ``div`` truncates toward zero, DuckDB ``//`` floors). Callers
-    iterating to convergence reassemble arrays with
+    ``sum_q / n_members``; division is left to the caller so the
+    rounding policy for negative sums stays explicit — both engines'
+    integer division truncates toward zero, measured r5, so either
+    spelling is portable; :func:`train_centroids` uses ``div``).
+    Callers iterating to convergence reassemble arrays with
     ``array_sort(collect_list(struct(idx, …)))``; the gate keeps the
     flat form because it hashes without array-ordering hazards.
 
@@ -291,6 +292,68 @@ def kmeans_step(
             F.sum("val").alias("sum_q"),
         )
     )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    centroid_stride: int = 25,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means to ``iters`` iterations — :func:`kmeans_step`'s
+    assignment+update loop driven to a TRAINED codebook, the input the
+    residual IVF-PQ tier was designed for (q101's docstring claims the
+    residual variant "earns its place for trained-codebook deployments";
+    this function is what lets tools/ann_recall.py MEASURE that claim
+    instead of asserting it — see BENCH/ann_recall_clustered.json and
+    the pytest floor).
+
+    Seeds are the deterministic ``id % centroid_stride == 0`` rows (the
+    q29/q62 convention), every update is integer (means via ``div`` —
+    truncation, identical in both engines, measured r5), and ties break
+    to the lowest centroid id — so the trained codebook is a pure
+    function of the corpus, reproducible anywhere. Centroids that lose
+    all members VANISH (k may shrink; standard Lloyd behavior with no
+    re-seeding — document upstream if a fixed k matters).
+
+    Returns (centroid_id, cv array<long>) — the explicit-codebook shape
+    :func:`assign_to_centroids` / :func:`ivfpq_topk` accept.
+
+    Scale shape per iteration: one broadcast argmin projection over the
+    corpus + one (cid, dim)-keyed aggregation whose post-combine shuffle
+    moves at most #partitions·k·dim rows (kmeans_step's plan); the
+    codebook is localCheckpointed between iterations so lineage stays
+    O(1) instead of O(iters) — at 100 TB each iteration is one corpus
+    scan, the textbook distributed k-means cost.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), _qvec(F.col(vec_col)).alias("qv")
+    )
+    cents = v.where(F.col("id") % centroid_stride == 0).select(
+        F.col("id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    for _ in range(int(iters)):
+        assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+        flat = assigned.select(
+            "centroid_id", F.posexplode("qv").alias("pos", "val")
+        )
+        cents = (
+            flat.groupBy("centroid_id", "pos")
+            .agg(F.expr("sum(val) div count(1)").alias("mean_q"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mean_q"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["mean_q"]).alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    return cents
 
 
 def ivf_topk(
@@ -811,12 +874,20 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the billion-scale ANN composition (Jégou et al. TPAMI
     2011 §V; the FAISS ``IVFx,PQy`` index) — a COARSE inverted-file
     quantizer (:func:`ivf_assign`) prunes the corpus to ``nprobe``
     probe lists per query, and PQ/ADC (:func:`pq_topk`'s machinery)
     scores only those lists with ``m`` map lookups per candidate.
+
+    ``cents`` (optional) supplies an EXPLICIT coarse codebook
+    ``(centroid_id, cv array<long>)`` — e.g. :func:`train_centroids`'s
+    Lloyd-trained output — in place of the default deterministic
+    ``id % coarse_stride`` seeds; assignment/probing/residuals are
+    otherwise identical (q110's stored-quantizer discipline: the
+    codebook is an input, never re-derived).
 
     ``residual=False`` codes the ORIGINAL vectors (IVFFlat-style PQ);
     ``residual=True`` is the classical FAISS composition: each vector is
@@ -826,18 +897,18 @@ def ivfpq_topk(
     side pays one ADC table per (query, probed centroid) instead of per
     query — size nprobe × n_queries × m maps, still broadcast-scale.
 
-    Measured honestly (BENCH/ann_recall.json,
-    BENCH/ann_recall_clustered.json): with THIS repo's data-sampled
+    Measured honestly, BOTH regimes (BENCH/ann_recall.json,
+    BENCH/ann_recall_clustered.json): with data-sampled ``id % stride``
     codebooks the residual tier does NOT beat original-vector coding
     (clustered corpus: 0.27 vs 0.38 recall@10) — sampled corpus rows
-    are already data-adaptive, so the classical residual win (which
-    assumes a space-covering trained codebook wasting dynamic range on
-    inter-cell offsets) has nothing to reclaim. The variant is here
-    because real deployments train per-subspace k-means codebooks
-    (plug :func:`kmeans_step` into ``pq_stride``'s role) where residual
-    coding is the right default; its plan shape, per-probe ADC tables,
-    and integer algebra are what q101's oracle + the single-centroid
-    identity pytest pin.
+    are already data-adaptive, so the classical residual win has
+    nothing to reclaim. With a TRAINED coarse codebook
+    (:func:`train_centroids`, Lloyd to 8 iterations, ``cents=``) the
+    prediction flips exactly as the classical analysis says it should:
+    residual 0.53–0.54 vs original-vector 0.36–0.38 on the same corpus
+    (r5 — the r4 docstring asserted this regime; now it is measured,
+    and pytest-pinned in both directions: residual ≤ flat with sampled
+    codebooks, residual > flat with trained ones).
 
     Both variants keep the repo's determinism discipline (``id %
     stride`` codebooks, integer L2, id tiebreaks), so the q94/q101
@@ -853,7 +924,10 @@ def ivfpq_topk(
     the whole point of the coarse stage. Hot lists are ordinary skewed
     join keys (AQE-splittable).
     """
-    cents, assigned = ivf_assign(corpus, coarse_stride, id_col, vec_col)
+    if cents is None:
+        cents, assigned = ivf_assign(corpus, coarse_stride, id_col, vec_col)
+    else:
+        assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
     qv = queries.select(
         F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qqv")
     )
