@@ -6877,6 +6877,118 @@ FROM v LEFT JOIN p
 """
 
 
+# --------------------------------------------------------------- q126
+
+def q126_remove_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup as an ACTION (operators/dedup.py:
+    remove_shared_spans) — the removal half of the Lee et al. 2022
+    operator (q123 is the detection half): delete from every document
+    each token covered by a >= k-token span shared with an EARLIER
+    document, keeping the corpus-wide first occurrence, and rebuild the
+    cleaned text. Exact without pair enumeration: a maximal shared run
+    of c >= k tokens is the position-union of its c-k+1 k-shingles, so
+    "positions whose k-shingle's corpus-wide min doc_id is smaller than
+    mine" IS the span cover. Same planted duplicate classes as q123
+    (verbatim re-entry under doc_id+1000000, filler-prefixed re-entry
+    under +2000000) so both removal shapes — whole doc and interior
+    span with kept flanks — are always exercised; the oracle mirrors
+    the construction shingle-for-shingle (exact operator: the mirror is
+    also the definition)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.dedup import remove_shared_spans
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    shifted = docs.where(F.col("doc_id") % 50 == 7).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("f"), F.col("doc_id").cast("string"),
+            F.lit(" f"), F.col("doc_id").cast("string"),
+            F.lit(" f"), F.col("doc_id").cast("string"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
+    )
+    return remove_shared_spans(
+        docs.unionByName(copies).unionByName(shifted), k=8
+    ).select("doc_id", "n_tokens", "n_removed", "clean_text")
+
+
+_Q126_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         'f' || CAST(doc_id AS VARCHAR) || ' f' || CAST(doc_id AS VARCHAR)
+           || ' f' || CAST(doc_id AS VARCHAR) || ' ' || text
+  FROM documents WHERE doc_id % 50 = 7
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM base
+),
+flatpos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos
+  FROM toks WHERE len(ts) >= 1
+),
+flat AS (
+  SELECT doc_id, pos, list_extract(ts, pos) AS tok FROM flatpos
+),
+shpos AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+  FROM toks WHERE len(ts) >= 8
+),
+sh AS (
+  SELECT doc_id, i,
+         CAST('0x' || substring(md5(
+           array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15)
+           AS BIGINT) AS h
+  FROM shpos
+),
+first_doc AS (
+  SELECT h, min(doc_id) AS min_doc FROM sh GROUP BY h
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT sh.doc_id,
+           unnest(generate_series(sh.i, sh.i + 7)) AS pos
+    FROM sh JOIN first_doc ON first_doc.h = sh.h
+    WHERE first_doc.min_doc < sh.doc_id
+  ) c
+),
+kept AS (
+  SELECT f.doc_id, f.pos, f.tok
+  FROM flat f LEFT JOIN covered c
+    ON c.doc_id = f.doc_id AND c.pos = f.pos
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM flat GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.n_tokens, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN totals t ON t.doc_id = b.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6899,16 +7011,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (r5): the driver's CORRECTNESS board records the FIRST 50
     # entries only. r4 gave q24+q51-q100 their rows; this round the 50
-    # checked slots hold the 25 round-4/5 additions q101-q125 (judge-green
-    # only until now) plus the 25 riskiest of q51-q100: all streaming/
+    # checked slots hold the 26 round-4/5 additions q101-q126 (judge-green
+    # only until now) plus the 24 riskiest of q51-q100: all streaming/
     # stateful (q54/q59/q73/q78/q88/q96), ANN+sketches (q67/q77/q79/q84/
     # q94), storage/incremental (q52/q58/q75/q76), the heavy algorithmic
-    # operators (q62/q80/q86/q97/q98/q99/q51), and EVERY query whose
+    # operators (q80/q86/q97/q98/q99/q51), and EVERY query whose
     # oracle changed this round (q81/q84/q92/q95 — floor-div mirrors and
     # the tau guard). Rotated off (all carrying r4-green driver rows, all
     # still swept locally by tools/check_oracles.py before every commit):
     # q24, q53, q56, q57, q60, q61, q63-q66, q68-q72, q74, q82, q83, q85,
-    # q87, q89, q90, q91, q93, q100. See SURVEY.md §2.13 rotation note.
+    # q87, q89, q90, q91, q93, q100, and (late r5, displaced by the new
+    # q126) q62 — which gained an independent integer-deterministic
+    # pytest pin this round (test_trained_codebook_flips_residual_result)
+    # on top of its r4-green row. See SURVEY.md §2.13 rotation note.
     return {
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
@@ -6935,12 +7050,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_shared_spans": q123_shared_spans,
         "q124_snapshot_table": q124_snapshot_table,
         "q125_stream_left_outer_join": q125_stream_left_outer_join,
+        "q126_remove_shared_spans": q126_remove_shared_spans,
         "q51_image_features": q51_image_features,
         "q52_incremental_upsert": q52_incremental_upsert,
         "q54_user_stats_stateful": q54_user_stats_stateful,
         "q58_partitioned_upsert": q58_partitioned_upsert,
         "q59_streaming_late_data": q59_streaming_late_data,
-        "q62_kmeans_step": q62_kmeans_step,
         "q67_kmv_distinct": q67_kmv_distinct,
         "q73_streaming_dedup": q73_streaming_dedup,
         "q75_snapshot_diff": q75_snapshot_diff,
@@ -6960,6 +7075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_entity_resolution": q97_entity_resolution,
         "q98_radius_join": q98_radius_join,
         "q99_grouped_order_statistics": q99_grouped_order_statistics,
+        "q62_kmeans_step": q62_kmeans_step,
         "q01_analyse": q01_analyse,
         "q02_normalize": q02_normalize,
         "q03_aoi_rect": q03_aoi_rect,
@@ -7210,4 +7326,5 @@ def oracle_sql() -> dict[str, str]:
         # drained left-outer emission == the batch LEFT JOIN (matched
         # rows when both present, watermark-timed NULLs for the rest)
         "q125_stream_left_outer_join": _Q125_ORACLE,
+        "q126_remove_shared_spans": _Q126_ORACLE,
     }

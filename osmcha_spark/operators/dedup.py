@@ -495,3 +495,93 @@ def shared_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
         .where(F.col("rn") == 1)
         .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
     )
+
+
+def remove_shared_spans(docs: DataFrame, k: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text) — substring-level dedup
+    as an ACTION: delete from each document every token covered by a
+    >= k-token span it shares with an EARLIER document (lower doc_id),
+    keeping the first occurrence corpus-wide. The removal half of the
+    Lee et al. 2022 operator (:func:`shared_spans` is the detection
+    half): boilerplate, licenses, and mirrored paragraphs vanish from
+    all but one copy while unique prose is untouched.
+
+    Equivalence that makes this exact: a maximal shared run of c >= k
+    tokens is covered by exactly its c−k+1 constituent k-shingles, whose
+    position union is the full run; a sub-k overlap contributes no
+    shared shingle. So "positions covered by any k-shingle whose
+    corpus-wide minimum doc_id is smaller than mine" IS "tokens inside
+    maximal shared spans >= k" — no pair enumeration, no run chaining.
+    Self-repeats within one document do not trigger removal (min == own
+    id). Output text is the kept tokens rejoined with single spaces
+    (lowercased, whitespace-normalized — stated, and applied uniformly
+    so untouched documents are byte-stable under re-runs; n_tokens
+    counts the original tokens, n_removed the deleted ones).
+
+    Scale shape: Θ(total tokens) shingle rows hashed to int64; ONE
+    groupBy(h) computes each shingle's corpus-wide min doc (map-side
+    combinable — the hot-boilerplate shingle reduces before it moves);
+    the ×k coverage explode runs only on DUPLICATED shingle hits; one
+    final groupBy(doc) rebuilds text (per-doc token list bounded by doc
+    length, the standard per-document contract).
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    ts = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
+    flat = toks.select(
+        "doc_id", F.posexplode("ts").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    sh = toks.where(F.size("ts") >= k).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("ts") - (k - 1))).alias("i"),
+        "ts",
+    ).select(
+        "doc_id", "i",
+        md5_long_col(
+            F.concat_ws(" ", F.slice(F.col("ts"), F.col("i"), k))
+        ).alias("h"),
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("min_doc"))
+    covered = (
+        sh.join(first, "h")
+        .where(F.col("min_doc") < F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = flat.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = flat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce("n_tokens", F.lit(0))
+             - F.coalesce("n_kept", F.lit(0))).cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -2071,6 +2071,38 @@ def test_shared_spans_planted_fixture(spark):
     assert capped == {(1, 4): (9, 2, 2)}
 
 
+def test_remove_shared_spans_planted_fixture(spark):
+    """The removal half of substring-level dedup (q126): every token
+    covered by a >= k-token span shared with an EARLIER doc is deleted,
+    keeping the corpus-wide first occurrence; sub-k overlaps and
+    self-repeats never trigger removal; short docs never shingle."""
+    from osmcha_spark.operators.dedup import remove_shared_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),             # earliest: kept whole
+            (2, "x x a b c d e f g h z z"),         # a..h at pos 3-10 dies
+            (3, "a b c d e f g Q i j"),             # longest shared run 7
+            (4, "A B C D E F G H I J"),             # case-folded copy of 1
+            (5, "a b c"),                           # < k: never shingles
+            (6, "p q r s t u v w p q r s t u v w"),  # self-repeat only
+            (7, "  a b c d e f g h i j  "),         # ws-normalized copy
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in remove_shared_spans(docs, k=8).collect()}
+    assert got == {
+        1: (10, 0, "a b c d e f g h i j"),
+        2: (12, 8, "x x z z"),
+        3: (10, 0, "a b c d e f g q i j"),   # sub-k: untouched (lowered)
+        4: (10, 10, ""),                      # exact dup: fully removed
+        5: (3, 0, "a b c"),
+        6: (16, 0, "p q r s t u v w p q r s t u v w"),  # min_doc == self
+        7: (10, 10, ""),                      # dup after normalization
+    }
+
+
 def test_trained_codebook_flips_residual_result(spark):
     """The q101 claim, measured (r5): with a Lloyd-TRAINED coarse
     codebook (train_centroids) residual IVF-PQ beats original-vector

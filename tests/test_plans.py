@@ -626,3 +626,28 @@ def test_shared_spans_plan_shape(spark):
     # the per-pair best-span rank-1 select runs as a group limit
     # (per-partition partial top-1), not a full window sort
     assert "WindowGroupLimit" in plan
+
+
+def test_remove_shared_spans_plan_shape(spark):
+    """remove_shared_spans (q126) plan contract: pure Column code (no
+    Python eval), no pair enumeration anywhere — the duplicate-position
+    set comes from an equi-join on the int64 shingle hash against its
+    map-side-combined corpus-wide min, and the ×k coverage explode runs
+    only on duplicated hits; token removal is a LEFT ANTI join."""
+    from osmcha_spark.operators.dedup import remove_shared_spans
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("w"), ((F.col("id") + i) % 17).cast("string"))
+              for i in range(12)],
+        ).alias("text"),
+    )
+    plan = _plan(remove_shared_spans(docs, k=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # min-doc lookup is an equi-join on h; removal is anti on (doc, pos)
+    assert "LeftAnti" in plan, plan
+    # the shingle-min agg is partial (map-side combine) before its shuffle
+    assert "partial_min" in plan or "partial_first" in plan, plan
