@@ -6989,6 +6989,92 @@ LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
 """
 
 
+# --------------------------------------------------------------- q127
+
+def q127_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/curation.py:semdedup — Abbas et al. 2023):
+    semantic dedup with the k-means coarse quantizer as the candidate
+    generator. Every vector gets (centroid_id, kept); kept = 0 iff an
+    earlier vector in the SAME cluster reaches cosine 99/100 under the
+    q23 integer rule. Duplicates planted deterministically (vec_id %
+    20 == 3 re-enters under +1000000 — never a centroid row, since
+    x ≡ 0 (mod 25) ∧ x ≡ 3 (mod 20) has no solution and 10^6 ≡ 0
+    (mod 25) keeps copies off the stride too), so the gate always
+    exercises both drops (cos = 1 copies) and keeps. The oracle mirrors
+    the construction — stride codebook, integer L2 argmin with lowest-
+    cid ties, integer cosine gate — so the match is exact."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import semdedup
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 20 == 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return semdedup(
+        emb.unionByName(copies), 99, 100, centroid_stride=25
+    ).select("vec_id", "centroid_id", "kept")
+
+
+_Q127_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 3
+),
+flat AS (
+  SELECT vec_id,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+           AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM base
+),
+cent AS (
+  SELECT vec_id AS cid, val, idx FROM flat WHERE vec_id % 25 = 0
+),
+d2 AS (
+  SELECT f.vec_id AS id, c.cid,
+         sum((f.val - c.val) * (f.val - c.val)) AS d2
+  FROM flat f JOIN cent c ON f.idx = c.idx
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+norms AS (
+  SELECT vec_id AS id, CAST(sum(val * val) AS BIGINT) AS n2
+  FROM flat GROUP BY 1
+),
+pairs AS (
+  SELECT x.id AS a, y.id AS b
+  FROM assign x JOIN assign y ON y.cid = x.cid AND x.id < y.id
+),
+dots AS (
+  SELECT p.a, p.b, CAST(sum(fa.val * fb.val) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN flat fa ON fa.vec_id = p.a
+  JOIN flat fb ON fb.vec_id = p.b AND fb.idx = fa.idx
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT d.b AS id
+  FROM dots d
+  JOIN norms na ON na.id = d.a
+  JOIN norms nb ON nb.id = d.b
+  WHERE d.dot > 0
+    AND 10000 * d.dot * d.dot >= 9801 * na.n2 * nb.n2
+)
+SELECT a.id AS vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+       CAST(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assign a LEFT JOIN dropped dr ON dr.id = a.id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7151,6 +7237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_grid_near_dup": q91_grid_near_dup,
         "q93_bigram_novelty": q93_bigram_novelty,
         "q100_table_profile": q100_table_profile,
+        "q127_semdedup": q127_semdedup,
     }
 
 
@@ -7206,6 +7293,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_radius_join": _q98_oracle(),
         "q99_grouped_order_statistics": _Q99_ORACLE,
         "q100_table_profile": _Q100_ORACLE,
+        "q127_semdedup": _Q127_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

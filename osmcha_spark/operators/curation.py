@@ -347,3 +347,90 @@ def mad_outliers(
         .where(F.col("__dev_milli") > F.lit(int(k)) * F.col("mad_milli"))
         .drop("__dev_milli")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    cents: DataFrame | None = None,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with k-means clusters as the candidate generator —
+    the web-scale regime where LSH bands (q38) are replaced by the
+    coarse quantizer the ANN index already maintains. Returns one row
+    per input vector: ``(id, centroid_id, kept)`` with ``kept = 0`` iff
+    an EARLIER vector (lower id) in the SAME cluster reaches cosine
+    ``threshold_num/threshold_den`` — the corpus-wide keep-first
+    discipline of :func:`~osmcha_spark.operators.dedup.remove_shared_spans`
+    applied to embedding space. (The paper keeps the member farthest
+    from the centroid; keep-first is the deterministic, engine-
+    mirrorable variant — same kept-set SIZE per duplicate group, stable
+    under re-runs, and the choice is documented here rather than
+    hidden.)
+
+    The threshold test is the q23 integer rule — ``dot > 0 ∧ den²·dot²
+    ≥ num²·‖a‖²·‖b‖²`` on QUANT-quantized int64 vectors — bit-identical
+    in any engine. With dim ≤ 64, |x| ≤ 1 and single-digit den the
+    products stay far below 2^62 (the repo's oracle overflow contract).
+
+    ``cents`` given: assign against that (trained or stored) codebook —
+    SemDeDup composed with q62/train_centroids or a q110 stored index.
+    ``cents=None``: the deterministic stride codebook
+    (:func:`~osmcha_spark.operators.similarity.ivf_assign`).
+
+    Scale shape: this is the ENTIRE point of the operator — candidate
+    pairs exist only WITHIN a cluster, so the self-join is an equi-join
+    on ``centroid_id`` whose work is Σ|cluster|², controlled by k
+    (pick k ∝ N / target-cluster-size; the paper uses 50k clusters for
+    LAION). The codebook broadcasts; the corpus shuffles once on
+    centroid_id; AQE skew-join splits hot clusters, and a pathological
+    mega-cluster can be pre-split by one extra LSH band on the same
+    quantized vectors (q38's generator) without changing the contract.
+    No global pair enumeration anywhere.
+    """
+    from osmcha_spark.operators.similarity import (
+        _dot_int, assign_to_centroids, ivf_assign)
+
+    if cents is None:
+        _c, assigned = ivf_assign(emb, centroid_stride, id_col, vec_col)
+    else:
+        assigned = assign_to_centroids(emb, cents, id_col, vec_col)
+    n2 = _dot_int(F.col("qv"), F.col("qv"))
+    sides = assigned.select("id", "centroid_id", "qv", n2.alias("n2"))
+    a = sides.select(
+        F.col("id").alias("a"), "centroid_id",
+        F.col("qv").alias("av"), F.col("n2").alias("na2"),
+    )
+    b = sides.select(
+        F.col("id").alias("b"), "centroid_id",
+        F.col("qv").alias("bv"), F.col("n2").alias("nb2"),
+    )
+    dot = _dot_int(F.col("av"), F.col("bv"))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("a") < F.col("b"))
+        .select("b", dot.alias("dot"), "na2", "nb2")
+        .where(
+            (F.col("dot") > 0)
+            & (F.lit(den2) * F.col("dot") * F.col("dot")
+               >= F.lit(num2) * F.col("na2") * F.col("nb2"))
+        )
+        .select(F.col("b").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "centroid_id",
+            F.when(F.col("__dup"), F.lit(0)).otherwise(F.lit(1))
+            .cast("int").alias("kept"),
+        )
+    )

@@ -2147,3 +2147,48 @@ def test_trained_codebook_flips_residual_result(spark):
     assert r_res_trained >= 0.45
     assert r_res_trained > r_flat_trained + 0.10   # training flips it
     assert r_res_trained > r_res_sampled + 0.15    # vs the r4 regime
+
+
+def test_semdedup_planted_fixture(spark):
+    """SemDeDup (q127): within-cluster keep-first semantic dedup.
+    Exact and near dups behind the integer cosine 99/100 gate die;
+    sub-threshold and negative-dot neighbors survive; a near-dup pair
+    STRADDLING two clusters is kept on both sides — the operator's
+    documented recall boundary (candidates exist only within a
+    cluster, the whole point of the scale design)."""
+    from osmcha_spark.operators.curation import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # centroid c0, kept
+        (1, [1.0, 0.0, 0.0, 0.0]),    # exact dup of 0 -> dropped
+        (2, [0.98, 0.02, 0.0, 0.0]),  # cos ~0.9998 vs 0 -> dropped
+        (3, [0.6, 0.0, 0.8, 0.0]),    # c0, cos 0.6 -> kept
+        (4, [0.0, 0.6, 0.8, 0.0]),    # first c10 member, kept
+        (5, [0.75, 0.70, 0.0, 0.0]),  # c0 side of the straddle pair
+        (6, [0.70, 0.75, 0.0, 0.0]),  # c10 side: cos(5,6) ~0.9976 but
+                                      # different clusters -> BOTH kept
+        (10, [0.0, 1.0, 0.0, 0.0]),   # centroid c10, kept
+        (11, [0.0, 1.0, 0.0, 0.0]),   # exact dup of 10 -> dropped
+        (12, [-1.0, 0.0, 0.0, 0.0]),  # negative/zero dots only -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.centroid_id, r.kept)
+           for r in semdedup(emb, 99, 100, centroid_stride=10).collect()}
+    assert got == {
+        0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (0, 1), 5: (0, 1),
+        4: (10, 1), 6: (10, 1), 10: (10, 1), 11: (10, 0), 12: (10, 1),
+    }
+
+    # explicit-codebook seam: passing the same stride rows as cents
+    # must reproduce the stride path bit-for-bit
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.similarity import _qvec
+
+    cents = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        _qvec(F.col("embedding")).alias("cv"),
+    )
+    got2 = {r.vec_id: (r.centroid_id, r.kept)
+            for r in semdedup(emb, 99, 100, cents=cents).collect()}
+    assert got2 == got

@@ -651,3 +651,31 @@ def test_remove_shared_spans_plan_shape(spark):
     assert "LeftAnti" in plan, plan
     # the shingle-min agg is partial (map-side combine) before its shuffle
     assert "partial_min" in plan or "partial_first" in plan, plan
+
+
+def test_semdedup_plan_shape(spark):
+    """semdedup (q127) plan contract: every crossing is JVM-side Column
+    code; the ONLY nested-loop join is the broadcast codebook scoring
+    (tiny side by construction); candidate pairs come from an equi-join
+    on centroid_id — never a global pair enumeration."""
+    from osmcha_spark.operators.curation import semdedup
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (i + 3)) % 97).cast("float") / 97.0
+              for i in range(8)]
+        ).alias("embedding"),
+    )
+    plan = _plan(semdedup(emb, 99, 100, centroid_stride=25))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # one broadcast nested loop: the codebook crossJoin in
+    # assign_to_centroids (appears once per side of the pair self-join
+    # in the unexecuted plan; what must NEVER appear is a non-broadcast
+    # nested loop)
+    for ln in plan.splitlines():
+        if "NestedLoop" in ln:
+            assert "Broadcast" in ln, ln
+    # the pair generator is keyed on centroid_id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
