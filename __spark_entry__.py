@@ -7075,6 +7075,113 @@ FROM assign a LEFT JOIN dropped dr ON dr.id = a.id
 """
 
 
+# --------------------------------------------------------------- q128
+
+def q128_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-ngrams linear quality classifier
+    (operators/text.py:hashed_ngram_score — the fastText/CCNet filter
+    shape): lowercase uni+bigram features hashed into 4096 buckets,
+    scored against an integer weight table, kept iff score > 0. The
+    fixture weight table is a pure function of the bucket id
+    (``bucket % 211 − 105``, range ±105) so the oracle rebuilds it
+    from ``range(0, 4096)``; bag semantics and empty-doc (0, 0, 0)
+    rows are pinned by pytest."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import hashed_ngram_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 211 - 105).cast("long").alias("weight"),
+    )
+    return hashed_ngram_score(docs, weights, 4096).select(
+        "doc_id", "n_features", "score", "kept"
+    )
+
+
+_Q128_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+feats AS (
+  SELECT doc_id, tok AS f FROM flat
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS f
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+w AS (
+  SELECT range AS bucket, CAST(range % 211 - 105 AS BIGINT) AS weight
+  FROM range(0, 4096)
+),
+scored AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(w.weight) AS BIGINT) AS score
+  FROM feats f
+  JOIN w ON w.bucket =
+    CAST('0x' || substring(md5(f.f), 1, 15) AS BIGINT) % 4096
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       CAST(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS kept
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------- q129
+
+def q129_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix resampling
+    (operators/sampling.py:mix_sample — DoReMi's apply side): every
+    document gets a content-addressed bucket in [0, 10000); kept iff
+    bucket < its source-domain's rate_bp. The fixture rates table is a
+    pure function of the source string (1000 + 2000·(md5-hash(source)
+    mod 4)) so the oracle rebuilds it from DISTINCT source; the
+    absent-domain → rate-0 path is pinned by pytest."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.dedup import md5_long_col
+    from osmcha_spark.operators.sampling import mix_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rates = docs.select("source").distinct().select(
+        "source",
+        (F.lit(1000) + F.lit(2000) * (md5_long_col(F.col("source")) % 4))
+        .cast("long").alias("rate_bp"),
+    )
+    return mix_sample(docs, rates).select(
+        "doc_id", "source", "bucket", "kept"
+    )
+
+
+_Q129_ORACLE = """
+WITH rates AS (
+  SELECT source,
+         CAST(1000 + 2000 *
+              (CAST('0x' || substring(md5(source), 1, 15) AS BIGINT) % 4)
+              AS BIGINT) AS rate_bp
+  FROM (SELECT DISTINCT source FROM documents)
+),
+b AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR),
+                                           'mix')), 1, 15) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.source, b.bucket,
+       CAST(CASE WHEN b.bucket < COALESCE(r.rate_bp, 0) THEN 1 ELSE 0 END
+            AS INT) AS kept
+FROM b LEFT JOIN rates r ON r.source = b.source
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7109,7 +7216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q87, q89, q90, q91, q93, q100, and (late r5, displaced by the new
     # q126) q62 — which gained an independent integer-deterministic
     # pytest pin this round (test_trained_codebook_flips_residual_result)
-    # on top of its r4-green row. See SURVEY.md §2.13 rotation note.
+    # on top of its r4-green row. Late-r5 displacement #2: the new q127
+    # (SemDeDup) takes q67_kmv_distinct's slot — q67's KMV core is
+    # strictly subsumed by q84_kmv_set_ops which STAYS on the board and
+    # additionally exercises the r5 tau guard, while q127 has zero
+    # driver rows. See SURVEY.md §2.13 rotation note.
     return {
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
@@ -7142,7 +7253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_user_stats_stateful": q54_user_stats_stateful,
         "q58_partitioned_upsert": q58_partitioned_upsert,
         "q59_streaming_late_data": q59_streaming_late_data,
-        "q67_kmv_distinct": q67_kmv_distinct,
+        "q127_semdedup": q127_semdedup,
         "q73_streaming_dedup": q73_streaming_dedup,
         "q75_snapshot_diff": q75_snapshot_diff,
         "q76_bucketed_join": q76_bucketed_join,
@@ -7237,7 +7348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_grid_near_dup": q91_grid_near_dup,
         "q93_bigram_novelty": q93_bigram_novelty,
         "q100_table_profile": q100_table_profile,
-        "q127_semdedup": q127_semdedup,
+        "q67_kmv_distinct": q67_kmv_distinct,
+        "q128_ngram_quality": q128_ngram_quality,
+        "q129_mix_sample": q129_mix_sample,
     }
 
 
@@ -7294,6 +7407,8 @@ def oracle_sql() -> dict[str, str]:
         "q99_grouped_order_statistics": _Q99_ORACLE,
         "q100_table_profile": _Q100_ORACLE,
         "q127_semdedup": _Q127_ORACLE,
+        "q128_ngram_quality": _Q128_ORACLE,
+        "q129_mix_sample": _Q129_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -205,3 +205,60 @@ def stratified_take(
         df.withColumn("strat_rank", F.row_number().over(w))
         .where(F.col("strat_rank") <= F.lit(int(n)))
     )
+
+
+def mix_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    rate_col: str = "rate_bp",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mix resampling — the APPLY side of static
+    data mixing (DoReMi, Xie et al. 2023, arXiv:2305.10429 §2: weights
+    come from offline optimization or DSIR-style importance estimates;
+    this operator materializes a corpus at those per-domain rates).
+
+    One output row per input row: ``(id, domain, bucket, kept)`` with
+    ``kept = 1`` iff the row's content-addressed bucket (md5 of the id
+    + salt, mod 10_000 — :func:`split_assign`'s hash, same
+    implementation site) falls below the domain's ``rate_bp`` (basis
+    points out of 10_000). A domain ABSENT from ``rates`` is an
+    explicit empty allocation — every row dropped (pinned by pytest);
+    rates above 10_000 keep everything (a rate is a cap, not a
+    multiplier — this operator never duplicates rows; upsample by
+    unioning salted epochs: ``salt="mix-epoch2"`` draws an independent
+    subset).
+
+    Scale shape: the rates dim broadcasts (domain cardinality is tiny
+    by definition); assignment is a pure projection — the fact table
+    NEVER shuffles. Membership is a pure function of (id, salt,
+    rates): re-running on a repartitioned or appended corpus never
+    flips old rows, so incremental ingest composes (new rows sample
+    themselves, old rows stand — split_assign's contract applied to
+    mixing).
+    """
+    bucket = _hash_bucket_col(F.col(id_col), salt)
+    r = F.broadcast(
+        rates.select(
+            F.col(domain_col).alias("__dom"),
+            F.col(rate_col).cast("long").alias("__rate_bp"),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col),
+            bucket.alias("bucket"),
+        )
+        .join(r, F.col(domain_col) == F.col("__dom"), "left")
+        .select(
+            id_col,
+            domain_col,
+            "bucket",
+            (F.col("bucket") < F.coalesce(F.col("__rate_bp"), F.lit(0)))
+            .cast("int")
+            .alias("kept"),
+        )
+    )

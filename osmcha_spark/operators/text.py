@@ -317,3 +317,85 @@ def bigram_novelty(docs: DataFrame, reference: DataFrame,
             ).alias("novelty_ppm"),
         )
     )
+
+
+def hashed_ngram_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Hashed bag-of-ngrams linear classifier — the fastText / CCNet
+    quality-filter shape (Joulin et al. 2017, arXiv:1607.01759 §2:
+    hashed uni+bigram features, a linear layer; CCNet and most
+    LLM-corpus quality filters deploy exactly this) with the trained
+    weight vector supplied as a ``(bucket, weight)`` table of INTEGER
+    weights (fixed-point: quantize trained floats offline — integer
+    scores are what make the oracle exact and the engine bit-stable).
+
+    Features are lowercase whitespace tokens (``tokens_col``) plus
+    adjacent-pair bigrams, BAG semantics — a repeated feature scores
+    once per occurrence, matching the fastText mean-of-embeddings
+    numerator, not the distinct-set semantics of dedup shingles.
+    ``bucket = md5-hash(feature) mod n_buckets`` (the repo's one
+    portable string hash); buckets missing from ``weights`` score 0.
+
+    Output: ``(doc_id, n_features, score, kept)`` with ``kept = 1`` iff
+    ``score > 0``; docs with no tokens emit ``(0, 0, 0)``.
+
+    Scale shape: Θ(tokens) exploded feature rows, hashed map-side; the
+    weight table broadcasts (2^20 buckets ≈ a few MB — fastText's own
+    default); the only shuffle is the per-doc sum, map-side combined.
+    The final left join back to docs (to resurrect empty docs) is
+    doc-keyed and co-partitioned with the agg output. No UDF anywhere.
+    """
+    from osmcha_spark.operators.dedup import md5_long_col
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, bigrams)).alias("f"),
+    )
+    w = F.broadcast(
+        weights.select(
+            F.col(bucket_col).alias("__bucket"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+    )
+    scored = (
+        feats.select(
+            "doc_id",
+            (md5_long_col(F.col("f")) % F.lit(int(n_buckets)))
+            .alias("__bucket"),
+        )
+        .join(w, "__bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce(F.col("__w"), F.lit(0).cast("long")))
+            .alias("score"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_features"), F.lit(0).cast("long"))
+            .alias("n_features"),
+            F.coalesce(F.col("score"), F.lit(0).cast("long"))
+            .alias("score"),
+            (F.coalesce(F.col("score"), F.lit(0).cast("long")) > 0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )

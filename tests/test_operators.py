@@ -2192,3 +2192,71 @@ def test_semdedup_planted_fixture(spark):
     got2 = {r.vec_id: (r.centroid_id, r.kept)
             for r in semdedup(emb, 99, 100, cents=cents).collect()}
     assert got2 == got
+
+
+def test_hashed_ngram_score_bag_and_edges(spark):
+    """hashed_ngram_score (q128): bag semantics (a repeated feature
+    scores once per OCCURRENCE), empty docs emit (0, 0, 0), and
+    buckets absent from the weight table score 0."""
+    from osmcha_spark.operators.dedup import md5_long_col
+    from osmcha_spark.operators.text import hashed_ngram_score
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark"), (2, ""), (3, "   "), (4, "one two")],
+        "doc_id long, text string",
+    )
+    # all-ones weights: score == n_features
+    w1 = spark.range(64).select(
+        F.col("id").alias("bucket"), F.lit(1).alias("weight")
+    )
+    got = {r.doc_id: (r.n_features, r.score, r.kept)
+           for r in hashed_ngram_score(docs, w1, 64).collect()}
+    # doc 1: 2 unigrams ("spark" twice — bag) + 1 bigram = 3 features
+    assert got == {1: (3, 3, 1), 2: (0, 0, 0), 3: (0, 0, 0),
+                   4: (3, 3, 1)}
+
+    # only "spark"'s bucket is weighted (negative): the repeat counts
+    # twice, the bigram's missing bucket scores 0
+    spark_bucket = spark.range(1).select(
+        (md5_long_col(F.lit("spark")) % 64).alias("bucket"),
+        F.lit(-5).alias("weight"),
+    )
+    got2 = {r.doc_id: (r.n_features, r.score, r.kept)
+            for r in hashed_ngram_score(docs, spark_bucket, 64).collect()}
+    assert got2[1] == (3, -10, 0)
+    assert got2[4][1] in (0, -5, -10)  # collisions possible at 64 buckets
+    assert got2[2] == (0, 0, 0)
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    """mix_sample (q129): rate 10000 keeps everything, rate 0 and
+    ABSENT domains keep nothing, and assignment is a pure function of
+    (id, salt) — repartitioned reruns agree row-for-row while a new
+    salt draws a genuinely different subset."""
+    from osmcha_spark.operators.sampling import mix_sample
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % 4).cast("string"))
+        .alias("source"),
+    )
+    rates = spark.createDataFrame(
+        [("dom0", 10000), ("dom1", 0), ("dom2", 5000)],
+        "source string, rate_bp long",
+    )  # dom3 deliberately absent
+    out = mix_sample(docs, rates).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r.kept)
+    assert all(k == 1 for k in by_dom["dom0"])
+    assert all(k == 0 for k in by_dom["dom1"])
+    assert all(k == 0 for k in by_dom["dom3"])      # absent == rate 0
+    assert 0 < sum(by_dom["dom2"]) < len(by_dom["dom2"])
+
+    again = {(r.doc_id, r.kept)
+             for r in mix_sample(docs.repartition(13), rates).collect()}
+    assert again == {(r.doc_id, r.kept) for r in out}
+
+    other = {(r.doc_id, r.kept)
+             for r in mix_sample(docs, rates, salt="mix-epoch2").collect()}
+    assert other != {(r.doc_id, r.kept) for r in out}

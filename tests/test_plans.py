@@ -679,3 +679,41 @@ def test_semdedup_plan_shape(spark):
             assert "Broadcast" in ln, ln
     # the pair generator is keyed on centroid_id
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_hashed_ngram_score_plan_shape(spark):
+    """hashed_ngram_score (q128) plan contract: no Python eval, the
+    weight table joins as a BROADCAST, and the per-doc sum is map-side
+    combined (partial agg below its exchange)."""
+    from osmcha_spark.operators.text import hashed_ngram_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    w = spark.range(64).select(
+        F.col("id").alias("bucket"), F.lit(1).alias("weight")
+    )
+    plan = _plan(hashed_ngram_score(docs, w, 64))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_mix_sample_plan_shape(spark):
+    """mix_sample (q129) plan contract: the fact side NEVER shuffles —
+    no hash-partitioning exchange anywhere, no Python eval; the rates
+    dim rides a broadcast join."""
+    from osmcha_spark.operators.sampling import mix_sample
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 3).cast("string"))
+        .alias("source"),
+    )
+    rates = spark.createDataFrame(
+        [("d0", 5000), ("d1", 100)], "source string, rate_bp long"
+    )
+    plan = _plan(mix_sample(docs, rates))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
