@@ -7182,6 +7182,133 @@ FROM b LEFT JOIN rates r ON r.source = b.source
 """
 
 
+# --------------------------------------------------------------- q130
+
+def q130_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (operators/curation.py:
+    curation_funnel): per-document flags for the quality gate (q128's
+    classifier + fixture weights), exact dedup (q08's keep-min rule),
+    benchmark decontamination (q66's derived eval set, k=8,
+    min_shared=10), domain-mix sampling (q129's rates), and the
+    conjunction. The oracle is the conjunction of the four already-
+    validated stage oracles CTE-for-CTE — including their DIFFERENT
+    tokenizers (q128's ``\\s+`` vs q66's single-space split), mirrored
+    faithfully, not unified."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import curation_funnel
+    from osmcha_spark.operators.dedup import md5_long_col
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 211 - 105).cast("long").alias("weight"),
+    )
+    eval_set = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.expr("substring(text, 1, 240)").alias("text")
+    )
+    rates = docs.select("source").distinct().select(
+        "source",
+        (F.lit(1000) + F.lit(2000) * (md5_long_col(F.col("source")) % 4))
+        .cast("long").alias("rate_bp"),
+    )
+    return curation_funnel(docs, weights, 4096, eval_set, rates).select(
+        "doc_id", "source", "q_kept", "dup_kept", "decon_kept",
+        "mix_kept", "kept",
+    )
+
+
+_Q130_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+feats AS (
+  SELECT doc_id, tok AS f FROM flat
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS f
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+w AS (
+  SELECT range AS bucket, CAST(range % 211 - 105 AS BIGINT) AS weight
+  FROM range(0, 4096)
+),
+scored AS (
+  SELECT f.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+  FROM feats f
+  JOIN w ON w.bucket =
+    CAST('0x' || substring(md5(f.f), 1, 15) AS BIGINT) % 4096
+  GROUP BY 1
+),
+reps AS (SELECT min(doc_id) AS rep_id FROM documents GROUP BY md5(text)),
+tr AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+), ev AS (
+  SELECT doc_id AS eval_id,
+         string_split(trim(substring(text, 1, 240)), ' ') AS t
+  FROM documents WHERE doc_id % 10 = 0
+), trpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM tr WHERE len(t) >= 8
+), trs AS (
+  SELECT DISTINCT doc_id AS train_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS s
+  FROM trpos
+), evpos AS (
+  SELECT eval_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM ev WHERE len(t) >= 8
+), evs AS (
+  SELECT DISTINCT eval_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS s
+  FROM evpos
+), cont AS (
+  SELECT train_id FROM (
+    SELECT r.train_id, e.eval_id
+    FROM trs r JOIN evs e USING (s)
+    GROUP BY r.train_id, e.eval_id
+    HAVING count(*) >= 10
+  ) GROUP BY 1
+),
+rates AS (
+  SELECT source,
+         CAST(1000 + 2000 *
+              (CAST('0x' || substring(md5(source), 1, 15) AS BIGINT) % 4)
+              AS BIGINT) AS rate_bp
+  FROM (SELECT DISTINCT source FROM documents)
+),
+b AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR),
+                                           'mix')), 1, 15) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+),
+flags AS (
+  SELECT d.doc_id, d.source,
+         CAST(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END AS INT)
+           AS q_kept,
+         CAST(CASE WHEN rp.rep_id IS NULL THEN 0 ELSE 1 END AS INT)
+           AS dup_kept,
+         CAST(CASE WHEN c.train_id IS NULL THEN 1 ELSE 0 END AS INT)
+           AS decon_kept,
+         CAST(CASE WHEN bk.bucket < COALESCE(r.rate_bp, 0) THEN 1 ELSE 0
+              END AS INT) AS mix_kept
+  FROM documents d
+  LEFT JOIN scored s ON s.doc_id = d.doc_id
+  LEFT JOIN reps rp ON rp.rep_id = d.doc_id
+  LEFT JOIN cont c ON c.train_id = d.doc_id
+  JOIN b bk ON bk.doc_id = d.doc_id
+  LEFT JOIN rates r ON r.source = d.source
+)
+SELECT doc_id, source, q_kept, dup_kept, decon_kept, mix_kept,
+       CAST(q_kept * dup_kept * decon_kept * mix_kept AS INT) AS kept
+FROM flags
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7351,6 +7478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_kmv_distinct": q67_kmv_distinct,
         "q128_ngram_quality": q128_ngram_quality,
         "q129_mix_sample": q129_mix_sample,
+        "q130_curation_funnel": q130_curation_funnel,
     }
 
 
@@ -7409,6 +7537,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_semdedup": _Q127_ORACLE,
         "q128_ngram_quality": _Q128_ORACLE,
         "q129_mix_sample": _Q129_ORACLE,
+        "q130_curation_funnel": _Q130_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

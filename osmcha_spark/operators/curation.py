@@ -434,3 +434,84 @@ def semdedup(
             .cast("int").alias("kept"),
         )
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    eval_set: DataFrame,
+    rates: DataFrame,
+    k: int = 8,
+    min_shared: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """The end-to-end LLM-curation funnel as ONE auditable frame: every
+    document gets a flag per stage — quality (hashed-ngram linear
+    classifier, :func:`~osmcha_spark.operators.text.hashed_ngram_score`),
+    exact dedup (content-hash representative,
+    :func:`~osmcha_spark.operators.dedup.exact_dedup`), benchmark
+    decontamination (:func:`decontaminate`), and domain-mix sampling
+    (:func:`~osmcha_spark.operators.sampling.mix_sample`) — plus the
+    conjunction. Emitting FLAGS instead of filtering is deliberate:
+    the funnel report (per-stage survival, stage overlap, "what did I
+    lose and to which gate") is the artifact every curation run has to
+    ship alongside the cleaned corpus, and the kept subset is a
+    ``WHERE kept = 1`` away.
+
+    Output: ``(doc_id, domain, q_kept, dup_kept, decon_kept, mix_kept,
+    kept)``, one row per input document. ``dup_kept`` keeps the
+    smallest doc_id of each exact-text group; ``decon_kept = 0`` iff
+    the doc shares ≥ min_shared distinct k-shingles with ANY eval doc.
+
+    Scale shape: each stage keeps its own documented plan (broadcast
+    weight table, one content-hash groupBy, broadcast eval shingles,
+    broadcast rates); the funnel itself only adds doc_id-keyed joins of
+    doc-sized flag frames — co-partitioned after the first exchange,
+    and the conjunction never materializes an intermediate corpus.
+    """
+    from osmcha_spark.operators.dedup import exact_dedup
+    from osmcha_spark.operators.sampling import mix_sample
+    from osmcha_spark.operators.text import hashed_ngram_score
+
+    scored = hashed_ngram_score(
+        docs, weights, n_buckets, text_col=text_col, id_col=id_col
+    ).select("doc_id", F.col("kept").alias("q_kept"))
+    reps = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col("rep_id").alias("doc_id"), F.lit(1).alias("__rep")
+    )
+    contaminated = (
+        decontaminate(docs, eval_set, k=k, min_shared=min_shared,
+                      text_col=text_col)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__cont", F.lit(True))
+    )
+    mixed = mix_sample(
+        docs, rates, domain_col=domain_col, id_col=id_col
+    ).select(
+        F.col(id_col).alias("doc_id"), F.col(domain_col),
+        F.col("kept").alias("mix_kept"),
+    )
+    flags = (
+        mixed.join(scored, "doc_id")
+        .join(reps, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            domain_col,
+            "q_kept",
+            F.coalesce(F.col("__rep"), F.lit(0)).cast("int")
+            .alias("dup_kept"),
+            F.when(F.col("__cont"), F.lit(0)).otherwise(F.lit(1))
+            .cast("int").alias("decon_kept"),
+            "mix_kept",
+        )
+    )
+    return flags.withColumn(
+        "kept",
+        (F.col("q_kept") * F.col("dup_kept") * F.col("decon_kept")
+         * F.col("mix_kept")).cast("int"),
+    )

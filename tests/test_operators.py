@@ -2260,3 +2260,42 @@ def test_mix_sample_rates_and_determinism(spark):
     other = {(r.doc_id, r.kept)
              for r in mix_sample(docs, rates, salt="mix-epoch2").collect()}
     assert other != {(r.doc_id, r.kept) for r in out}
+
+
+def test_curation_funnel_each_gate_fires(spark):
+    """curation_funnel (q130): one planted doc per gate — duplicate
+    (higher id of an exact pair), contaminated (shares >= min_shared
+    k-shingles with an eval doc), empty (quality score 0), rate-0
+    domain — and one doc that survives everything. Flags are
+    independent: a doc failing one gate still reports the others."""
+    from osmcha_spark.operators.curation import curation_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "dom0"),
+            (2, "alpha beta gamma delta epsilon", "dom0"),  # dup of 1
+            (3, "zeta eta theta iota kappa", "dom0"),       # contaminated
+            (4, "", "dom0"),                                # quality 0
+            (5, "unique words here entirely", "domX"),      # absent domain
+        ],
+        "doc_id long, text string, source string",
+    )
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"), F.lit(1).alias("weight")
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "zeta eta theta iota kappa")], "doc_id long, text string"
+    )
+    rates = spark.createDataFrame([("dom0", 10000)],
+                                  "source string, rate_bp long")
+    got = {r.doc_id: (r.q_kept, r.dup_kept, r.decon_kept, r.mix_kept,
+                      r.kept)
+           for r in curation_funnel(docs, weights, 64, eval_set, rates,
+                                    k=3, min_shared=2).collect()}
+    assert got == {
+        1: (1, 1, 1, 1, 1),
+        2: (1, 0, 1, 1, 0),   # exact dup: only the min id survives
+        3: (1, 1, 0, 1, 0),   # decontamination gate
+        4: (0, 1, 1, 1, 0),   # empty text scores 0
+        5: (1, 1, 1, 0, 0),   # domain absent from rates
+    }
