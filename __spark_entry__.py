@@ -7309,6 +7309,142 @@ FROM flags
 """
 
 
+# --------------------------------------------------------------- q131
+
+def q131_snapshot_stat_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level stats pruning (sources/tables.py:snapshot_files):
+    events are range-clustered on event_id into a snapshot table whose
+    manifest carries per-file [min, max] footer stats, then a selective
+    range read prunes FILES driver-side before Spark plans the scan —
+    Iceberg's data-file skipping, the metadata layer ABOVE layout.py's
+    row-group pruning. The where= list is lossless candidate pruning
+    (the real filter still applies), so the oracle is the plain filter
+    + aggregate; matching proves pruning changed WHICH FILES are read,
+    never the rows. The skip count itself is pinned structurally in
+    tests/test_tables.py (1-2 files of 8 for a 1/8-domain range)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q131")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    hi = ev.agg(F.max("event_id")).first()[0] // 8
+    T.snapshot_create(ev.repartitionByRange(8, F.col("event_id")), path)
+    pruned = T.read_snapshot(spark, path, where=[("event_id", 0, hi)])
+    return (
+        pruned.where(F.col("event_id").between(0, F.lit(hi)))
+        .groupBy(F.pmod(F.col("user_id"), F.lit(4)).alias("g"))
+        .agg(
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.count("*").cast("long").alias("n"),
+            F.max("event_id").cast("long").alias("max_eid"),
+        )
+    )
+
+
+_Q131_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+bound AS (SELECT max(event_id) // 8 AS hi FROM ev)
+SELECT user_id % 4 AS g,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(event_id) AS BIGINT) AS max_eid
+FROM ev, bound
+WHERE event_id BETWEEN 0 AND hi
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- q132
+
+def q132_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution on the snapshot table
+    (sources/tables.py:_merged_schema/_align): create (event_id,
+    user_id, cents, part), append a batch carrying a NEW ``src``
+    column, then copy-on-write upsert another evolved batch. The
+    current read merges heterogeneous data files and null-fills ``src``
+    for pre-evolution rows; the time-travel read of snapshot 0 still
+    presents the ORIGINAL schema (its ``src`` is supplied here as a
+    literal NULL so both snapshots union into one result). Evolution
+    never rewrites a data file — old files are carried by manifest
+    reference (pinned in tests/test_tables.py, including the
+    type-change rejection)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q132")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.pmod(F.col("user_id"), F.lit(4)).alias("part"),
+        )
+    )
+    base = ev.where(F.col("event_id") % 2 == 0)
+    s0 = T.snapshot_create(base, path, partition_col="part")
+    appended = ev.where(F.col("event_id") % 4 == 1).withColumn(
+        "src", F.lit("replay"))
+    T.snapshot_append(appended, path)
+    ups = ev.where(F.col("event_id") % 8 == 2).select(
+        "event_id", "user_id",
+        (F.col("cents") + 10000).alias("cents"), "part",
+        F.lit("fix").alias("src"),
+    )
+    T.snapshot_upsert(ups, path, key="event_id")
+    old = T.read_snapshot(spark, path, snapshot=s0).select(
+        F.lit(0).cast("long").alias("snap"),
+        "event_id", "user_id", "cents", "part",
+        F.lit(None).cast("string").alias("src"),
+    )
+    cur = T.read_snapshot(spark, path).select(
+        F.lit(1).cast("long").alias("snap"),
+        "event_id", "user_id", "cents", "part", "src",
+    )
+    return old.unionByName(cur)
+
+
+_Q132_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         user_id % 4 AS part
+  FROM events
+),
+base AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+app AS (SELECT *, 'replay' AS src FROM ev WHERE event_id % 4 = 1),
+ups AS (
+  SELECT event_id, user_id, cents + 10000 AS cents, part, 'fix' AS src
+  FROM ev WHERE event_id % 8 = 2
+),
+cur AS (
+  SELECT * FROM ups
+  UNION ALL
+  SELECT *, CAST(NULL AS VARCHAR) AS src FROM base
+  WHERE event_id NOT IN (SELECT event_id FROM ups)
+  UNION ALL
+  SELECT * FROM app
+)
+SELECT CAST(0 AS BIGINT) AS snap, event_id, user_id, cents, part,
+       CAST(NULL AS VARCHAR) AS src
+FROM base
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS snap, event_id, user_id, cents, part, src
+FROM cur
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7479,6 +7615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_ngram_quality": q128_ngram_quality,
         "q129_mix_sample": q129_mix_sample,
         "q130_curation_funnel": q130_curation_funnel,
+        "q131_snapshot_stat_prune": q131_snapshot_stat_prune,
+        "q132_snapshot_evolution": q132_snapshot_evolution,
     }
 
 
@@ -7538,6 +7676,8 @@ def oracle_sql() -> dict[str, str]:
         "q128_ngram_quality": _Q128_ORACLE,
         "q129_mix_sample": _Q129_ORACLE,
         "q130_curation_funnel": _Q130_ORACLE,
+        "q131_snapshot_stat_prune": _Q131_ORACLE,
+        "q132_snapshot_evolution": _Q132_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

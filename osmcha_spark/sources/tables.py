@@ -67,6 +67,32 @@ def load_table(
 # parquet scan prunes row groups within the survivors as usual. At 100 TB
 # the manifest is O(#files) JSON — the same metadata scale as the Hadoop
 # listing it replaces, paid once per commit instead of per query.
+#
+# Round-5 extensions (the two features a real Iceberg user reaches for
+# next):
+#
+# * FILE-LEVEL COLUMN STATS — every manifest entry carries per-column
+#   [min, max] lifted from the parquet footer at write time (numeric
+#   top-level columns only: nested map/struct leaves are skipped — the
+#   leaf-index-vs-field-index trap of operators/layout.py — and string
+#   stats are skipped because parquet writers may truncate them).
+#   ``read_snapshot(where=[(col, lo, hi), ...])`` drops files whose
+#   stats range misses the predicate BEFORE Spark plans the scan. This
+#   is candidate pruning, lossless by construction: files without stats
+#   for the column always survive, and the caller still applies the
+#   real filter. Cluster the table on the predicate column first
+#   (repartitionByRange at write) and a selective range read touches
+#   O(result) files out of O(table) — manifest pruning above the
+#   footer-level row-group pruning layout.py already measured.
+#
+# * SCHEMA EVOLUTION (add-column) — each manifest records the table
+#   schema; an append/upsert batch may carry NEW columns (same-name
+#   type conflicts are rejected). Readers reconcile heterogeneous data
+#   files via parquet mergeSchema over the (already-pruned) file list,
+#   then project to the manifest schema, null-filling columns absent
+#   from every scanned file. Time travel composes: an old snapshot id
+#   reads with its OWN recorded schema, so evolution never rewrites a
+#   byte of data.
 # --------------------------------------------------------------------
 
 import json as _json
@@ -111,6 +137,43 @@ def _load_manifest(path: str, sid: int) -> dict:
         return _json.load(fh)
 
 
+def _file_stats(meta) -> dict:
+    """Per-column [min, max] from the parquet footer for TOP-LEVEL
+    NUMERIC columns (int/float/bool). Nested leaves (a map/struct
+    column's ``path_in_schema`` contains '.') and string/binary/
+    temporal columns are skipped: nested leaf indices diverge from
+    arrow field indices, string footer stats may be writer-truncated,
+    and datetimes don't survive the JSON manifest. Columns missing
+    stats in ANY row group record nothing — absence means "cannot
+    prune", never "empty"."""
+    stats: dict = {}
+    if meta.num_row_groups == 0:
+        return stats
+    for i in range(meta.num_columns):
+        path = meta.row_group(0).column(i).path_in_schema
+        if "." in path:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bool) or isinstance(mx, bool):
+                mn, mx = int(mn), int(mx)
+            if not (isinstance(mn, (int, float))
+                    and isinstance(mx, (int, float))):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            stats[path] = [lo, hi]
+    return stats
+
+
 def _point_current(path: str, sid: int) -> None:
     tmp = os.path.join(path, "_CURRENT.tmp")
     with open(tmp, "w") as fh:
@@ -119,7 +182,8 @@ def _point_current(path: str, sid: int) -> None:
 
 
 def _commit(path: str, files: list[dict], partition_col: str | None,
-            parent: int | None, commit_id: str | None) -> int:
+            parent: int | None, commit_id: str | None,
+            schema: dict | None = None) -> int:
     """Steps (2)+(3) of the protocol: atomic manifest, then repoint."""
     os.makedirs(_snapshots_dir(path), exist_ok=True)
     existing = list_snapshots(path)
@@ -129,6 +193,7 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
         "parent": parent,
         "partition_col": partition_col,
         "commit_id": commit_id,
+        "schema": schema,
         "files": files,
     }
     tmp = _manifest_file(path, sid) + f".tmp-{_uuid.uuid4().hex}"
@@ -184,9 +249,56 @@ def _write_files(df: DataFrame, path: str,
                 "partition": pval,
                 "bytes": os.path.getsize(dest),
                 "rows": meta.num_rows,
+                "stats": _file_stats(meta),
             })
     _shutil.rmtree(staging, ignore_errors=True)
     return entries
+
+
+def _schema_dict(df: DataFrame) -> dict:
+    return df.schema.jsonValue()
+
+
+def _merged_schema(old: dict | None, df: DataFrame) -> dict:
+    """Add-column evolution: new = old fields (order kept) + df-only
+    fields appended. A same-name field whose type string differs is a
+    rejected evolution (no type changes / renames — the Iceberg subset
+    this layer supports)."""
+    new = _schema_dict(df)
+    if old is None:
+        return new
+    new_by_name = {f["name"]: f for f in new["fields"]}
+    for f in old["fields"]:
+        g = new_by_name.get(f["name"])
+        if g is not None and g["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution rejected: column {f['name']!r} "
+                f"changes type {f['type']!r} -> {g['type']!r}"
+            )
+    old_names = {f["name"] for f in old["fields"]}
+    merged = [dict(f) for f in old["fields"]]
+    merged.extend(f for f in new["fields"] if f["name"] not in old_names)
+    return {"type": "struct", "fields": merged}
+
+
+def _align(df: DataFrame, schema: dict | None) -> DataFrame:
+    """Project df to the manifest schema: null-fill absent columns,
+    fix the column order. Extra df columns are dropped (they belong to
+    a NEWER schema than the snapshot being read)."""
+    if schema is None:
+        return df
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
+    cols = []
+    have = set(df.columns)
+    for f in schema["fields"]:
+        if f["name"] in have:
+            cols.append(F.col(f["name"]))
+        else:
+            dt = StructField.fromJson(f).dataType
+            cols.append(F.lit(None).cast(dt).alias(f["name"]))
+    return df.select(*cols)
 
 
 def snapshot_create(df: DataFrame, path: str,
@@ -203,16 +315,19 @@ def snapshot_create(df: DataFrame, path: str,
                 _point_current(path, done)
             return done
     files = _write_files(df, path, partition_col)
-    return _commit(path, files, partition_col, None, commit_id)
+    return _commit(path, files, partition_col, None, commit_id,
+                   schema=_schema_dict(df))
 
 
-def read_snapshot(spark: SparkSession, path: str,
-                  snapshot: int | None = None,
-                  partitions: list | None = None) -> DataFrame:
-    """Read a snapshot — the CURRENT one by default, or any committed id
-    (time travel: snapshots are immutable, so s_n reads the same bytes
-    forever). ``partitions`` (values of partition_col) prunes FILES from
-    the manifest driver-side before the scan is even planned."""
+def snapshot_files(path: str, snapshot: int | None = None,
+                   partitions: list | None = None,
+                   where: list | None = None) -> list[dict]:
+    """The manifest entries a read would scan, after driver-side
+    pruning — ``partitions`` selects by partition value, ``where`` is a
+    list of ``(col, lo, hi)`` range predicates evaluated against the
+    per-file column stats (None bound = open). Pruning is lossless:
+    a file with no stats for ``col`` always survives. Exposed so tests
+    and tools can PIN the skip count instead of asserting it."""
     sid = current_snapshot(path) if snapshot is None else int(snapshot)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -221,10 +336,41 @@ def read_snapshot(spark: SparkSession, path: str,
     if partitions is not None:
         want = {str(v) for v in partitions}
         files = [f for f in files if f["partition"] in want]
+    for col, lo, hi in (where or []):
+        kept = []
+        for f in files:
+            st = (f.get("stats") or {}).get(col)
+            if st is None or (
+                (hi is None or st[0] <= hi)
+                and (lo is None or st[1] >= lo)
+            ):
+                kept.append(f)
+        files = kept
+    return files
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  snapshot: int | None = None,
+                  partitions: list | None = None,
+                  where: list | None = None) -> DataFrame:
+    """Read a snapshot — the CURRENT one by default, or any committed id
+    (time travel: snapshots are immutable, so s_n reads the same bytes
+    forever). ``partitions`` (values of partition_col) and ``where``
+    (``[(col, lo, hi), ...]`` stats ranges) prune FILES from the
+    manifest driver-side before the scan is even planned; ``where`` is
+    candidate pruning — apply the real filter on the result. The scan
+    merges heterogeneous file schemas (add-column evolution) and
+    projects to the schema RECORDED in the snapshot's manifest."""
+    sid = current_snapshot(path) if snapshot is None else int(snapshot)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, sid)
+    files = snapshot_files(path, sid, partitions, where)
     paths = [os.path.join(_data_dir(path), f["name"]) for f in files]
     if not paths:
         raise ValueError(f"snapshot {sid} has no files for {partitions}")
-    return spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _align(df, man.get("schema"))
 
 
 def snapshot_append(df: DataFrame, path: str,
@@ -244,9 +390,10 @@ def snapshot_append(df: DataFrame, path: str,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    schema = _merged_schema(man.get("schema"), df)
     new_files = _write_files(df, path, man["partition_col"])
     return _commit(path, man["files"] + new_files, man["partition_col"],
-                   cur, commit_id)
+                   cur, commit_id, schema=schema)
 
 
 def snapshot_upsert(updates: DataFrame, path: str, key: str,
@@ -277,11 +424,13 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
     pcol = man["partition_col"]
+    schema = _merged_schema(man.get("schema"), updates)
+    updates = _align(updates, schema)
     if pcol is None:
-        prior = read_snapshot(spark, path, cur)
+        prior = _align(read_snapshot(spark, path, cur), schema)
         merged = upsert(prior, updates, key, version_col=version_col)
         files = _write_files(merged, path, None)
-        return _commit(path, files, None, cur, commit_id)
+        return _commit(path, files, None, cur, commit_id, schema=schema)
     affected = {
         str(r[0]) for r in updates.select(pcol).distinct().collect()
     }
@@ -291,12 +440,16 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
         for f in man["files"] if f["partition"] in affected
     ]
     if prior_files:
-        prior = spark.read.parquet(*prior_files)
+        prior = _align(
+            spark.read.option("mergeSchema", "true").parquet(*prior_files),
+            schema,
+        )
         merged = upsert(prior, updates, key, version_col=version_col)
     else:
         merged = updates
     new_files = _write_files(merged, path, pcol)
-    return _commit(path, carried + new_files, pcol, cur, commit_id)
+    return _commit(path, carried + new_files, pcol, cur, commit_id,
+                   schema=schema)
 
 
 def snapshot_compact(spark: SparkSession, path: str,
@@ -334,7 +487,10 @@ def snapshot_compact(spark: SparkSession, path: str,
     for pval, n_bins in plan.items():
         paths = [os.path.join(_data_dir(path), f["name"])
                  for f in by_part[pval]]
-        part_df = spark.read.parquet(*paths).coalesce(n_bins)
+        part_df = _align(
+            spark.read.option("mergeSchema", "true").parquet(*paths),
+            man.get("schema"),
+        ).coalesce(n_bins)
         # one rewrite job per affected partition (bounded by the guard);
         # _write_files sees no hive dir here, so stamp the manifest
         # partition value explicitly
@@ -343,7 +499,7 @@ def snapshot_compact(spark: SparkSession, path: str,
             e["partition"] = pval
         new_files.extend(batch)
     return _commit(path, carried + new_files, man["partition_col"],
-                   cur, None)
+                   cur, None, schema=man.get("schema"))
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:

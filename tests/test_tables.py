@@ -136,3 +136,58 @@ def test_expire_and_vacuum_bound_storage(spark, tmp_path):
     live = {f["name"] for s in T.list_snapshots(path)
             for f in T._load_manifest(path, s)["files"]}
     assert set(os.listdir(T._data_dir(path))) == live
+
+
+def test_stats_pruning_skips_files_losslessly(spark, tmp_path):
+    """File-level column stats: a range-clustered table prunes a
+    selective range read down to O(result) files, and the pruned read
+    returns exactly the full-scan filter result (lossless candidates)."""
+    path = str(tmp_path / "t")
+    df = _mk(spark, 800).repartitionByRange(8, F.col("k"))
+    T.snapshot_create(df, path)
+    man = T._load_manifest(path, T.current_snapshot(path))
+    assert all("k" in (f.get("stats") or {}) for f in man["files"])
+    total = len(man["files"])
+    assert total == 8
+    hit = T.snapshot_files(path, where=[("k", 100, 199)])
+    assert 1 <= len(hit) <= 2  # 100 keys out of 800 over 8 range files
+    got = (
+        T.read_snapshot(spark, path, where=[("k", 100, 199)])
+        .where("k BETWEEN 100 AND 199")
+    )
+    assert sorted(r.k for r in got.collect()) == list(range(100, 200))
+    # open bounds and no-stats columns never over-prune
+    assert len(T.snapshot_files(path, where=[("k", None, None)])) == total
+    assert len(T.snapshot_files(path, where=[("nosuch", 0, 1)])) == total
+
+
+def test_schema_evolution_append_upsert_time_travel(spark, tmp_path):
+    """Add-column evolution: appends/upserts may carry new columns;
+    current reads null-fill old files, time travel reads the OLD
+    schema, and a same-name type change is rejected."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20)], "k long, part long, v long")
+    s0 = T.snapshot_create(base, path, partition_col="part")
+    evolved = spark.createDataFrame(
+        [(3, 0, 30, "web")], "k long, part long, v long, src string")
+    T.snapshot_append(evolved, path)
+    cur = T.read_snapshot(spark, path)
+    assert cur.columns == ["k", "part", "v", "src"]
+    got = {r.k: r.src for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: "web"}
+    # time travel: snapshot 0 still reads with its own (old) schema
+    old = T.read_snapshot(spark, path, snapshot=s0)
+    assert old.columns == ["k", "part", "v"]
+    assert old.count() == 2
+    # upsert with the evolved schema rewrites only part 1
+    ups = spark.createDataFrame(
+        [(2, 1, 99, "api")], "k long, part long, v long, src string")
+    T.snapshot_upsert(ups, path, key="k")
+    got2 = {r.k: (r.v, r.src) for r in
+            T.read_snapshot(spark, path).collect()}
+    assert got2 == {1: (10, None), 2: (99, "api"), 3: (30, "web")}
+    # type change is a rejected evolution
+    bad = spark.createDataFrame([(4, 0, "oops")], "k long, part long, v string")
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        T.snapshot_append(bad, path)
