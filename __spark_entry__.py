@@ -7445,6 +7445,70 @@ FROM cur
 """
 
 
+# --------------------------------------------------------------- q133
+
+def q133_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (changelog) read between snapshots
+    (sources/tables.py:snapshot_changes — Iceberg's incremental append
+    scan): three commits (create evens, append the %4==1 batch, append
+    the %4==3 batch carrying an evolved ``src`` column), then read the
+    appended rows of BOTH ranges — s0→current (both batches, the older
+    one null-filling ``src``) and s1→current (the last batch only) —
+    tagged by ``rng``. The manifest diff reads exactly the new files;
+    the oracle states the batch contents declaratively, so matching
+    proves the diff selects precisely the appended rows. The rewrite
+    guard (a copy-on-write upsert makes a range non-row-representable
+    → ValueError) is pinned in tests/test_tables.py."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q133")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.pmod(F.col("user_id"), F.lit(4)).alias("part"),
+        )
+    )
+    s0 = T.snapshot_create(ev.where(F.col("event_id") % 2 == 0), path,
+                           partition_col="part")
+    s1 = T.snapshot_append(ev.where(F.col("event_id") % 4 == 1), path)
+    T.snapshot_append(
+        ev.where(F.col("event_id") % 4 == 3).withColumn(
+            "src", F.lit("late")),
+        path,
+    )
+    a = T.snapshot_changes(spark, path, s0).select(
+        F.lit(0).cast("long").alias("rng"),
+        "event_id", "user_id", "cents", "part", "src",
+    )
+    b = T.snapshot_changes(spark, path, s1).select(
+        F.lit(1).cast("long").alias("rng"),
+        "event_id", "user_id", "cents", "part", "src",
+    )
+    return a.unionByName(b)
+
+
+_Q133_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         user_id % 4 AS part
+  FROM events
+),
+b1 AS (SELECT *, CAST(NULL AS VARCHAR) AS src FROM ev
+       WHERE event_id % 4 = 1),
+b2 AS (SELECT *, 'late' AS src FROM ev WHERE event_id % 4 = 3)
+SELECT CAST(0 AS BIGINT) AS rng, event_id, user_id, cents, part, src
+FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS rng, event_id, user_id, cents, part, src
+FROM b2
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7617,6 +7681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_curation_funnel": q130_curation_funnel,
         "q131_snapshot_stat_prune": q131_snapshot_stat_prune,
         "q132_snapshot_evolution": q132_snapshot_evolution,
+        "q133_snapshot_changes": q133_snapshot_changes,
     }
 
 
@@ -7678,6 +7743,7 @@ def oracle_sql() -> dict[str, str]:
         "q130_curation_funnel": _Q130_ORACLE,
         "q131_snapshot_stat_prune": _Q131_ORACLE,
         "q132_snapshot_evolution": _Q132_ORACLE,
+        "q133_snapshot_changes": _Q133_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -191,3 +191,38 @@ def test_schema_evolution_append_upsert_time_travel(spark, tmp_path):
     bad = spark.createDataFrame([(4, 0, "oops")], "k long, part long, v string")
     with pytest.raises(ValueError, match="schema evolution rejected"):
         T.snapshot_append(bad, path)
+
+
+def test_incremental_changes_append_only_and_rewrite_guard(spark, tmp_path):
+    """snapshot_changes returns exactly the appended rows between two
+    commits, composes with schema evolution, yields an empty typed
+    frame for a no-op range, and refuses ranges crossing a rewrite."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20)], "k long, part long, v long")
+    s0 = T.snapshot_create(base, path, partition_col="part")
+    b1 = spark.createDataFrame([(3, 0, 30)], "k long, part long, v long")
+    s1 = T.snapshot_append(b1, path)
+    b2 = spark.createDataFrame(
+        [(4, 1, 40, "web")], "k long, part long, v long, src string")
+    s2 = T.snapshot_append(b2, path)
+    got = T.snapshot_changes(spark, path, s0, s2)
+    assert got.columns == ["k", "part", "v", "src"]
+    assert {(r.k, r.src) for r in got.collect()} == {(3, None), (4, "web")}
+    assert {r.k for r in T.snapshot_changes(spark, path, s1).collect()} \
+        == {4}
+    empty = T.snapshot_changes(spark, path, s2, s2)
+    assert empty.count() == 0 and empty.columns == ["k", "part", "v", "src"]
+    # a copy-on-write upsert rewrites part 0: the range is no longer
+    # row-representable
+    ups = spark.createDataFrame(
+        [(1, 0, 99, "fix")], "k long, part long, v long, src string")
+    s3 = T.snapshot_upsert(ups, path, key="k")
+    with pytest.raises(ValueError, match="crosses a rewrite"):
+        T.snapshot_changes(spark, path, s0, s3)
+    # but the post-rewrite frontier starts a fresh append-only range
+    b3 = spark.createDataFrame(
+        [(5, 1, 50, "api")], "k long, part long, v long, src string")
+    T.snapshot_append(b3, path)
+    assert {r.k for r in T.snapshot_changes(spark, path, s3).collect()} \
+        == {5}
