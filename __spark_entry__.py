@@ -7509,6 +7509,51 @@ FROM b2
 """
 
 
+# --------------------------------------------------------------- q134
+
+def q134_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting core of BPE tokenizer training (operators/text.py:
+    bpe_pair_counts, Sennrich et al. 2016): top-30 adjacent character
+    pairs over the documents vocabulary, frequency-weighted, with the
+    deterministic (cnt DESC, left, right) total order that makes a
+    training run reproducible. The oracle mirrors the FIRST step
+    (merges=[]), which is the only SQL-expressible one — the iterative
+    merge fold (left-greedy collapse, word-boundary rule) is pinned
+    against an independent pure-Python BPE in tests/test_operators.py::
+    test_bpe_train_apply_matches_python_reference, which drives
+    train_bpe/apply_bpe end-to-end."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import bpe_pair_counts, word_freq
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bpe_pair_counts(word_freq(docs), merges=[], k=30)
+
+
+_Q134_ORACLE = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+words AS (SELECT unnest(ts) AS w FROM toks),
+wf AS (SELECT w, count(*) AS f FROM words GROUP BY 1),
+p AS (
+  SELECT w, f, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM wf WHERE len(w) >= 2
+),
+pc AS (
+  SELECT substring(w, i, 1) AS left_sym,
+         substring(w, i + 1, 1) AS right_sym,
+         CAST(sum(f) AS BIGINT) AS cnt
+  FROM p GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, cnt
+FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, left_sym,
+        right_sym) AS rn FROM pc) t
+WHERE rn <= 30
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7682,6 +7727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_snapshot_stat_prune": q131_snapshot_stat_prune,
         "q132_snapshot_evolution": q132_snapshot_evolution,
         "q133_snapshot_changes": q133_snapshot_changes,
+        "q134_bpe_pair_counts": q134_bpe_pair_counts,
     }
 
 
@@ -7744,6 +7790,7 @@ def oracle_sql() -> dict[str, str]:
         "q131_snapshot_stat_prune": _Q131_ORACLE,
         "q132_snapshot_evolution": _Q132_ORACLE,
         "q133_snapshot_changes": _Q133_ORACLE,
+        "q134_bpe_pair_counts": _Q134_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -399,3 +399,156 @@ def hashed_ngram_score(
             .alias("kept"),
         )
     )
+
+
+# ----------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — the missing rung
+# between token_count's BPE-ish regex proxy and a real trained
+# subword vocabulary. No reference counterpart (engine-only, the
+# LLM-pipeline brief's tokenizer leg).
+# ----------------------------------------------------------------
+
+def _word_chars(col: Column) -> Column:
+    """Initial BPE symbols of one word: its characters. Split on the
+    between-every-char lookahead (no leading empty element), keep the
+    empty-filter anyway as a belt against odd inputs."""
+    return F.filter(F.split(col, "(?!^)"), lambda c: c != "")
+
+
+def _collapse_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE merge (a, b) -> a||b to a symbol array, left-greedy
+    (the BPE application rule: "aaa" under (a,a) is [aa, a]): a fold
+    that either fuses the incoming symbol into the accumulator's last
+    element or appends it. Pure Catalyst ``aggregate`` — no Python."""
+    fused = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(fused)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _word_symbols(col: Column, merges: list) -> Column:
+    syms = _word_chars(col)
+    for a, b in merges:
+        syms = _collapse_merge(syms, a, b)
+    return syms
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, f) — distinct lowercased whitespace words with corpus
+    frequencies. THE scale trick of corpus BPE: every later step runs
+    over the vocabulary (≪ corpus tokens), carrying multiplicity as a
+    weight; one token-explode + one map-side-combined groupBy, ever."""
+    return (
+        docs.select(
+            F.explode(tokens_col(F.col(text_col))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def bpe_pair_counts(
+    wf: DataFrame,
+    merges: list | None = None,
+    k: int = 30,
+) -> DataFrame:
+    """(left_sym, right_sym, cnt) — the ``k`` most frequent adjacent
+    symbol pairs over a (w, f) vocabulary, after applying ``merges`` in
+    order: ONE step of BPE training. Pairs never span words (the
+    standard word-boundary rule). Deterministic total order
+    (cnt DESC, left_sym, right_sym) so the top-k — and therefore the
+    whole training run — is reproducible.
+
+    Scale: symbols/pairs are built JVM-side on the VOCABULARY (arrays
+    of a word's length); the pair aggregation is weighted by word
+    frequency and map-side combined; the final sort ranks only the
+    distinct-pair table (bounded by |alphabet ∪ merges|², metadata-
+    scale next to the corpus). Each merge is one Catalyst fold over a
+    word's symbols — fine for the tens-to-hundreds of merges a
+    training loop holds in flight; a production run with thousands of
+    frozen merges applies them once via :func:`apply_bpe` and
+    checkpoints the symbolized vocabulary instead of re-folding."""
+    from pyspark.sql import Window
+
+    syms = wf.select(
+        "f", _word_symbols(F.col("w"), list(merges or [])).alias("s")
+    ).where(F.size("s") >= 2)
+    pairs = syms.select(
+        "f",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("s"), 1, F.size("s") - 1),
+                F.slice(F.col("s"), 2, F.size("s") - 1),
+                lambda a, b: F.struct(
+                    a.alias("left_sym"), b.alias("right_sym")
+                ),
+            )
+        ).alias("p"),
+    )
+    counts = (
+        pairs.groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("f").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("left_sym"), F.col("right_sym")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def train_bpe(docs: DataFrame, n_merges: int,
+              text_col: str = "text") -> list:
+    """Greedy BPE training: ``n_merges`` rounds of "count pairs, fuse
+    the argmax" over the corpus vocabulary. Returns the ordered merge
+    list. The (w, f) vocabulary is computed ONCE and cached — each
+    round is a vocabulary-sized job (pair fold + weighted groupBy +
+    top-1), so the corpus is scanned exactly once no matter how many
+    merges are trained. Ties break (left_sym, right_sym) lexicographic,
+    making the whole run a pure function of the corpus."""
+    wf = word_freq(docs, text_col)
+    wf = wf.persist()
+    try:
+        merges: list = []
+        for _ in range(int(n_merges)):
+            top = bpe_pair_counts(wf, merges, k=1).collect()
+            if not top:
+                break
+            merges.append((top[0]["left_sym"], top[0]["right_sym"]))
+        return merges
+    finally:
+        wf.unpersist()
+
+
+def apply_bpe(docs: DataFrame, merges: list, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, tokens) — encode each document with a frozen
+    merge list: per word, fold the merges over its characters; the
+    document's tokens are the concatenation across words. The fold
+    runs per DISTINCT word via an in-document array transform (words
+    repeat heavily; Catalyst dedups nothing here, but the expression is
+    all JVM — no Python boundary, no shuffle at all: encoding is a pure
+    projection)."""
+    toks = tokens_col(F.col(text_col))
+    symbols = F.flatten(
+        F.transform(toks, lambda t: _word_symbols(t, list(merges)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(symbols).alias("n_tokens"),
+        symbols.alias("tokens"),
+    )

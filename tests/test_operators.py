@@ -2299,3 +2299,73 @@ def test_curation_funnel_each_gate_fires(spark):
         4: (0, 1, 1, 1, 0),   # empty text scores 0
         5: (1, 1, 1, 0, 0),   # domain absent from rates
     }
+
+
+def _py_bpe_reference(word_freq, n_merges):
+    """Independent pure-Python BPE (Sennrich et al. 2016): count
+    adjacent pairs over the weighted vocabulary, fuse the argmax
+    (ties: lexicographic on (left, right)), repeat."""
+    vocab = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_apply_matches_python_reference(spark):
+    """train_bpe/apply_bpe (q134 family) against an independent
+    pure-Python implementation on a planted corpus, including the
+    left-greedy overlap rule and the word-boundary rule."""
+    from osmcha_spark.operators.text import (
+        apply_bpe, bpe_pair_counts, train_bpe, word_freq)
+
+    rows = [
+        (1, "low low low lower lower newest newest newest"),
+        (2, "newest widest widest low aaa"),
+        (3, "newest new"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {r.w: r.f for r in word_freq(docs).collect()}
+    exp_wf = {}
+    for _, t in rows:
+        for w in t.split():
+            exp_wf[w] = exp_wf.get(w, 0) + 1
+    assert wf == exp_wf
+    exp_merges, exp_vocab = _py_bpe_reference(exp_wf, 6)
+    got_merges = train_bpe(docs, 6)
+    assert got_merges == exp_merges
+    toks = {r.doc_id: r.tokens
+            for r in apply_bpe(docs, got_merges).collect()}
+    for did, t in rows:
+        exp = [s for w in t.split() for s in exp_vocab[w]]
+        assert toks[did] == exp, (did, toks[did], exp)
+    # left-greedy overlap: "aaa" under merge (a, a) -> [aa, a]
+    one = spark.createDataFrame([(9, "aaa")], "doc_id long, text string")
+    got = apply_bpe(one, [("a", "a")]).collect()[0]
+    assert got.tokens == ["aa", "a"] and got.n_tokens == 2
+    # word boundary: pairs never span words ("ab ba" has no (b,a) at
+    # the seam beyond the in-word ones)
+    wb = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    pc = {(r.left_sym, r.right_sym): r.cnt
+          for r in bpe_pair_counts(word_freq(wb)).collect()}
+    assert pc == {("a", "b"): 3}
