@@ -20,6 +20,7 @@ from osmcha_spark.streaming.ingest import (
     apply_pyramid_batch,
     read_pyramid,
     stream_pyramid,
+    stream_snapshot_append,
     stream_upsert,
 )
 from osmcha_spark.streaming.joins import (
@@ -46,6 +47,7 @@ __all__ = [
     "apply_pyramid_batch",
     "read_pyramid",
     "stream_pyramid",
+    "stream_snapshot_append",
     "stream_upsert",
     "interval_stream_join",
     "run_stream_join",

@@ -180,3 +180,44 @@ def stream_pyramid(
         .start()
     )
 
+
+
+def stream_snapshot_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+):
+    """Changelog ingest into the snapshot table format
+    (sources/tables.py): each micro-batch becomes one atomic
+    append-only commit, stamped ``commit_id="stream-batch-<id>"`` so a
+    foreachBatch REPLAY (the at-least-once window after a sink write
+    but before the offset commit) finds its manifest and just repoints
+    — exactly-once at the TABLE level by idempotence, not by luck.
+    The first batch creates the table (``partition_col`` sets the
+    manifest pruning key for all later commits).
+
+    This is the Kappa wiring the format was built for: appends cost
+    exactly their own bytes (zero reads, zero rewrites), every commit
+    is a time-travelable snapshot, and a downstream consumer calls
+    :func:`~osmcha_spark.sources.tables.snapshot_changes` with its last
+    frontier to read O(delta) — stream in, incremental reads out, no
+    second streaming runtime needed."""
+    from osmcha_spark.sources import tables as T
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cid = f"stream-batch-{batch_id}"
+        if T.current_snapshot(path) is None:
+            T.snapshot_create(batch, path, partition_col=partition_col,
+                              commit_id=cid)
+        else:
+            T.snapshot_append(batch, path, commit_id=cid)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

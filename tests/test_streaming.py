@@ -898,3 +898,59 @@ def test_stream_left_outer_join_null_timing_and_drain(spark, tmp_path):
     stage([(-2, T0 + 4 * DAY, -2)], in_r, "b4.parquet", 30)
     got2 = run()
     assert got2 == {(1, 101), (4, 102), (2, None)}
+
+
+def test_stream_snapshot_append_exactly_once_and_incremental(
+        spark, stream_dirs, tmp_path):
+    """Kappa wiring: a file stream appends into the snapshot table via
+    per-batch commit_ids (exactly-once by replay idempotence), a
+    restarted query consumes only new files, and a downstream consumer
+    reads O(delta) via snapshot_changes from its last frontier."""
+    import glob
+    import os
+    import shutil
+
+    from osmcha_spark.sources import tables as T
+    from osmcha_spark.streaming import stream_snapshot_append
+
+    in_dir, _out, ckpt = stream_dirs
+    table = str(tmp_path / "table")
+    schema = "id long, part string, v long"
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / f"_st_{name}")
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"{name}.parquet"))
+
+    def drain():
+        ss = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = stream_snapshot_append(ss, table, checkpoint_dir=ckpt,
+                                   partition_col="part")
+        q.awaitTermination()
+
+    add_file([(1, "p1", 10), (2, "p2", 20)], "b0")
+    add_file([(3, "p1", 30)], "b1")
+    drain()
+    frontier = T.current_snapshot(table)
+    assert frontier == 1  # create + one append, one commit per batch
+    got = {r.id for r in T.read_snapshot(spark, table).collect()}
+    assert got == {1, 2, 3}
+    # foreachBatch replay: same commit_id is a repoint, never a dup
+    replay = spark.createDataFrame([(3, "p1", 30)], schema)
+    assert T.snapshot_append(replay, table,
+                             commit_id="stream-batch-1") == frontier
+    assert T.read_snapshot(spark, table).count() == 3
+    # restart consumes only the new file; downstream reads the delta
+    add_file([(4, "p3", 40), (5, "p1", 50)], "b2")
+    drain()
+    assert T.current_snapshot(table) == 2
+    delta = T.snapshot_changes(spark, table, frontier)
+    assert {r.id for r in delta.collect()} == {4, 5}
+    assert T.read_snapshot(spark, table).count() == 5
+    # every commit remains a time-travelable snapshot
+    assert T.read_snapshot(spark, table, snapshot=0).count() == 2
