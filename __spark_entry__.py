@@ -7592,7 +7592,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (SemDeDup) takes q67_kmv_distinct's slot — q67's KMV core is
     # strictly subsumed by q84_kmv_set_ops which STAYS on the board and
     # additionally exercises the r5 tau guard, while q127 has zero
-    # driver rows. See SURVEY.md §2.13 rotation note.
+    # driver rows. Late-r5 #3: q131-q134 (snapshot-table stats pruning /
+    # schema evolution / incremental reads; BPE training) seat over four
+    # r4-green rows whose coverage is subsumed by still-seated relatives
+    # — q52 (upsert core, strict subset of seated q58 + the snapshot-
+    # table upserts q124/q132), q75 (CDC diff; the apply side q117
+    # stays), q79 (PQ tier; q94 ivfpq + q106 refine + q101 residual all
+    # stay), q86 (banded edit-distance; q80 prefix-filter + q97 entity
+    # resolution stay). All four keep their r4-green rows and the local
+    # sweep. See SURVEY.md §2.13 rotation note.
     return {
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
@@ -7621,21 +7629,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_stream_left_outer_join": q125_stream_left_outer_join,
         "q126_remove_shared_spans": q126_remove_shared_spans,
         "q51_image_features": q51_image_features,
-        "q52_incremental_upsert": q52_incremental_upsert,
+        "q131_snapshot_stat_prune": q131_snapshot_stat_prune,
         "q54_user_stats_stateful": q54_user_stats_stateful,
         "q58_partitioned_upsert": q58_partitioned_upsert,
         "q59_streaming_late_data": q59_streaming_late_data,
         "q127_semdedup": q127_semdedup,
         "q73_streaming_dedup": q73_streaming_dedup,
-        "q75_snapshot_diff": q75_snapshot_diff,
+        "q132_snapshot_evolution": q132_snapshot_evolution,
         "q76_bucketed_join": q76_bucketed_join,
         "q77_countmin": q77_countmin,
         "q78_stream_stream_join": q78_stream_stream_join,
-        "q79_pq_ann": q79_pq_ann,
+        "q133_snapshot_changes": q133_snapshot_changes,
         "q80_prefix_jaccard": q80_prefix_jaccard,
         "q81_gap_fill": q81_gap_fill,
         "q84_kmv_set_ops": q84_kmv_set_ops,
-        "q86_fuzzy_join": q86_fuzzy_join,
+        "q134_bpe_pair_counts": q134_bpe_pair_counts,
         "q88_stream_enrich": q88_stream_enrich,
         "q92_retention": q92_retention,
         "q94_ivfpq_ann": q94_ivfpq_ann,
@@ -7644,6 +7652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_entity_resolution": q97_entity_resolution,
         "q98_radius_join": q98_radius_join,
         "q99_grouped_order_statistics": q99_grouped_order_statistics,
+        "q52_incremental_upsert": q52_incremental_upsert,
+        "q75_snapshot_diff": q75_snapshot_diff,
+        "q79_pq_ann": q79_pq_ann,
+        "q86_fuzzy_join": q86_fuzzy_join,
         "q62_kmeans_step": q62_kmeans_step,
         "q01_analyse": q01_analyse,
         "q02_normalize": q02_normalize,
@@ -7724,10 +7736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_ngram_quality": q128_ngram_quality,
         "q129_mix_sample": q129_mix_sample,
         "q130_curation_funnel": q130_curation_funnel,
-        "q131_snapshot_stat_prune": q131_snapshot_stat_prune,
-        "q132_snapshot_evolution": q132_snapshot_evolution,
-        "q133_snapshot_changes": q133_snapshot_changes,
-        "q134_bpe_pair_counts": q134_bpe_pair_counts,
     }
 
 
