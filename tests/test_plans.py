@@ -717,3 +717,29 @@ def test_mix_sample_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bpe_plans_are_python_free_and_vocab_scaled(spark):
+    """BPE (q134): the whole training/encoding surface is pure Column
+    code — no Python eval anywhere, even with merges applied (the fold
+    is a Catalyst `aggregate`); pair counting aggregates with a
+    map-side partial before its one exchange; encoding (apply_bpe) is
+    a zero-exchange projection."""
+    from osmcha_spark.operators.text import (
+        apply_bpe, bpe_pair_counts, word_freq)
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta w"),
+            (F.col("id") % 23).cast("string"),
+        ).alias("text"),
+    )
+    wf = word_freq(docs)
+    plan = _plan(bpe_pair_counts(wf, merges=[("a", "l"), ("al", "p")]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    enc_plan = _plan(apply_bpe(docs, [("a", "l")]))
+    assert "BatchEvalPython" not in enc_plan \
+        and "ArrowEvalPython" not in enc_plan
+    assert "Exchange" not in enc_plan, enc_plan
