@@ -596,6 +596,46 @@ def main() -> None:
         formatted(focal_sum(r_pts, level=10)),
     ))
 
+    docs_tbl = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    from osmcha_spark.operators.dedup import remove_shared_spans
+
+    sections.append((
+        "Substring-span removal dedup (q126)",
+        "expect: NO pair enumeration anywhere — the duplicate-position "
+        "set is an equi-join of shingle hashes against their map-side-"
+        "combined corpus-wide partial_min, the ×k coverage Generate "
+        "runs only on duplicated hits, token removal is a LeftAnti "
+        "join, rebuild is a per-doc aggregate — no Python eval, no "
+        "cartesian",
+        formatted(remove_shared_spans(docs_tbl, k=8)),
+    ))
+
+    from osmcha_spark.operators.sampling import mix_sample
+
+    mix_rates = docs_tbl.select("source").distinct().select(
+        "source", F.lit(5000).cast("long").alias("rate_bp"))
+    sections.append((
+        "Deterministic domain-mix resampling (q129)",
+        "expect: ZERO hash-partitioning exchanges on the fact side — "
+        "membership is a pure projection of (id, salt) against the "
+        "BROADCAST per-domain rates dim; content-addressed, so "
+        "repartitioning/appends never flip old rows",
+        formatted(mix_sample(docs_tbl, mix_rates)),
+    ))
+
+    from osmcha_spark.operators.text import bpe_pair_counts, word_freq
+
+    sections.append((
+        "BPE pair counts over the weighted vocabulary (q134)",
+        "expect: one token Generate + a map-side-combined word "
+        "groupBy builds the (w, f) VOCABULARY; the merge fold and "
+        "pair zip are in-row Catalyst expressions (no Python eval); "
+        "the final rank sorts only the distinct-pair table",
+        formatted(bpe_pair_counts(
+            word_freq(docs_tbl), merges=[("e", "r")], k=30)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
