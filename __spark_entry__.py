@@ -7554,6 +7554,54 @@ WHERE rn <= 30
 """
 
 
+# --------------------------------------------------------------- q135
+
+def q135_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter point lookups (sources/tables.py:
+    _bloom_build/snapshot_files(where_eq=…)): events are HASH-
+    distributed on event_id (min/max stats span the whole domain, so
+    range skipping is useless by construction) into a snapshot table
+    with ``bloom_cols=["event_id"]``; three point lookups then prune
+    files by Bloom membership before Spark plans the scan. Membership
+    false positives only ever KEEP a file and the real filter still
+    applies, so the oracle is the plain IN-list filter — matching
+    proves skipping changes WHICH FILES are read, never the rows. The
+    skip count is pinned in tests/test_tables.py (1-3 of 8 files per
+    key on the hash layout)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q135")
+    path = os.path.join(work, "table")
+    keys = [17, 123, 777]
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    T.snapshot_create(ev.repartition(8, F.col("event_id")), path,
+                      bloom_cols=["event_id"])
+    parts = [
+        T.read_snapshot(spark, path, where_eq=[("event_id", k)])
+        .where(F.col("event_id") == k)
+        for k in keys
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q135_ORACLE = """
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+WHERE event_id IN (17, 123, 777)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7736,6 +7784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_ngram_quality": q128_ngram_quality,
         "q129_mix_sample": q129_mix_sample,
         "q130_curation_funnel": q130_curation_funnel,
+        "q135_snapshot_bloom_lookup": q135_snapshot_bloom_lookup,
     }
 
 
@@ -7799,6 +7848,7 @@ def oracle_sql() -> dict[str, str]:
         "q132_snapshot_evolution": _Q132_ORACLE,
         "q133_snapshot_changes": _Q133_ORACLE,
         "q134_bpe_pair_counts": _Q134_ORACLE,
+        "q135_snapshot_bloom_lookup": _Q135_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -83,7 +83,13 @@ def load_table(
 #   real filter. Cluster the table on the predicate column first
 #   (repartitionByRange at write) and a selective range read touches
 #   O(result) files out of O(table) — manifest pruning above the
-#   footer-level row-group pruning layout.py already measured.
+#   footer-level row-group pruning layout.py already measured. For
+#   POINT lookups on columns the table is NOT clustered on, a
+#   ``bloom_cols`` table property adds a per-file 1024-bit Bloom
+#   filter (built from one columnar read of the fresh file — the
+#   write-time pass Iceberg/Delta spend for the same metadata);
+#   ``where_eq=[(col, value)]`` prunes via membership, false
+#   positives only ever KEEP a file.
 #
 # * SCHEMA EVOLUTION (add-column) — each manifest records the table
 #   schema; an append/upsert batch may carry NEW columns (same-name
@@ -174,6 +180,52 @@ def _file_stats(meta) -> dict:
     return stats
 
 
+_BLOOM_K = 4
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 17  # 16 KiB binary per (file, column) manifest cap
+
+
+def _bloom_positions(value, m: int) -> list[int]:
+    """k deterministic bit positions for one value in an m-bit filter:
+    md5 of the string form, consumed 32 bits per probe. String form is
+    ``str(v)`` — ints and strings only (the manifest's JSON types), so
+    the encoding is stable across engines and runs."""
+    import hashlib as _hashlib
+
+    h = _hashlib.md5(str(value).encode()).hexdigest()
+    return [
+        int(h[8 * i: 8 * i + 8], 16) % m
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(values) -> dict:
+    """``{"m": bits, "bits": hex}`` Bloom filter over ``values`` (nulls
+    skipped — an equality predicate never matches null). SIZED to the
+    file: m = smallest power of two ≥ 16 bits per distinct value
+    (k=4 → ~0.1% false positives), clamped to [2^10, 2^17] so the
+    manifest entry stays ≤ 16 KiB per column; a file with more
+    distinct keys than the cap covers degrades to a weaker (but still
+    lossless) filter rather than a bigger manifest — Iceberg moves
+    past this with sidecar puffin files, noted in the module header."""
+    distinct = {v for v in values if v is not None}
+    m = _BLOOM_MIN_BITS
+    while m < 16 * len(distinct) and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    bits = 0
+    for v in distinct:
+        for p in _bloom_positions(v, m):
+            bits |= 1 << p
+    return {"m": m, "bits": f"{bits:0{m // 4}x}"}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    bits = int(bloom["bits"], 16)
+    return all(
+        (bits >> p) & 1 for p in _bloom_positions(value, bloom["m"])
+    )
+
+
 def _point_current(path: str, sid: int) -> None:
     tmp = os.path.join(path, "_CURRENT.tmp")
     with open(tmp, "w") as fh:
@@ -183,7 +235,8 @@ def _point_current(path: str, sid: int) -> None:
 
 def _commit(path: str, files: list[dict], partition_col: str | None,
             parent: int | None, commit_id: str | None,
-            schema: dict | None = None) -> int:
+            schema: dict | None = None,
+            bloom_cols: list[str] | None = None) -> int:
     """Steps (2)+(3) of the protocol: atomic manifest, then repoint."""
     os.makedirs(_snapshots_dir(path), exist_ok=True)
     existing = list_snapshots(path)
@@ -194,6 +247,7 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
         "partition_col": partition_col,
         "commit_id": commit_id,
         "schema": schema,
+        "bloom_cols": bloom_cols,
         "files": files,
     }
     tmp = _manifest_file(path, sid) + f".tmp-{_uuid.uuid4().hex}"
@@ -213,7 +267,8 @@ def _find_commit(path: str, commit_id: str) -> int | None:
 
 
 def _write_files(df: DataFrame, path: str,
-                 partition_col: str | None) -> list[dict]:
+                 partition_col: str | None,
+                 bloom_cols: list[str] | None = None) -> list[dict]:
     """Step (1): write df as immutable files under data/, grouped by
     partition value, and return their manifest entries. ONE Spark job:
     partitionBy on a DUPLICATE column so the partition column stays a
@@ -244,13 +299,27 @@ def _write_files(df: DataFrame, path: str,
             dest = os.path.join(_data_dir(path), name)
             _shutil.move(os.path.join(root, fn), dest)
             meta = _pq.ParquetFile(dest).metadata
-            entries.append({
+            entry = {
                 "name": name,
                 "partition": pval,
                 "bytes": os.path.getsize(dest),
                 "rows": meta.num_rows,
                 "stats": _file_stats(meta),
-            })
+            }
+            if bloom_cols:
+                # one extra columnar read of the FRESH local file (the
+                # write-time pass Iceberg/Delta spend for the same
+                # metadata); int/string key columns only — str(v) must
+                # be engine-stable
+                present = [c for c in bloom_cols
+                           if c in meta.schema.to_arrow_schema().names]
+                if present:
+                    tbl = _pq.read_table(dest, columns=present)
+                    entry["blooms"] = {
+                        c: _bloom_build(tbl.column(c).to_pylist())
+                        for c in present
+                    }
+            entries.append(entry)
     _shutil.rmtree(staging, ignore_errors=True)
     return entries
 
@@ -303,10 +372,15 @@ def _align(df: DataFrame, schema: dict | None) -> DataFrame:
 
 def snapshot_create(df: DataFrame, path: str,
                     partition_col: str | None = None,
-                    commit_id: str | None = None) -> int:
+                    commit_id: str | None = None,
+                    bloom_cols: list[str] | None = None) -> int:
     """Create the table: snapshot 0 holds df's rows. ``partition_col``
     (optional) sets the copy-on-write granularity for later upserts and
-    the manifest's file-pruning key."""
+    the manifest's file-pruning key. ``bloom_cols`` (optional, a TABLE
+    property inherited by every later commit) adds a per-file Bloom
+    filter on each named int/string column — the point-lookup
+    complement of the min/max stats: an equality predicate skips files
+    even when the table isn't clustered on the column."""
     os.makedirs(path, exist_ok=True)
     if commit_id is not None:
         done = _find_commit(path, commit_id)
@@ -314,20 +388,25 @@ def snapshot_create(df: DataFrame, path: str,
             if current_snapshot(path) != done:
                 _point_current(path, done)
             return done
-    files = _write_files(df, path, partition_col)
+    files = _write_files(df, path, partition_col, bloom_cols)
     return _commit(path, files, partition_col, None, commit_id,
-                   schema=_schema_dict(df))
+                   schema=_schema_dict(df), bloom_cols=bloom_cols)
 
 
 def snapshot_files(path: str, snapshot: int | None = None,
                    partitions: list | None = None,
-                   where: list | None = None) -> list[dict]:
+                   where: list | None = None,
+                   where_eq: list | None = None) -> list[dict]:
     """The manifest entries a read would scan, after driver-side
     pruning — ``partitions`` selects by partition value, ``where`` is a
     list of ``(col, lo, hi)`` range predicates evaluated against the
-    per-file column stats (None bound = open). Pruning is lossless:
-    a file with no stats for ``col`` always survives. Exposed so tests
-    and tools can PIN the skip count instead of asserting it."""
+    per-file column stats (None bound = open), ``where_eq`` is a list
+    of ``(col, value)`` equality predicates evaluated against the
+    per-file Bloom filters (point-lookup skipping on bloom_cols
+    tables). Pruning is lossless: a file with no stats/bloom for
+    ``col`` always survives, and Bloom membership only ever
+    false-positives. Exposed so tests and tools can PIN the skip count
+    instead of asserting it."""
     sid = current_snapshot(path) if snapshot is None else int(snapshot)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -346,13 +425,21 @@ def snapshot_files(path: str, snapshot: int | None = None,
             ):
                 kept.append(f)
         files = kept
+    for col, val in (where_eq or []):
+        kept = []
+        for f in files:
+            bl = (f.get("blooms") or {}).get(col)
+            if bl is None or _bloom_maybe_contains(bl, val):
+                kept.append(f)
+        files = kept
     return files
 
 
 def read_snapshot(spark: SparkSession, path: str,
                   snapshot: int | None = None,
                   partitions: list | None = None,
-                  where: list | None = None) -> DataFrame:
+                  where: list | None = None,
+                  where_eq: list | None = None) -> DataFrame:
     """Read a snapshot — the CURRENT one by default, or any committed id
     (time travel: snapshots are immutable, so s_n reads the same bytes
     forever). ``partitions`` (values of partition_col) and ``where``
@@ -365,7 +452,7 @@ def read_snapshot(spark: SparkSession, path: str,
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, sid)
-    files = snapshot_files(path, sid, partitions, where)
+    files = snapshot_files(path, sid, partitions, where, where_eq)
     paths = [os.path.join(_data_dir(path), f["name"]) for f in files]
     if not paths:
         raise ValueError(f"snapshot {sid} has no files for {partitions}")
@@ -435,9 +522,10 @@ def snapshot_append(df: DataFrame, path: str,
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
     schema = _merged_schema(man.get("schema"), df)
-    new_files = _write_files(df, path, man["partition_col"])
+    bloom_cols = man.get("bloom_cols")
+    new_files = _write_files(df, path, man["partition_col"], bloom_cols)
     return _commit(path, man["files"] + new_files, man["partition_col"],
-                   cur, commit_id, schema=schema)
+                   cur, commit_id, schema=schema, bloom_cols=bloom_cols)
 
 
 def snapshot_upsert(updates: DataFrame, path: str, key: str,
@@ -468,13 +556,15 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
     pcol = man["partition_col"]
+    bloom_cols = man.get("bloom_cols")
     schema = _merged_schema(man.get("schema"), updates)
     updates = _align(updates, schema)
     if pcol is None:
         prior = _align(read_snapshot(spark, path, cur), schema)
         merged = upsert(prior, updates, key, version_col=version_col)
-        files = _write_files(merged, path, None)
-        return _commit(path, files, None, cur, commit_id, schema=schema)
+        files = _write_files(merged, path, None, bloom_cols)
+        return _commit(path, files, None, cur, commit_id, schema=schema,
+                       bloom_cols=bloom_cols)
     affected = {
         str(r[0]) for r in updates.select(pcol).distinct().collect()
     }
@@ -491,9 +581,9 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
         merged = upsert(prior, updates, key, version_col=version_col)
     else:
         merged = updates
-    new_files = _write_files(merged, path, pcol)
+    new_files = _write_files(merged, path, pcol, bloom_cols)
     return _commit(path, carried + new_files, pcol, cur, commit_id,
-                   schema=schema)
+                   schema=schema, bloom_cols=bloom_cols)
 
 
 def snapshot_compact(spark: SparkSession, path: str,
@@ -538,12 +628,13 @@ def snapshot_compact(spark: SparkSession, path: str,
         # one rewrite job per affected partition (bounded by the guard);
         # _write_files sees no hive dir here, so stamp the manifest
         # partition value explicitly
-        batch = _write_files(part_df, path, None)
+        batch = _write_files(part_df, path, None, man.get("bloom_cols"))
         for e in batch:
             e["partition"] = pval
         new_files.extend(batch)
     return _commit(path, carried + new_files, man["partition_col"],
-                   cur, None, schema=man.get("schema"))
+                   cur, None, schema=man.get("schema"),
+                   bloom_cols=man.get("bloom_cols"))
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:

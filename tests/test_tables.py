@@ -226,3 +226,33 @@ def test_incremental_changes_append_only_and_rewrite_guard(spark, tmp_path):
     T.snapshot_append(b3, path)
     assert {r.k for r in T.snapshot_changes(spark, path, s3).collect()} \
         == {5}
+
+
+def test_bloom_point_lookup_skips_unclustered_files(spark, tmp_path):
+    """Bloom file skipping: on a table HASH-distributed on k (min/max
+    stats useless — every file spans the domain), an equality lookup
+    prunes to the file(s) actually containing the key; absent columns
+    never over-prune; the table property is inherited by appends."""
+    path = str(tmp_path / "t")
+    df = _mk(spark, 800).repartition(8, F.col("k"))
+    T.snapshot_create(df, path, bloom_cols=["k"])
+    man = T._load_manifest(path, T.current_snapshot(path))
+    assert all("k" in (f.get("blooms") or {}) for f in man["files"])
+    total = len(man["files"])
+    assert total == 8
+    # range stats cannot prune a hash layout (files span the domain)
+    assert len(T.snapshot_files(path, where=[("k", 123, 123)])) >= 6
+    hit = T.snapshot_files(path, where_eq=[("k", 123)])
+    assert 1 <= len(hit) <= 3  # true file + rare false positives
+    got = T.read_snapshot(spark, path, where_eq=[("k", 123)]) \
+        .where("k = 123")
+    assert [r.k for r in got.collect()] == [123]
+    assert len(T.snapshot_files(path, where_eq=[("v", 1230)])) == total
+    # inherited by append; new key resolves to the appended file
+    T.snapshot_append(
+        spark.createDataFrame([(9001, 5, 1)],
+                              "k long, part long, v long"), path)
+    hit2 = T.snapshot_files(path, where_eq=[("k", 9001)])
+    assert 1 <= len(hit2) <= 3
+    assert T.read_snapshot(spark, path, where_eq=[("k", 9001)]) \
+        .where("k = 9001").count() == 1
