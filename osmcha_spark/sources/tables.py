@@ -106,6 +106,11 @@ import shutil as _shutil
 import uuid as _uuid
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced one snapshot id; the loser raises (and loses
+    nothing — its files are unreferenced until vacuum)."""
+
+
 def _data_dir(path: str) -> str:
     return os.path.join(path, "data")
 
@@ -253,7 +258,22 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
     tmp = _manifest_file(path, sid) + f".tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         _json.dump(manifest, fh)
-    os.replace(tmp, _manifest_file(path, sid))
+    # hard-link, not replace: link(2) fails with EEXIST if another
+    # writer already claimed this snapshot id, so a violated
+    # single-writer contract LOSES no manifest — it raises, the loser's
+    # data files stay invisible (vacuum reclaims them), and the caller
+    # re-reads the new current and retries. This is the local-fs stand-
+    # in for the catalog CAS a cluster deployment swaps in.
+    try:
+        os.link(tmp, _manifest_file(path, sid))
+    except FileExistsError:
+        os.remove(tmp)
+        raise ConcurrentCommitError(
+            f"snapshot {sid} at {path} was committed by another writer "
+            "between reading the table state and committing; re-read "
+            "and retry the operation"
+        ) from None
+    os.remove(tmp)
     _point_current(path, sid)
     return sid
 

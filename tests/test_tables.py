@@ -256,3 +256,31 @@ def test_bloom_point_lookup_skips_unclustered_files(spark, tmp_path):
     assert 1 <= len(hit2) <= 3
     assert T.read_snapshot(spark, path, where_eq=[("k", 9001)]) \
         .where("k = 9001").count() == 1
+
+
+def test_concurrent_commit_collision_raises_not_overwrites(
+        spark, tmp_path, monkeypatch):
+    """Two writers racing one snapshot id: the second link(2) fails
+    loudly (ConcurrentCommitError), the winner's manifest is untouched,
+    and the loser's data files are invisible orphans that vacuum
+    reclaims — never a silently lost commit."""
+    path = str(tmp_path / "t")
+    T.snapshot_create(_mk(spark, 40), path, partition_col="part")
+    stale = T.list_snapshots(path)  # both writers read [0]
+    monkeypatch.setattr(T, "list_snapshots", lambda p: stale)
+    b = spark.createDataFrame([(900, 1, 9)], "k long, part long, v long")
+    s1 = T.snapshot_append(b, path)  # writer A claims snapshot 1
+    assert s1 == 1
+    winner = T._load_manifest(path, 1)
+    c = spark.createDataFrame([(901, 2, 9)], "k long, part long, v long")
+    with pytest.raises(T.ConcurrentCommitError):
+        T.snapshot_append(c, path)   # writer B also computes sid 1
+    assert T._load_manifest(path, 1) == winner  # untouched
+    monkeypatch.undo()
+    orphans = T.vacuum(path)
+    assert len(orphans) >= 1  # loser's files reclaimed
+    # loser retries against the fresh state and succeeds
+    s2 = T.snapshot_append(c, path)
+    assert s2 == 2
+    got = {r.k for r in T.read_snapshot(spark, path).collect()}
+    assert {900, 901} <= got and len(got) == 42
