@@ -7602,6 +7602,97 @@ WHERE event_id IN (17, 123, 777)
 """
 
 
+# --------------------------------------------------------------- q136
+
+def q136_remove_boilerplate_lines(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Corpus-frequency line dedup (operators/curation.py:
+    remove_boilerplate_lines — the RefinedWeb/Falcon boilerplate rung:
+    a line verbatim in >= min_df DISTINCT docs is template and vanishes
+    from EVERY doc, no keeper). The fixture has no newlines, so the
+    query derives multi-line docs the q123 way: each document's
+    single-space tokens chunk into 3-token lines, and even doc_ids are
+    prepended a planted banner line (guaranteed boilerplate); short
+    3-token lines also collide naturally across the corpus. The oracle
+    mirrors the derivation CASE-for-CASE and the rule declaratively
+    (count DISTINCT doc_id per line, drop df >= 3, string_agg the
+    survivors in position order)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import remove_boilerplate_lines
+
+    chunk = 3
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk + 1, chunk), " "),
+        ),
+        "\n",
+    )
+    derived = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("cookie banner accept\n"), body),
+        ).otherwise(body).alias("text"),
+    )
+    return remove_boilerplate_lines(derived, min_df=3)
+
+
+_Q136_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(
+           0, CAST(ceil(len(ts) / 3.0) AS BIGINT) - 1)) AS i
+  FROM toks
+),
+body AS (
+  SELECT doc_id, i + 1 AS pos,
+         array_to_string(list_slice(ts, i * 3 + 1, i * 3 + 3), ' ')
+           AS line
+  FROM pos
+),
+ln AS (
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN pos ELSE pos - 1 END
+           AS pos, line
+  FROM body
+  UNION ALL
+  SELECT doc_id, 0 AS pos, 'cookie banner accept' AS line
+  FROM documents WHERE doc_id % 2 = 0
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df
+  FROM ln WHERE line <> '' GROUP BY 1
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM ln l
+  LEFT JOIN (SELECT line FROM freq WHERE df >= 3) b
+    ON b.line = l.line
+  WHERE b.line IS NULL
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text, '') AS text
+FROM documents d
+JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN reb r ON r.doc_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7785,6 +7876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_mix_sample": q129_mix_sample,
         "q130_curation_funnel": q130_curation_funnel,
         "q135_snapshot_bloom_lookup": q135_snapshot_bloom_lookup,
+        "q136_remove_boilerplate_lines": q136_remove_boilerplate_lines,
     }
 
 
@@ -7849,6 +7941,7 @@ def oracle_sql() -> dict[str, str]:
         "q133_snapshot_changes": _Q133_ORACLE,
         "q134_bpe_pair_counts": _Q134_ORACLE,
         "q135_snapshot_bloom_lookup": _Q135_ORACLE,
+        "q136_remove_boilerplate_lines": _Q136_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -515,3 +515,76 @@ def curation_funnel(
         (F.col("q_kept") * F.col("dup_kept") * F.col("decon_kept")
          * F.col("mix_kept")).cast("int"),
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """(doc_id, n_lines, n_removed, text) — corpus-frequency line
+    dedup, the RefinedWeb/Falcon curation rung between q126's shared-
+    SPAN removal and whole-doc dedup: a line occurring VERBATIM in
+    ``min_df`` or more DISTINCT documents is boilerplate (nav bars,
+    cookie banners, license headers) and is deleted from EVERY
+    document — no keeper, unlike span dedup, because the line is
+    template, not content. Empty lines are never counted as
+    boilerplate (they carry formatting, not duplication signal) and
+    survive untouched.
+
+    Plan: posexplode to (doc, pos, line); lines hash to int64 map-side
+    (q120's digest-before-shuffle rule — the shuffle key is 8 bytes,
+    never the line); TWO map-side-combined aggregations compute exact
+    distinct-doc counts ((hash, doc) first, then hash); the boilerplate
+    hash set joins back as an ordinary equi-join (it is corpus-sized in
+    the worst case — never blindly broadcast); surviving lines
+    re-assemble per doc from the sorted (pos, line) structs. Θ(lines)
+    rows through each exchange, no all-pairs anywhere, same scale shape
+    as remove_shared_spans.
+    """
+    text = F.col(text_col)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(text, F.lit(delim), -1)).alias(
+            "pos", "line"),
+    )
+    hashed = lines.withColumn("lh", md5_long_col(F.col("line")))
+    per_doc = hashed.where(F.col("line") != "") \
+        .select("lh", "doc_id").distinct()
+    boiler = (
+        per_doc.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= int(min_df))
+        .select("lh", F.lit(True).alias("__boiler"))
+    )
+    flagged = hashed.join(boiler, "lh", "left")
+    kept = flagged.where(F.col("__boiler").isNull())
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("text"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines")
+             - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+    )

@@ -124,3 +124,33 @@ def test_decontaminate_sub_k_docs_emit_nothing(spark):
     train = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     ev = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
     assert decontaminate(train, ev, k=8, min_shared=1).count() == 0
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    """remove_boilerplate_lines (q136): a line verbatim in >= min_df
+    DISTINCT docs vanishes from every doc (no keeper); unique lines and
+    EMPTY lines survive; an all-boilerplate doc cleans to ''; repeats
+    within one doc don't count toward df."""
+    from osmcha_spark.operators.curation import remove_boilerplate_lines
+
+    banner = "accept cookies to continue"
+    rows = [
+        (1, f"{banner}\nunique alpha one\nfooter text"),
+        (2, f"{banner}\nunique beta two\nfooter text"),
+        (3, f"{banner}\nunique gamma three"),
+        (4, "all original content\n\nwith an empty line kept"),
+        (5, banner),
+        (6, "self repeat\nself repeat\nunique zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           remove_boilerplate_lines(docs, min_df=2).collect()}
+    assert got[1].text == "unique alpha one"          # banner+footer gone
+    assert got[1].n_lines == 3 and got[1].n_removed == 2
+    assert got[2].text == "unique beta two"
+    assert got[3].text == "unique gamma three"
+    assert got[4].text == "all original content\n\nwith an empty line kept"
+    assert got[4].n_removed == 0                      # empty line survives
+    assert got[5].text == "" and got[5].n_removed == 1
+    # within-doc repeats: df("self repeat") == 1 < 2 -> kept
+    assert got[6].text == "self repeat\nself repeat\nunique zeta"
