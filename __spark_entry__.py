@@ -7602,6 +7602,99 @@ WHERE event_id IN (17, 123, 777)
 """
 
 
+# --------------------------------------------------------------- q137
+
+def _zonal_rings() -> list[list[tuple[float, float]]]:
+    """Three convex hexagon zones: the NYC hotspot, a synth point
+    CLUSTER (centers at (−160+40k, −72+18k), k=6 → (80, 36) — dense
+    zone), and a mid-size European zone (uniform-tail density)."""
+    import math
+
+    zones = [(-74.0, 40.7, 0.55, 11), (80.005, 36.0, 0.55, 23),
+             (10.0, 50.0, 0.8, 37)]
+    rings = []
+    for cx, cy, r, off in zones:
+        pts = [
+            (cx + r * math.cos(math.radians(60 * i + off)),
+             cy + r * math.sin(math.radians(60 * i + off)))
+            for i in range(6)
+        ]
+        rings.append(pts + [pts[0]])
+    return rings
+
+
+def _convex_edge_coeffs(ring: list) -> list[tuple[float, float, float, float]]:
+    """Per-edge (sa, ay, sb, ax) for the orientation-normalized
+    half-plane test ``sa·(lat − ay) − sb·(lon − ax) ≥ 0``: sign-folded
+    driver-side so the ENGINE Column expression and the ORACLE SQL use
+    the same literal doubles and the identical IEEE mul/sub sequence —
+    boundary decisions cannot diverge between engines."""
+    pts = ring[:-1] if ring[0] == ring[-1] else ring
+    area2 = sum(
+        ax * by - bx * ay
+        for (ax, ay), (bx, by) in zip(pts, pts[1:] + pts[:1])
+    )
+    sign = 1.0 if area2 > 0 else -1.0
+    return [
+        (sign * (bx - ax), ay, sign * (by - ay), ax)
+        for (ax, ay), (bx, by) in zip(pts, pts[1:] + pts[:1])
+    ]
+
+
+def q137_zonal_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial aggregation over polygons, the GeoBlocks decomposition
+    (operators/tiles.py:zonal_aggregate; EDBT 2021): per-cell partial
+    aggregates answer INTERIOR cells with zero point-level work, only
+    BOUNDARY cells refine with the exact predicate — and the result is
+    EXACTLY the naive per-point polygon filter, which is what the
+    oracle states (three zones, each a convex half-plane conjunction
+    with literals identical to the engine's refine predicate). The
+    interior/boundary split itself is pinned in tests/test_geo.py::
+    test_zonal_aggregate_matches_naive_pip on a dense planted grid."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import zonal_aggregate
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    out = None
+    for zid, ring in enumerate(_zonal_rings()):
+        coeffs = _convex_edge_coeffs(ring)
+
+        def pred(lon, lat, _c=coeffs):
+            cond = F.lit(True)
+            for sa, ay, sb, ax in _c:
+                cond = cond & (
+                    F.lit(sa) * (lat - F.lit(ay))
+                    - F.lit(sb) * (lon - F.lit(ax)) >= 0
+                )
+            return cond
+
+        z = zonal_aggregate(
+            pts, ring, 12, value_col="id", inside_predicate=pred,
+        ).select(F.lit(zid).cast("long").alias("zone"),
+                 "n_points", "sum_val")
+        out = z if out is None else out.unionByName(z)
+    return out
+
+
+def _q137_oracle() -> str:
+    pts = synth.points_sql(D)
+    selects = []
+    for zid, ring in enumerate(_zonal_rings()):
+        conds = [
+            f"({sa!r} * (lat - {ay!r}) - {sb!r} * (lon - {ax!r})) >= 0"
+            for sa, ay, sb, ax in _convex_edge_coeffs(ring)
+        ]
+        where = "\n    AND ".join(conds)
+        selects.append(
+            f"SELECT CAST({zid} AS BIGINT) AS zone,\n"
+            f"       CAST(count(*) AS BIGINT) AS n_points,\n"
+            f"       CAST(coalesce(sum(id), 0) AS BIGINT) AS sum_val\n"
+            f"FROM p WHERE {where}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH p AS ({pts})\n{body}"
+
+
 # --------------------------------------------------------------- q136
 
 def q136_remove_boilerplate_lines(spark: SparkSession,
@@ -7877,6 +7970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_curation_funnel": q130_curation_funnel,
         "q135_snapshot_bloom_lookup": q135_snapshot_bloom_lookup,
         "q136_remove_boilerplate_lines": q136_remove_boilerplate_lines,
+        "q137_zonal_aggregate": q137_zonal_aggregate,
     }
 
 
@@ -7942,6 +8036,7 @@ def oracle_sql() -> dict[str, str]:
         "q134_bpe_pair_counts": _Q134_ORACLE,
         "q135_snapshot_bloom_lookup": _Q135_ORACLE,
         "q136_remove_boilerplate_lines": _Q136_ORACLE,
+        "q137_zonal_aggregate": _q137_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

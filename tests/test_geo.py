@@ -459,3 +459,46 @@ def test_cell_ranges_for_rect_lossless_volume():
         if ox < 180.0 and oy < 90.0:
             far = int(cell_np(np.array([ox]), np.array([oy]), fine)[0])
             assert not any(lo <= far <= hi for lo, hi in ranges)
+
+
+def test_zonal_aggregate_matches_naive_pip(spark):
+    """zonal_aggregate (q137, GeoBlocks decomposition): the interior/
+    boundary split is disjoint, the interior tier is non-trivial at the
+    chosen level, and the hierarchical evaluation equals the naive
+    per-point pip filter exactly — on a dense planted grid crossing the
+    polygon boundary everywhere."""
+    import math
+
+    import numpy as np
+
+    from osmcha_spark.geo.pip import point_in_ring_np
+    from osmcha_spark.operators.tiles import (
+        classify_zone_cells, zonal_aggregate)
+
+    cx, cy, r = -74.0, 40.7, 0.55
+    ring = [
+        (cx + r * math.cos(math.radians(60 * i + 11)),
+         cy + r * math.sin(math.radians(60 * i + 11)))
+        for i in range(6)
+    ]
+    ring = ring + [ring[0]]
+    int_ids, bnd_ids = classify_zone_cells(ring, 12)
+    assert int_ids and bnd_ids
+    assert not (set(int_ids) & set(bnd_ids))
+    # dense grid spanning the hexagon and beyond
+    n = 80
+    lons = np.linspace(cx - 0.8, cx + 0.8, n)
+    lats = np.linspace(cy - 0.8, cy + 0.8, n)
+    gx, gy = np.meshgrid(lons, lats)
+    rows = [(i, float(a), float(b))
+            for i, (a, b) in enumerate(zip(gx.ravel(), gy.ravel()))]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    got = zonal_aggregate(pts, ring, 12, value_col="id").collect()[0]
+    inside = point_in_ring_np(gx.ravel(), gy.ravel(),
+                              np.asarray(ring))
+    exp_n = int(inside.sum())
+    exp_s = int(sum(i for i, keep in enumerate(inside) if keep))
+    assert (got.n_points, got.sum_val) == (exp_n, exp_s)
+    # points in interior cells vastly outnumber the refined ones at
+    # this level — the decomposition actually saves pip work
+    assert len(int_ids) > len(bnd_ids) / 4
