@@ -7695,6 +7695,80 @@ def _q137_oracle() -> str:
     return f"WITH p AS ({pts})\n{body}"
 
 
+# --------------------------------------------------------------- q138
+
+def q138_sampled_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform pair sampling over the spatial self-join WITHOUT
+    enumerating it (operators/sampling.py:sample_radius_pairs — the
+    ICDE 2025 "Random Sampling over Spatial Range Joins" two-level
+    index-decode + rejection scheme, content-addressed): 200 md5 slots
+    into the same-cell candidate space at level 6, decoded through
+    prefix-interval joins to concrete (left, right) pairs with exact
+    distances, rejection-filtered to radius 2.0. EXACT operator over a
+    mirrored candidate space (q36/q38 rule): the oracle replays the
+    identical ranking, prefix sums, hash positions, triangular decode
+    and distance — matching proves the engine's two interval joins
+    index the virtual pair list correctly. The brute-force-enumeration
+    identity and repartition-determinism are pytest-pinned."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sampling import sample_radius_pairs
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return sample_radius_pairs(pts, level=6, m=200, radius=2.0)
+
+
+def _q138_oracle() -> str:
+    pts = synth.points_sql(D)
+    cell = cell_sql("lon", "lat", 6)
+    return f"""
+WITH p0 AS ({pts}),
+pc AS (SELECT id, lon, lat, {cell} AS cell FROM p0),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY id) - 1 AS rk
+  FROM pc
+),
+cl AS (
+  SELECT cell, count(*) AS n FROM rk GROUP BY 1 HAVING count(*) >= 2
+),
+cl2 AS (
+  SELECT cell, n, CAST(n * (n - 1) / 2 AS BIGINT) AS pairs FROM cl
+),
+pre AS (
+  SELECT *, CAST(coalesce(sum(pairs) OVER (ORDER BY cell
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS off
+  FROM cl2
+),
+tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS t FROM cl2),
+sl AS (
+  SELECT DISTINCT
+    CAST('0x' || substring(md5('srj:' || CAST(range AS VARCHAR)), 1, 15)
+      AS BIGINT) % t AS pos
+  FROM range(0, 200), tot
+),
+s2c AS (
+  SELECT s.pos, c.cell, c.n, s.pos - c.off AS p
+  FROM sl s JOIN pre c
+    ON s.pos >= c.off AND s.pos < c.off + c.pairs
+),
+lft AS (
+  SELECT s.pos, s.cell, r.id AS left_id, r.lon AS llon, r.lat AS llat,
+         r.rk + 1 + s.p
+           - (r.rk * s.n - CAST(r.rk * (r.rk + 1) / 2 AS BIGINT)) AS rrk
+  FROM s2c s JOIN rk r ON r.cell = s.cell
+    AND s.p >= r.rk * s.n - CAST(r.rk * (r.rk + 1) / 2 AS BIGINT)
+    AND s.p < (r.rk + 1) * s.n
+      - CAST((r.rk + 1) * (r.rk + 2) / 2 AS BIGINT)
+)
+SELECT pos, left_id, right_id, dist FROM (
+  SELECT l.pos, l.left_id, r.id AS right_id,
+         sqrt((l.llon - r.lon) * (l.llon - r.lon)
+            + (l.llat - r.lat) * (l.llat - r.lat)) AS dist
+  FROM lft l JOIN rk r ON r.cell = l.cell AND r.rk = l.rrk
+) t WHERE dist <= 2.0
+"""
+
+
 # --------------------------------------------------------------- q136
 
 def q136_remove_boilerplate_lines(spark: SparkSession,
@@ -7971,6 +8045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_snapshot_bloom_lookup": q135_snapshot_bloom_lookup,
         "q136_remove_boilerplate_lines": q136_remove_boilerplate_lines,
         "q137_zonal_aggregate": q137_zonal_aggregate,
+        "q138_sampled_radius_pairs": q138_sampled_radius_pairs,
     }
 
 
@@ -8037,6 +8112,7 @@ def oracle_sql() -> dict[str, str]:
         "q135_snapshot_bloom_lookup": _Q135_ORACLE,
         "q136_remove_boilerplate_lines": _Q136_ORACLE,
         "q137_zonal_aggregate": _q137_oracle(),
+        "q138_sampled_radius_pairs": _q138_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

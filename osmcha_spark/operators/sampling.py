@@ -262,3 +262,123 @@ def mix_sample(
             .alias("kept"),
         )
     )
+
+
+def sample_radius_pairs(
+    pts: DataFrame,
+    level: int,
+    m: int,
+    salt: str = "srj",
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    radius: float | None = None,
+) -> DataFrame:
+    """(sample_pos, left_id, right_id, dist) — a uniform random sample
+    of ``m`` pair-slots from the SAME-CELL spatial self-join, drawn
+    WITHOUT enumerating the join ("Random Sampling over Spatial Range
+    Joins", ICDE 2025, the two-level index-decode scheme, made
+    deterministic/content-addressed). Pass ``radius`` to apply the
+    paper's rejection step: exact-distance filtering of a uniform
+    candidate sample leaves a uniform (binomial-sized) sample of the
+    TRUE join output — candidates only ever over-cover.
+
+    Candidate space (mirrored in the q138 oracle, the q36/q38 rule):
+    unordered pairs sharing a level-``level`` cell, ordered globally by
+    (cell, left_rank, right_rank) with rank = row_number by id within
+    the cell. Slot j's index is md5("salt:j") mod total — a pure
+    function of the corpus, so repartitioning never changes the
+    sample; duplicate indices collapse (DISTINCT slots ≈ without-
+    replacement for m ≪ total).
+
+    Scale shape: per-cell counts are ONE map-side-combined groupBy;
+    the prefix-sum window runs over DISTINCT CELLS (metadata-scale
+    next to points); the m sampled slots BROADCAST into two interval
+    joins (slot → cell, then slot → left row among ONLY the sampled
+    cells' rows); coordinates fetch by (cell, rank) equi-joins. Total
+    work O(#cells + m + points-in-sampled-cells) — the pair space,
+    which can be quadrillions at 10^12 points, is never materialized.
+    """
+    from pyspark.sql import Window
+
+    from osmcha_spark.geo.cells import cell_col
+    from osmcha_spark.operators.dedup import md5_long_col
+
+    spark = pts.sparkSession
+    pid, lon, lat = F.col(id_col), F.col(lon_col), F.col(lat_col)
+    ranked = pts.select(
+        pid.alias("pid"), lon.alias("plon"), lat.alias("plat"),
+        cell_col(lon, lat, level).alias("cell"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cell").orderBy("pid")) - 1,
+    )
+    cells = (
+        ranked.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .withColumn(
+            "pairs", (F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+    )
+    w = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, -1)
+    cells = cells.withColumn(
+        "off", F.coalesce(F.sum("pairs").over(w), F.lit(0)))
+    tot = cells.agg(F.sum("pairs").alias("__tot"))
+    slots = (
+        spark.range(int(m)).crossJoin(F.broadcast(tot))
+        .select(
+            F.pmod(
+                md5_long_col(
+                    F.concat(F.lit(f"{salt}:"),
+                             F.col("id").cast("string"))),
+                F.col("__tot"),
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    s2c = cells.join(
+        F.broadcast(slots),
+        (F.col("pos") >= F.col("off"))
+        & (F.col("pos") < F.col("off") + F.col("pairs")),
+    ).select("cell", "n", (F.col("pos") - F.col("off")).alias("p"),
+             "pos")
+    rows_in = ranked.join(
+        F.broadcast(s2c.select("cell").distinct()), "cell")
+    # left-rank intervals: rank i owns pairs [i*n - i*(i+1)/2, +n-1-i)
+    lefts = rows_in.join(
+        F.broadcast(s2c), "cell").where(
+        (F.col("p") >= F.col("rk") * F.col("n")
+         - (F.col("rk") * (F.col("rk") + 1) / 2).cast("long"))
+        & (F.col("p") < (F.col("rk") + 1) * F.col("n")
+           - ((F.col("rk") + 1) * (F.col("rk") + 2) / 2).cast("long"))
+    ).select(
+        "pos", "cell", "n", "p",
+        F.col("rk").alias("lrk"),
+        F.col("pid").alias("left_id"),
+        F.col("plon").alias("llon"), F.col("plat").alias("llat"),
+        (F.col("rk") + 1 + F.col("p")
+         - (F.col("rk") * F.col("n")
+            - (F.col("rk") * (F.col("rk") + 1) / 2).cast("long"))
+         ).alias("rrk"),
+    )
+    out = lefts.join(
+        rows_in.select(
+            "cell", F.col("rk").alias("rrk"),
+            F.col("pid").alias("right_id"),
+            F.col("plon").alias("rlon"), F.col("plat").alias("rlat"),
+        ),
+        ["cell", "rrk"],
+    ).select(
+        "pos", "left_id", "right_id",
+        F.sqrt(
+            (F.col("llon") - F.col("rlon"))
+            * (F.col("llon") - F.col("rlon"))
+            + (F.col("llat") - F.col("rlat"))
+            * (F.col("llat") - F.col("rlat"))
+        ).alias("dist"),
+    )
+    if radius is not None:
+        out = out.where(F.col("dist") <= float(radius))
+    return out

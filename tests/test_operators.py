@@ -2369,3 +2369,56 @@ def test_bpe_train_apply_matches_python_reference(spark):
     pc = {(r.left_sym, r.right_sym): r.cnt
           for r in bpe_pair_counts(word_freq(wb)).collect()}
     assert pc == {("a", "b"): 3}
+
+
+def test_sample_radius_pairs_matches_enumerated_slots(spark):
+    """sample_radius_pairs (q138): on a corpus small enough to
+    enumerate, decoding slot -> (cell, left, right) through the
+    prefix-interval joins must EQUAL indexing the brute-force candidate
+    list by the same md5 positions — uniformity and determinism reduce
+    to this identity. Also: the radius rejection only ever removes
+    rows, and a repartitioned input yields the identical sample."""
+    import hashlib
+
+    from osmcha_spark.geo.cells import cell_np
+    from osmcha_spark.operators.sampling import sample_radius_pairs
+
+    import numpy as np
+
+    rows = [(i, float((i * 37) % 200) / 10.0 - 10.0,
+             float((i * 53) % 140) / 10.0 - 7.0) for i in range(120)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    # brute-force candidate list in (cell, lrank, rrank) order
+    ids = np.array([r[0] for r in rows])
+    lons = np.array([r[1] for r in rows])
+    lats = np.array([r[2] for r in rows])
+    cells = cell_np(lons, lats, 4)
+    by_cell = {}
+    for i in np.argsort(ids):
+        by_cell.setdefault(int(cells[i]), []).append(i)
+    cand = []
+    for c in sorted(by_cell):
+        members = by_cell[c]  # already id-ordered
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                cand.append((members[a], members[b]))
+    total = len(cand)
+    assert total > 50
+    exp = {}
+    for j in range(40):
+        h = int(hashlib.md5(f"srj:{j}".encode()).hexdigest()[:15], 16)
+        pos = h % total
+        a, b = cand[pos]
+        d = float(np.hypot(lons[a] - lons[b], lats[a] - lats[b]))
+        exp[pos] = (int(ids[a]), int(ids[b]), round(d, 9))
+    got = {r.pos: (r.left_id, r.right_id, round(r.dist, 9))
+           for r in sample_radius_pairs(pts, 4, 40).collect()}
+    assert got == exp
+    # rejection subset + determinism under repartition
+    kept = {r.pos for r in
+            sample_radius_pairs(pts, 4, 40, radius=3.0).collect()}
+    assert kept == {p for p, (_, _, d) in exp.items() if d <= 3.0}
+    got2 = {r.pos: (r.left_id, r.right_id)
+            for r in sample_radius_pairs(
+                pts.repartition(13), 4, 40).collect()}
+    assert got2 == {p: (l, r) for p, (l, r, _) in exp.items()}
