@@ -7695,6 +7695,86 @@ def _q137_oracle() -> str:
     return f"WITH p AS ({pts})\n{body}"
 
 
+# --------------------------------------------------------------- q139
+
+def q139_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid/cell DBSCAN hotspot clustering (operators/tiles.py:
+    grid_dbscan): 3×3 focal density (q115's raster algebra) marks core
+    cells, hash-min connected components (q40's machinery) over
+    8-adjacent cores form clusters, occupied sub-threshold cells
+    adjacent to a core join as border cells under the deterministic
+    min-cluster rule, everything else is noise. The synth points'
+    planted 60%-in-8-clusters structure makes the answer non-trivial at
+    every SF. Oracle: focal CTE (q115 pattern) + recursive min-label
+    reachability (q40 pattern) + declarative border rule. The
+    straddle-merge / gradient-border / noise semantics are pinned in
+    tests/test_geo.py::test_grid_dbscan_planted_clusters."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import grid_dbscan
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    out = grid_dbscan(pts, level=7, min_pts=8)
+    return out.select(
+        "cell", "x", "y", F.col("n").cast("long").alias("n"),
+        "cluster_id", F.col("is_core").cast("int").alias("is_core"),
+    )
+
+
+def _q139_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+
+    lvl, min_pts, lim = 7, 8, (1 << 7) - 1
+    xs = _axis_sql("lon", 180.0, 360.0, lvl)
+    ys = _axis_sql("lat", 90.0, 180.0, lvl)
+    cell = f"(({_spread_sql('c.x')}) | (({_spread_sql('c.y')}) << 1) " \
+           f"| {lvl << 56})"
+    return f"""
+WITH RECURSIVE pts AS ({synth.points_sql(D)}),
+xy AS (SELECT ({xs}) AS x, ({ys}) AS y FROM pts),
+counts AS (SELECT x, y, count(*) AS n FROM xy GROUP BY 1, 2),
+off AS (SELECT unnest(range(-1, 2)) AS d),
+contrib AS (
+  SELECT c.x + dx.d AS x, c.y + dy.d AS y, sum(c.n) AS focal_n
+  FROM counts c, off dx, off dy
+  WHERE c.x + dx.d BETWEEN 0 AND {lim}
+    AND c.y + dy.d BETWEEN 0 AND {lim}
+  GROUP BY 1, 2
+),
+fs AS (
+  SELECT c.x, c.y, {cell} AS cell, c.n, f.focal_n
+  FROM counts c JOIN contrib f USING (x, y)
+),
+core AS (SELECT * FROM fs WHERE focal_n >= {min_pts}),
+e0 AS (
+  SELECT a.cell AS a, b.cell AS b
+  FROM core a JOIN core b
+    ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.cell < b.cell
+),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+reach(node, lab) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+lab AS (SELECT node AS cell, min(lab) AS cluster_id FROM reach GROUP BY 1),
+core_out AS (
+  SELECT c.cell, c.x, c.y, CAST(c.n AS BIGINT) AS n, l.cluster_id
+  FROM core c JOIN lab l USING (cell)
+),
+border AS (
+  SELECT f.cell, f.x, f.y, CAST(f.n AS BIGINT) AS n,
+         min(co.cluster_id) AS cluster_id
+  FROM fs f JOIN core_out co
+    ON abs(f.x - co.x) <= 1 AND abs(f.y - co.y) <= 1
+  WHERE f.focal_n < {min_pts}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT cell, x, y, n, cluster_id, CAST(1 AS INT) AS is_core FROM core_out
+UNION ALL
+SELECT cell, x, y, n, cluster_id, CAST(0 AS INT) AS is_core FROM border
+"""
+
+
 # --------------------------------------------------------------- q138
 
 def q138_sampled_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8046,6 +8126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_remove_boilerplate_lines": q136_remove_boilerplate_lines,
         "q137_zonal_aggregate": q137_zonal_aggregate,
         "q138_sampled_radius_pairs": q138_sampled_radius_pairs,
+        "q139_grid_dbscan": q139_grid_dbscan,
     }
 
 
@@ -8113,6 +8194,7 @@ def oracle_sql() -> dict[str, str]:
         "q136_remove_boilerplate_lines": _Q136_ORACLE,
         "q137_zonal_aggregate": _q137_oracle(),
         "q138_sampled_radius_pairs": _q138_oracle(),
+        "q139_grid_dbscan": _q139_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

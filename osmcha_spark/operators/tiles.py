@@ -382,3 +382,80 @@ def zonal_aggregate(
             .alias("sum_val"),
         )
     )
+
+
+def grid_dbscan(
+    points: DataFrame,
+    level: int,
+    min_pts: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(cell, x, y, n, cluster_id, is_core) — grid/cell DBSCAN over the
+    level-``level`` raster: a density-based hotspot clustering built
+    entirely from the engine's existing raster algebra. A cell is CORE
+    when its 3×3 focal point-count reaches ``min_pts``
+    (:func:`focal_sum`); clusters are connected components over
+    8-adjacent core cells (operators/components.py hash-min — O(cluster
+    diameter IN CELLS) rounds); an occupied non-core cell adjacent to a
+    core joins the MINIMUM adjacent cluster (the classic DBSCAN border
+    rule made deterministic); unoccupied or isolated cells are noise
+    and are not emitted. ``cluster_id`` = the component's minimum
+    level-tagged Morton id.
+
+    Scale shape: everything after the one point→cell aggregation runs
+    on the RASTER (≤ 4^level rows regardless of corpus size) — the ×9
+    neighbor explodes, the CC loop, and the border join all touch cell
+    tables only; a 10^12-point corpus pays exactly one map-side-
+    combined groupBy on the fact."""
+    fs = focal_sum(points, level, lon_col, lat_col, radius=1)
+    core = fs.where(F.col("focal_n") >= int(min_pts))
+    off = F.sequence(F.lit(-1), F.lit(1))
+    nbr = (
+        core.select("x", "y", F.col("cell").alias("a"),
+                    F.explode(off).alias("dx"))
+        .select((F.col("x") + F.col("dx")).alias("tx"), "y", "a",
+                F.explode(off).alias("dy"))
+        .select("tx", (F.col("y") + F.col("dy")).alias("ty"), "a")
+    )
+    core_xy = core.select(
+        F.col("x").alias("tx"), F.col("y").alias("ty"),
+        F.col("cell").alias("b"),
+    )
+    edges = (
+        nbr.join(core_xy, ["tx", "ty"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    from osmcha_spark.operators.components import connected_components
+
+    labels = connected_components(
+        core.select(F.col("cell").alias("id")), edges)
+    core_out = (
+        core.join(labels, core["cell"] == labels["id"])
+        .select("cell", "x", "y", "n", "cluster_id",
+                F.lit(1).alias("is_core"))
+    )
+    border_cand = (
+        fs.where(F.col("focal_n") < int(min_pts))
+        .select("cell", "x", "y", "n",
+                F.explode(off).alias("dx"))
+        .select("cell", "x", "y", "n",
+                (F.col("x") + F.col("dx")).alias("tx"),
+                F.explode(off).alias("dy"))
+        .select("cell", "x", "y", "n", "tx",
+                (F.col("y") + F.col("dy")).alias("ty"))
+    )
+    core_lab_xy = core_out.select(
+        F.col("x").alias("tx"), F.col("y").alias("ty"),
+        F.col("cluster_id").alias("nbr_cluster"),
+    )
+    border_out = (
+        border_cand.join(core_lab_xy, ["tx", "ty"])
+        .groupBy("cell", "x", "y", "n")
+        .agg(F.min("nbr_cluster").alias("cluster_id"))
+        .select("cell", "x", "y", "n", "cluster_id",
+                F.lit(0).alias("is_core"))
+    )
+    return core_out.unionByName(border_out)

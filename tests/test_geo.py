@@ -502,3 +502,51 @@ def test_zonal_aggregate_matches_naive_pip(spark):
     # points in interior cells vastly outnumber the refined ones at
     # this level — the decomposition actually saves pip work
     assert len(int_ids) > len(bnd_ids) / 4
+
+
+def test_grid_dbscan_planted_clusters(spark):
+    """grid_dbscan (q139): two planted dense blobs become two distinct
+    clusters (core cells labeled by component-min cell id), a straddling
+    blob's cells MERGE into one cluster, sparse cells are noise (not
+    emitted), and an occupied non-core cell adjacent to a core joins as
+    a border cell with is_core=0."""
+    from osmcha_spark.operators.tiles import grid_dbscan
+
+    lim_step = 360.0 / (1 << 6)  # level-6 cell width in lon
+    rows = []
+    rid = 0
+    # blob A: density gradient [18, 3, 1] across three adjacent cells:
+    # focal counts are [21, 22, 4] at min_pts=20 -> two core cells and
+    # ONE true border cell (occupied, focal < min_pts, core-adjacent)
+    for i in range(18):
+        rows.append((rid, 10.0 + 0.01 * i, 10.0)); rid += 1
+    for i in range(3):
+        rows.append((rid, 10.0 + lim_step + 0.01 * i, 10.0)); rid += 1
+    rows.append((rid, 10.0 + 2 * lim_step, 10.0)); rid += 1
+    # blob B: straddles a cell boundary in lon -> two adjacent core
+    # cells, must merge into ONE cluster
+    bx = -180.0 + 20 * lim_step  # exact cell boundary
+    for i in range(40):
+        rows.append((rid, bx - 0.02 - 0.001 * i, -30.0)); rid += 1
+        rows.append((rid, bx + 0.02 + 0.001 * i, -30.0)); rid += 1
+    # noise: isolated single points far away
+    rows.append((rid, 120.0, 60.0)); rid += 1
+    rows.append((rid, -120.0, -60.0)); rid += 1
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = grid_dbscan(pts, level=6, min_pts=20).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    # blob A + its border cell = one cluster; blob B = one cluster
+    assert len(by_cluster) == 2
+    sizes = sorted(
+        (sum(r.n for r in v), len([r for r in v if r.is_core == 1]),
+         len([r for r in v if r.is_core == 0]))
+        for v in by_cluster.values()
+    )
+    # blob A: 21 pts in 2 core cells + 1 pt in its border cell
+    # blob B: 80 pts across 2 MERGED core cells, no border
+    assert sizes == [(22, 2, 1), (80, 2, 0)]
+    # noise points are absent
+    emitted = sum(r.n for r in out)
+    assert emitted == 102
