@@ -7986,7 +7986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays), q79 (PQ tier; q94 ivfpq + q106 refine + q101 residual all
     # stay), q86 (banded edit-distance; q80 prefix-filter + q97 entity
     # resolution stay). All four keep their r4-green rows and the local
-    # sweep. See SURVEY.md §2.13 rotation note.
+    # sweep. Late-r5 #4: q137 (zonal aggregation — the graft tier's
+    # geospatial leg, and the riskiest new machinery: driver-side cell
+    # classification + sign-folded half-plane mirror) seats over
+    # q51_image_features, whose oracle reads generation-time STORED
+    # fixture columns (the lowest-divergence-risk seat on the board;
+    # r4-green, still swept). q135/q136/q138/q139 sit past slot 50 with
+    # dual-SF sweep + pytest evidence. See SURVEY.md §2.13.
     return {
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
@@ -8014,7 +8020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_snapshot_table": q124_snapshot_table,
         "q125_stream_left_outer_join": q125_stream_left_outer_join,
         "q126_remove_shared_spans": q126_remove_shared_spans,
-        "q51_image_features": q51_image_features,
+        "q137_zonal_aggregate": q137_zonal_aggregate,
         "q131_snapshot_stat_prune": q131_snapshot_stat_prune,
         "q54_user_stats_stateful": q54_user_stats_stateful,
         "q58_partitioned_upsert": q58_partitioned_upsert,
@@ -8124,7 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_curation_funnel": q130_curation_funnel,
         "q135_snapshot_bloom_lookup": q135_snapshot_bloom_lookup,
         "q136_remove_boilerplate_lines": q136_remove_boilerplate_lines,
-        "q137_zonal_aggregate": q137_zonal_aggregate,
+        "q51_image_features": q51_image_features,
         "q138_sampled_radius_pairs": q138_sampled_radius_pairs,
         "q139_grid_dbscan": q139_grid_dbscan,
     }
