@@ -7940,6 +7940,67 @@ LEFT JOIN reb r ON r.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------- q140
+
+def q140_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized bigram-LM quality scoring (operators/text.py:
+    ngram_lm_score — the CCNet / Wenzek et al. 2020 perplexity-filter
+    rung: train an n-gram LM on a trusted reference corpus, score every
+    document). The trusted half is the odd doc_ids; every document is
+    scored — qlp(b|a) = flog2(C(ab)+1) − flog2(C(a)+1), floor-log2
+    being the exact fixed-point log (length(bin(x))−1 in Spark,
+    length(format('{:b}',x))−1 in DuckDB), so loglik_q is a pure
+    function of integer training counts and the oracle is exact. The
+    oracle mirrors tokenization, md5-prefix n-gram hashing, the
+    odd-doc_id training split, and the quantized log, CTE-for-CTE."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import ngram_lm_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    train = docs.where(F.col("doc_id") % 2 == 1)
+    return ngram_lm_score(docs, train)
+
+
+_Q140_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+bg AS (
+  SELECT a.doc_id,
+         CAST('0x' || substring(md5(a.tok || ' ' || b.tok), 1, 15)
+              AS BIGINT) AS bg_h,
+         CAST('0x' || substring(md5(a.tok), 1, 15) AS BIGINT) AS un_h
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+bgc AS (SELECT bg_h, count(*) AS bg_c FROM bg WHERE doc_id % 2 = 1
+        GROUP BY 1),
+unc AS (SELECT un_h, count(*) AS un_c FROM bg WHERE doc_id % 2 = 1
+        GROUP BY 1),
+scored AS (
+  SELECT g.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN c.bg_c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         sum((length(format('{:b}', COALESCE(c.bg_c, 0) + 1)) - 1)
+           - (length(format('{:b}', COALESCE(u.un_c, 0) + 1)) - 1))
+           AS loglik_q
+  FROM bg g
+  LEFT JOIN bgc c ON c.bg_h = g.bg_h
+  LEFT JOIN unc u ON u.un_h = g.un_h
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(s.loglik_q, 0) AS BIGINT) AS loglik_q
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8133,6 +8194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_image_features": q51_image_features,
         "q138_sampled_radius_pairs": q138_sampled_radius_pairs,
         "q139_grid_dbscan": q139_grid_dbscan,
+        "q140_ngram_lm_score": q140_ngram_lm_score,
     }
 
 
@@ -8201,6 +8263,7 @@ def oracle_sql() -> dict[str, str]:
         "q137_zonal_aggregate": _q137_oracle(),
         "q138_sampled_radius_pairs": _q138_oracle(),
         "q139_grid_dbscan": _q139_oracle(),
+        "q140_ngram_lm_score": _Q140_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

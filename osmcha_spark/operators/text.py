@@ -552,3 +552,111 @@ def apply_bpe(docs: DataFrame, merges: list, text_col: str = "text",
         F.size(symbols).alias("n_tokens"),
         symbols.alias("tokens"),
     )
+
+
+# ----------------------------------------------------------------
+# n-gram language-model quality scoring (the CCNet / Wenzek et al.
+# 2020 perplexity-filter rung, arXiv:1911.00359 §3: score every
+# document with an LM trained on a trusted reference corpus; keep the
+# head of the perplexity distribution). No reference counterpart
+# (engine-only, the LLM-pipeline brief's quality leg).
+# ----------------------------------------------------------------
+
+def flog2_col(x: Column) -> Column:
+    """Exact ``floor(log2(x))`` for an int64 column with x >= 1, with
+    no floating point anywhere: the bit length of the binary string
+    minus one (Spark ``bin``; the DuckDB mirror is
+    ``length(format('{:b}', x)) - 1``). The integer-log primitive that
+    makes LM scores a pure function of integer counts — the same
+    exactness move as hashed_ngram_score's integer weights."""
+    return F.length(F.bin(x)) - F.lit(1)
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantized add-one bigram language model: train on ``train``'s
+    text, score every ``docs`` row — the CCNet quality-filter shape
+    (KenLM perplexity against a trusted corpus) with the log-prob
+    QUANTIZED to exact integers so engine and oracle agree bit-for-bit.
+
+    Per scored bigram ``(a, b)``::
+
+        qlp(b | a) = flog2(C(a b) + 1) - flog2(C(a) + 1)   (<= 0)
+
+    where ``C`` are training counts — floor-log2 is the fixed-point
+    log (deploying a real KenLM would swap ``flog2`` for the float
+    log-prob table; everything else is unchanged). Documents score
+
+        ``loglik_q = sum(qlp)``, ``n_oov`` = bigrams with C(a b) = 0.
+
+    Lower (more negative) loglik_q per bigram = less reference-like;
+    thresholding is the caller's policy (CCNet keeps head/middle of
+    the distribution). Docs with < 2 tokens emit ``(0, 0, 0)``.
+
+    Scale shape: training is ONE token explode + two map-side-combined
+    count groupBys (unigram, bigram); n-grams hash to int64 map-side
+    (md5-prefix, the sanctioned hash) BEFORE any shuffle, so count
+    tables shuffle 8-byte keys. Scoring is one explode + two equi-joins
+    against the count tables (ordinary shuffle joins — a trained count
+    table is vocabulary-sized, worst-case corpus-sized; never blindly
+    broadcast) + one map-side-combined per-doc sum. The final doc-keyed
+    left join resurrects sub-2-token docs (q128's pattern). No UDF.
+    """
+    from osmcha_spark.operators.dedup import md5_long_col
+
+    def _grams(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(pairs).alias("g"),
+        ).select(
+            "doc_id",
+            md5_long_col(F.col("g")).alias("bg_h"),
+            md5_long_col(F.split(F.col("g"), " ")[0]).alias("un_h"),
+        )
+
+    tg = _grams(train)
+    bg_cnt = tg.groupBy("bg_h").agg(F.count(F.lit(1)).alias("bg_c"))
+    un_cnt = tg.groupBy("un_h").agg(F.count(F.lit(1)).alias("un_c"))
+
+    scored = (
+        _grams(docs)
+        .join(bg_cnt, "bg_h", "left")
+        .join(un_cnt, "un_h", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("bg_c"), F.lit(0).cast("long")).alias("bc"),
+            F.coalesce(F.col("un_c"), F.lit(0).cast("long")).alias("uc"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("bc") == 0).cast("long")).alias("n_oov"),
+            F.sum(
+                flog2_col(F.col("bc") + 1) - flog2_col(F.col("uc") + 1)
+            ).alias("loglik_q"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+            .alias("n_bigrams"),
+            F.coalesce(F.col("n_oov"), F.lit(0).cast("long"))
+            .alias("n_oov"),
+            F.coalesce(F.col("loglik_q"), F.lit(0).cast("long"))
+            .alias("loglik_q"),
+        )
+    )

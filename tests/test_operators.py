@@ -2422,3 +2422,37 @@ def test_sample_radius_pairs_matches_enumerated_slots(spark):
             for r in sample_radius_pairs(
                 pts.repartition(13), 4, 40).collect()}
     assert got2 == {p: (l, r) for p, (l, r, _) in exp.items()}
+
+
+def test_ngram_lm_score_quantized_counts_and_edges(spark):
+    """ngram_lm_score (q140): hand-checked quantized conditional
+    log-probs against known training counts, OOV bigrams counted and
+    scored flog2(1)−flog2(C(prefix)+1), sub-2-token docs emit
+    (0, 0, 0), and flog2 is the exact integer floor-log2."""
+    from osmcha_spark.operators.text import flog2_col, ngram_lm_score
+
+    flogs = (
+        spark.range(1, 17)
+        .select(flog2_col(F.col("id")).alias("f"))
+        .collect()
+    )
+    import math
+    assert [r.f for r in flogs] == [
+        int(math.floor(math.log2(v))) for v in range(1, 17)
+    ]
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "c a b"), (3, "a"), (4, "")],
+        "doc_id long, text string",
+    )
+    train = docs.where(F.col("doc_id") == 1)
+    # train counts: C(a b)=2 C(b a)=2 C(a c)=1; prefixes C(a)=3 C(b)=2
+    # qlp(a b) = flog2(3)-flog2(4) = -1; qlp(b a) = flog2(3)-flog2(3) = 0
+    # qlp(a c) = flog2(2)-flog2(4) = -1
+    got = {r.doc_id: (r.n_bigrams, r.n_oov, r.loglik_q)
+           for r in ngram_lm_score(docs, train).collect()}
+    assert got[1] == (5, 0, -3)
+    # doc 2: (c a) is OOV with unseen prefix → flog2(1)-flog2(1)=0;
+    # (a b) scores -1
+    assert got[2] == (2, 1, -1)
+    assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)

@@ -743,3 +743,19 @@ def test_bpe_plans_are_python_free_and_vocab_scaled(spark):
     assert "BatchEvalPython" not in enc_plan \
         and "ArrowEvalPython" not in enc_plan
     assert "Exchange" not in enc_plan, enc_plan
+
+
+def test_ngram_lm_score_plan_shape(spark):
+    """ngram_lm_score (q140) plan contract: no Python eval anywhere
+    (the quantized log is pure Column arithmetic), no cartesian — the
+    count tables attach by equi-join — and the per-doc sum is map-side
+    combined."""
+    from osmcha_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = _plan(ngram_lm_score(docs, docs.where(F.col("doc_id") == 1)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
