@@ -8001,6 +8001,85 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------- q141
+
+def q141_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (operators/sampling.py:
+    dsir_weights — Xie et al. 2023: hashed uni+bigram bag features, the
+    q128 feature space; importance weight = quantized log-ratio of
+    target-sample vs raw-sample bucket counts, with the corpus-size
+    normalizer folded in). Target sample = doc_id % 7 == 0 (the
+    "wiki-like" trusted slice), raw sample = doc_id % 3 == 0; every
+    document is scored, kept iff logw_q >= 0. The oracle mirrors the
+    feature hashing, both count tables, the flog2 quantization and the
+    normalizer CTE-for-CTE (4096 buckets — collisions are part of the
+    mirrored definition, the q36/q38 rule)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dsir_weights(
+        docs,
+        target=docs.where(F.col("doc_id") % 7 == 0),
+        raw=docs.where(F.col("doc_id") % 3 == 0),
+        n_buckets=4096,
+        min_logw=0,
+    )
+
+
+_Q141_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+feats AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % 4096
+           AS bucket
+  FROM flat
+  UNION ALL
+  SELECT a.doc_id,
+         CAST('0x' || substring(md5(a.tok || ' ' || b.tok), 1, 15)
+              AS BIGINT) % 4096 AS bucket
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+tc AS (SELECT bucket, count(*) AS tc FROM feats WHERE doc_id % 7 = 0
+       GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS rc FROM feats WHERE doc_id % 3 = 0
+       GROUP BY 1),
+nrm AS (
+  SELECT (length(format('{:b}',
+            (SELECT CAST(COALESCE(sum(tc), 0) AS BIGINT) FROM tc) + 1)) - 1)
+       - (length(format('{:b}',
+            (SELECT CAST(COALESCE(sum(rc), 0) AS BIGINT) FROM rc) + 1)) - 1)
+         AS nq
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_features,
+         sum((length(format('{:b}', COALESCE(t.tc, 0) + 1)) - 1)
+           - (length(format('{:b}', COALESCE(r.rc, 0) + 1)) - 1)) AS s
+  FROM feats f
+  LEFT JOIN tc t ON t.bucket = f.bucket
+  LEFT JOIN rc r ON r.bucket = f.bucket
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(s.s, 0)
+            - COALESCE(s.n_features, 0) * (SELECT nq FROM nrm)
+            AS BIGINT) AS logw_q,
+       CAST(CASE WHEN COALESCE(s.s, 0)
+                      - COALESCE(s.n_features, 0) * (SELECT nq FROM nrm)
+                      >= 0
+            THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8195,6 +8274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_sampled_radius_pairs": q138_sampled_radius_pairs,
         "q139_grid_dbscan": q139_grid_dbscan,
         "q140_ngram_lm_score": q140_ngram_lm_score,
+        "q141_dsir_weights": q141_dsir_weights,
     }
 
 
@@ -8264,6 +8344,7 @@ def oracle_sql() -> dict[str, str]:
         "q138_sampled_radius_pairs": _q138_oracle(),
         "q139_grid_dbscan": _q139_oracle(),
         "q140_ngram_lm_score": _Q140_ORACLE,
+        "q141_dsir_weights": _Q141_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -382,3 +382,101 @@ def sample_radius_pairs(
     if radius is not None:
         out = out.where(F.col("dist") <= float(radius))
     return out
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int,
+    min_logw: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling — DSIR (Xie et al.
+    2023, arXiv:2302.03169 §3: hashed n-gram bag features; importance
+    weight = product over features of p_target(b)/p_raw(b) estimated
+    from a trusted target sample and a raw-pool sample), with the
+    log-weight QUANTIZED to exact integers (text.py:flog2_col — the
+    q128/q140 fixed-point move, so engine and oracle agree
+    bit-for-bit). No reference counterpart (engine-only, the
+    LLM-pipeline brief's data-selection leg).
+
+    Per feature occurrence in bucket ``b``::
+
+        qlw(b) = flog2(Ct(b) + 1) - flog2(Cr(b) + 1)
+
+    with ``Ct``/``Cr`` bag counts over the target/raw samples, and the
+    add-one-smoothed corpus-size normalizer folded in per doc::
+
+        logw_q = sum(qlw) - n_features * (flog2(Tt + 1) - flog2(Tr + 1))
+
+    (``Tt``/``Tr`` = total feature occurrences in each sample — the
+    quantized log of the p = C/T denominators). ``kept = 1`` iff
+    ``logw_q >= min_logw`` — DSIR proper then samples ∝ exp(logw);
+    the deterministic gate is the reproducible variant (pair with
+    :func:`deterministic_sample` for the stochastic step). Docs with
+    no tokens emit ``(0, 0, 0)`` and are kept iff ``0 >= min_logw``.
+
+    Scale shape: the feature space is BOUNDED at ``n_buckets`` (DSIR's
+    own trick — 2^20 hash buckets regardless of corpus size), so BOTH
+    count tables broadcast by construction, unlike q140's
+    vocabulary-sized LM tables; features hash map-side (md5-prefix);
+    the only shuffle is the per-doc sum, map-side combined; the
+    normalizer is a broadcast 1-row scalar. No UDF anywhere.
+    """
+    from osmcha_spark.operators.text import flog2_col, hashed_features
+
+    tc = (
+        hashed_features(target, n_buckets, text_col, id_col)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rc = (
+        hashed_features(raw, n_buckets, text_col, id_col)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    )
+    norm = F.broadcast(
+        tc.agg(F.sum("tc").alias("tt"))
+        .crossJoin(rc.agg(F.sum("rc").alias("tr")))
+        .select(
+            (flog2_col(F.col("tt") + 1) - flog2_col(F.col("tr") + 1))
+            .alias("__norm_q")
+        )
+    )
+    scored = (
+        hashed_features(docs, n_buckets, text_col, id_col)
+        .join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .select(
+            "doc_id",
+            (
+                flog2_col(F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                - flog2_col(F.coalesce(F.col("rc"), F.lit(0)) + 1)
+            ).alias("qlw"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("qlw").alias("s"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .crossJoin(norm)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_features"), F.lit(0).cast("long"))
+            .alias("n_features"),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("long"))
+                - F.coalesce(F.col("n_features"), F.lit(0).cast("long"))
+                * F.col("__norm_q")
+            ).alias("logw_q"),
+        )
+        .select(
+            "doc_id", "n_features", "logw_q",
+            (F.col("logw_q") >= F.lit(int(min_logw))).cast("int")
+            .alias("kept"),
+        )
+    )

@@ -319,6 +319,37 @@ def bigram_novelty(docs: DataFrame, reference: DataFrame,
     )
 
 
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, bucket)`` hashed uni+bigram BAG features — the shared
+    feature space of the fastText-shape classifier
+    (:func:`hashed_ngram_score`, q128) and DSIR importance weights
+    (sampling.py:dsir_weights, q141). Features are lowercase
+    whitespace tokens plus adjacent-pair bigrams, one output row per
+    OCCURRENCE (bag, not set); ``bucket = md5-hash(feature) mod
+    n_buckets`` computed map-side before any shuffle."""
+    from osmcha_spark.operators.dedup import md5_long_col
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        (md5_long_col(F.col("f")) % F.lit(int(n_buckets))).alias("bucket"),
+    )
+
+
 def hashed_ngram_score(
     docs: DataFrame,
     weights: DataFrame,
@@ -352,19 +383,8 @@ def hashed_ngram_score(
     The final left join back to docs (to resurrect empty docs) is
     doc-keyed and co-partitioned with the agg output. No UDF anywhere.
     """
-    from osmcha_spark.operators.dedup import md5_long_col
-
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    feats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.concat(toks, bigrams)).alias("f"),
-    )
+    feats = hashed_features(docs, n_buckets, text_col, id_col) \
+        .withColumnRenamed("bucket", "__bucket")
     w = F.broadcast(
         weights.select(
             F.col(bucket_col).alias("__bucket"),
@@ -372,12 +392,7 @@ def hashed_ngram_score(
         )
     )
     scored = (
-        feats.select(
-            "doc_id",
-            (md5_long_col(F.col("f")) % F.lit(int(n_buckets)))
-            .alias("__bucket"),
-        )
-        .join(w, "__bucket", "left")
+        feats.join(w, "__bucket", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_features"),

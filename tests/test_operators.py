@@ -2456,3 +2456,29 @@ def test_ngram_lm_score_quantized_counts_and_edges(spark):
     # (a b) scores -1
     assert got[2] == (2, 1, -1)
     assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)
+
+
+def test_dsir_weights_quantized_ratio_and_gate(spark):
+    """dsir_weights (q141): hand-checked quantized importance
+    log-weights on a collision-free fixture (distinct single tokens at
+    2^20 buckets; md5 is fixed, so no-collision is deterministic), the
+    corpus-size normalizer, the empty-doc path, and the min_logw
+    gate."""
+    from osmcha_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "t t"), (2, "r"), (3, "")], "doc_id long, text string"
+    )
+    target = docs.where(F.col("doc_id") == 1)
+    raw = docs.where(F.col("doc_id") == 2)
+    # Ct: t->2, "t t"->1, Tt=3; Cr: r->1, Tr=1; norm = flog2(4)-flog2(2)=1
+    # d1: s = 1+1+1 = 3, logw = 3 - 3*1 = 0 -> kept at min_logw=0
+    # d2: s = flog2(1)-flog2(2) = -1, logw = -1 - 1 = -2 -> dropped
+    got = {r.doc_id: (r.n_features, r.logw_q, r.kept)
+           for r in dsir_weights(docs, target, raw, 1 << 20).collect()}
+    assert got == {1: (3, 0, 1), 2: (1, -2, 0), 3: (0, 0, 1)}
+
+    strict = {r.doc_id: r.kept
+              for r in dsir_weights(docs, target, raw, 1 << 20,
+                                    min_logw=1).collect()}
+    assert strict == {1: 0, 2: 0, 3: 0}

@@ -759,3 +759,22 @@ def test_ngram_lm_score_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_dsir_weights_plan_shape(spark):
+    """dsir_weights (q141) plan contract: both bucket-count tables are
+    BOUNDED by n_buckets so they ride broadcast joins, the quantized
+    log is pure Column arithmetic (no Python eval), no cartesian
+    product (the 1-row normalizer crosses as a broadcast), and the
+    per-doc sum is map-side combined."""
+    from osmcha_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b d")], "doc_id long, text string"
+    )
+    plan = _plan(dsir_weights(docs, docs.where(F.col("doc_id") == 1),
+                              docs.where(F.col("doc_id") == 2), 4096))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_sum" in plan, plan
