@@ -8080,6 +8080,53 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------- q142
+
+def q142_snapshot_metadata_agg(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (sources/tables.py:
+    snapshot_metadata_agg — Iceberg's ``SELECT count(*)`` shortcut):
+    events land in a snapshot table partitioned on ``p = event_id %
+    8``; per-partition row counts and cents min/max are then answered
+    ENTIRELY from the manifest — the pinned pytest proves no data file
+    is opened (the data dir is made unreadable before the call). The
+    oracle is the plain GROUP BY — matching proves the manifest fold
+    (exact per-file row counts + exact footer [min,max]) equals the
+    scan. n_files is layout-dependent and deliberately excluded from
+    the compared surface."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q142")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            (F.col("event_id") % 8).alias("p"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    T.snapshot_create(ev, path, partition_col="p")
+    return (
+        T.snapshot_metadata_agg(spark, path, cols=["cents"])
+        .select(
+            F.col("partition").alias("p"),
+            "n_rows", "min_cents", "max_cents",
+        )
+    )
+
+
+_Q142_ORACLE = """
+SELECT CAST(event_id % 8 AS VARCHAR) AS p,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(round(value * 100)) AS BIGINT) AS min_cents,
+       CAST(max(round(value * 100)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8275,6 +8322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_grid_dbscan": q139_grid_dbscan,
         "q140_ngram_lm_score": q140_ngram_lm_score,
         "q141_dsir_weights": q141_dsir_weights,
+        "q142_snapshot_metadata_agg": q142_snapshot_metadata_agg,
     }
 
 
@@ -8345,6 +8393,7 @@ def oracle_sql() -> dict[str, str]:
         "q139_grid_dbscan": _q139_oracle(),
         "q140_ngram_lm_score": _Q140_ORACLE,
         "q141_dsir_weights": _Q141_ORACLE,
+        "q142_snapshot_metadata_agg": _Q142_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -480,6 +480,80 @@ def read_snapshot(spark: SparkSession, path: str,
     return _align(df, man.get("schema"))
 
 
+def snapshot_metadata_agg(spark: SparkSession, path: str,
+                          cols: list | None = None,
+                          snapshot: int | None = None) -> DataFrame:
+    """Metadata-only aggregation: per-partition COUNT(*) / MIN / MAX
+    answered from the MANIFEST alone — zero data files opened
+    (Iceberg's ``SELECT count(*)`` metadata shortcut / metadata
+    tables). Every manifest entry already carries the exact per-file
+    row count and exact footer ``[min, max]`` stats (_file_stats), so
+    the fold is driver-side over O(files) of JSON: at 100 TB a table
+    row count is a metadata read, not a scan.
+
+    Returns one row per partition value (a single NULL-partition row
+    for unpartitioned tables): ``(partition, n_files, n_rows,
+    min_<c>, max_<c>, ...)`` for each requested stats column.
+
+    Exactness contract: raises ``ValueError`` if ANY file lacks stats
+    for a requested column — stats absence means "cannot answer",
+    never "empty" (the same rule that keeps pruning lossless). Row
+    counts need no stats and are always answerable. Time travel via
+    ``snapshot`` composes: each manifest is immutable."""
+    sid = current_snapshot(path) if snapshot is None else int(snapshot)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, sid)
+    cols = list(cols or [])
+    acc: dict = {}
+    for f in man["files"]:
+        pv = f["partition"]
+        a = acc.setdefault(pv, [0, 0, {c: None for c in cols}])
+        a[0] += 1
+        a[1] += int(f["rows"])
+        for c in cols:
+            st = (f.get("stats") or {}).get(c)
+            if st is None:
+                raise ValueError(
+                    f"file {f['name']} has no stats for column {c!r}: "
+                    "metadata aggregation cannot answer exactly"
+                )
+            cur = a[2][c]
+            a[2][c] = (
+                [st[0], st[1]] if cur is None
+                else [min(cur[0], st[0]), max(cur[1], st[1])]
+            )
+    from pyspark.sql import types as T
+
+    def _stat_type(c):
+        for a in acc.values():
+            st = a[2][c]
+            if st is not None and any(
+                isinstance(v, float) for v in st
+            ):
+                return T.DoubleType()
+        return T.LongType()
+
+    fields = [
+        T.StructField("partition", T.StringType()),
+        T.StructField("n_files", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in cols:
+        t = _stat_type(c)
+        fields += [T.StructField(f"min_{c}", t),
+                   T.StructField(f"max_{c}", t)]
+    rows = []
+    for pv in sorted(acc, key=lambda v: (v is None, v)):
+        n_files, n_rows, stats = acc[pv]
+        row = [pv, n_files, n_rows]
+        for c in cols:
+            st = stats[c]
+            row += [st[0], st[1]]
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
 def snapshot_changes(spark: SparkSession, path: str,
                      from_snapshot: int,
                      to_snapshot: int | None = None) -> DataFrame:

@@ -284,3 +284,53 @@ def test_concurrent_commit_collision_raises_not_overwrites(
     assert s2 == 2
     got = {r.k for r in T.read_snapshot(spark, path).collect()}
     assert {900, 901} <= got and len(got) == 42
+
+
+def test_metadata_agg_opens_no_data_files(spark, tmp_path):
+    """snapshot_metadata_agg (q142): per-partition counts and min/max
+    answered with the data directory made UNREADABLE — proof the
+    aggregation is manifest-only; values equal the scan's; requesting
+    a stats-less (string) column raises instead of guessing; float
+    stats keep their type; time travel reads the OLD manifest."""
+    path = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("part"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") / 4.0).alias("x"),
+    )
+    T.snapshot_create(df, path, partition_col="part")
+    T.snapshot_append(
+        spark.createDataFrame([(9000, 1, 77777, "s9000", -1.5)],
+                              "k long, part long, v long, "
+                              "name string, x double"),
+        path,
+    )
+
+    datadir = T._data_dir(path)
+    os.chmod(datadir, 0o000)
+    try:
+        got = {r.partition: (r.n_rows, r.min_v, r.max_v, r.min_x, r.max_x)
+               for r in T.snapshot_metadata_agg(
+                   spark, path, cols=["v", "x"]).collect()}
+        with pytest.raises(ValueError, match="no stats"):
+            T.snapshot_metadata_agg(spark, path, cols=["name"])
+        old = {r.partition: r.n_rows
+               for r in T.snapshot_metadata_agg(spark, path,
+                                                snapshot=0).collect()}
+    finally:
+        os.chmod(datadir, 0o755)
+
+    exp = {
+        str(p): (n, mv, xv, mnx, mxx)
+        for p, n, mv, xv, mnx, mxx in df.unionByName(
+            spark.createDataFrame(
+                [(9000, 1, 77777, "s9000", -1.5)],
+                "k long, part long, v long, name string, x double"))
+        .groupBy("part")
+        .agg(F.count("*"), F.min("v"), F.max("v"), F.min("x"), F.max("x"))
+        .collect()
+    }
+    assert got == exp
+    assert old == {"0": 100, "1": 100, "2": 100}
