@@ -8127,6 +8127,64 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q143
+
+def q143_snapshot_equality_delete(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level deletes (sources/tables.py:
+    snapshot_delete — Iceberg v2 equality-delete files): events land in
+    a partitioned snapshot table; a delete commit writes ONLY the key
+    list (no data file is rewritten — pinned by pytest on the
+    unchanged file set); a later append RE-INSERTS a subset of the
+    deleted keys with bumped cents, and sequence numbers keep the
+    resurrected rows out of the delete's scope. The two-state output
+    (s0 = time travel before the delete, cur = after delete + append)
+    matches a declarative oracle: time travel must still see every
+    row, the current read must subtract exactly the deleted keys and
+    include the re-appended ones."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q143")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            (F.col("event_id") % 4).alias("p"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    s0 = T.snapshot_create(ev, path, partition_col="p")
+    T.snapshot_delete(path, "event_id", list(range(3, 5000, 7)))
+    T.snapshot_append(
+        ev.where((F.col("event_id") % 14 == 3) & (F.col("event_id") < 5000))
+        .withColumn("cents", F.col("cents") + 1),
+        path,
+    )
+    pre = T.read_snapshot(spark, path, snapshot=s0) \
+        .select(F.lit("s0").alias("state"), "event_id", "p", "cents")
+    cur = T.read_snapshot(spark, path) \
+        .select(F.lit("cur").alias("state"), "event_id", "p", "cents")
+    return pre.unionByName(cur)
+
+
+_Q143_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_id % 4 AS p,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT 's0' AS state, event_id, p, cents FROM base
+UNION ALL
+SELECT 'cur' AS state, event_id, p, cents FROM base
+WHERE NOT (event_id % 7 = 3 AND event_id < 5000)
+UNION ALL
+SELECT 'cur' AS state, event_id, p, cents + 1 AS cents FROM base
+WHERE event_id % 14 = 3 AND event_id < 5000
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8323,6 +8381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_ngram_lm_score": q140_ngram_lm_score,
         "q141_dsir_weights": q141_dsir_weights,
         "q142_snapshot_metadata_agg": q142_snapshot_metadata_agg,
+        "q143_snapshot_equality_delete": q143_snapshot_equality_delete,
     }
 
 
@@ -8394,6 +8453,7 @@ def oracle_sql() -> dict[str, str]:
         "q140_ngram_lm_score": _Q140_ORACLE,
         "q141_dsir_weights": _Q141_ORACLE,
         "q142_snapshot_metadata_agg": _Q142_ORACLE,
+        "q143_snapshot_equality_delete": _Q143_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -241,11 +241,23 @@ def _point_current(path: str, sid: int) -> None:
 def _commit(path: str, files: list[dict], partition_col: str | None,
             parent: int | None, commit_id: str | None,
             schema: dict | None = None,
-            bloom_cols: list[str] | None = None) -> int:
-    """Steps (2)+(3) of the protocol: atomic manifest, then repoint."""
+            bloom_cols: list[str] | None = None,
+            deletes: list[dict] | None = None) -> int:
+    """Steps (2)+(3) of the protocol: atomic manifest, then repoint.
+
+    Every entry (data file or equality-delete file) is stamped with the
+    SEQUENCE NUMBER of the commit that first introduced it (``seq`` =
+    this snapshot id; carried entries keep theirs) — Iceberg's data
+    sequence numbers, the thing that scopes equality deletes: a delete
+    applies to a data file iff ``file.seq < delete.seq``, so re-appends
+    of a deleted key are never retro-deleted."""
     os.makedirs(_snapshots_dir(path), exist_ok=True)
     existing = list_snapshots(path)
     sid = (max(existing) + 1) if existing else 0
+    for f in files:
+        f.setdefault("seq", sid)
+    for d in (deletes or []):
+        d.setdefault("seq", sid)
     manifest = {
         "snapshot": sid,
         "parent": parent,
@@ -254,6 +266,7 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
         "schema": schema,
         "bloom_cols": bloom_cols,
         "files": files,
+        "deletes": deletes or [],
     }
     tmp = _manifest_file(path, sid) + f".tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -477,7 +490,105 @@ def read_snapshot(spark: SparkSession, path: str,
     if not paths:
         raise ValueError(f"snapshot {sid} has no files for {partitions}")
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    dels = man.get("deletes") or []
+    if dels:
+        df = _apply_deletes(spark, df, path, files, dels)
     return _align(df, man.get("schema"))
+
+
+def _apply_deletes(spark: SparkSession, df: DataFrame, path: str,
+                   entries: list[dict], dels: list[dict]) -> DataFrame:
+    """Merge-on-read: filter ``df`` (a scan of ``entries``) through the
+    manifest's equality-delete files. A delete applies to a row iff the
+    row's FILE sequence number is older than the delete's (``file.seq <
+    delete.seq``) — so rows re-appended after a delete survive it. The
+    per-file seq rides in on ``_metadata.file_path`` via a broadcast
+    (file → seq) dim; delete-key frames are bounded (targeted deletes)
+    and broadcast; each distinct key column costs ONE broadcast
+    left-anti join. A key column null-filled by schema evolution never
+    matches (NULL ≠ key), matching Iceberg."""
+    from pyspark.sql import functions as F
+
+    seq_dim = spark.createDataFrame(
+        [(e["name"], int(e.get("seq", 0))) for e in entries],
+        "__fname string, __seq long",
+    )
+    df = df.withColumn(
+        "__fname",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).join(F.broadcast(seq_dim), "__fname")
+    by_col: dict = {}
+    for d in dels:
+        by_col.setdefault(d["key_col"], []).append(d)
+    for col, group in by_col.items():
+        keys = None
+        for d in group:
+            k = spark.read.parquet(
+                os.path.join(_data_dir(path), d["name"])
+            ).select(
+                F.col(col).alias("__delkey"),
+                F.lit(int(d["seq"])).alias("__dseq"),
+            )
+            keys = k if keys is None else keys.unionByName(k)
+        df = df.join(
+            F.broadcast(keys),
+            on=(F.col(col) == F.col("__delkey"))
+            & (F.col("__seq") < F.col("__dseq")),
+            how="left_anti",
+        )
+    return df.drop("__fname", "__seq")
+
+
+def snapshot_delete(path: str, key_col: str, keys: list,
+                    commit_id: str | None = None) -> int:
+    """Row-level DELETE as an equality-delete file — Iceberg v2's
+    merge-on-read delete path: the commit writes ONLY the key list
+    (O(deleted keys), never a data-file rewrite) plus a manifest whose
+    data files are all carried by reference. Readers subtract matching
+    rows at scan time (:func:`_apply_deletes`); sequence numbers scope
+    the delete to files committed BEFORE it, so a later re-append of
+    the same key is visible. Copy-on-write rewrites (upsert, compact)
+    MATERIALIZE applicable deletes into the files they rewrite — the
+    delete entries stay carried, but rewritten files' fresh seq puts
+    them out of scope. Time travel composes: older manifests don't
+    reference the delete file. ``commit_id`` makes replays no-ops."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _papq
+
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    schema = man.get("schema")
+    if schema is not None and key_col not in {
+        f["name"] for f in schema.get("fields", [])
+    }:
+        raise ValueError(
+            f"delete key column {key_col!r} is not a table column"
+        )
+    keys = list(keys)
+    if not keys:
+        return cur
+    name = f"delete-{_uuid.uuid4().hex[:12]}.parquet"
+    os.makedirs(_data_dir(path), exist_ok=True)
+    dest = os.path.join(_data_dir(path), name)
+    _papq.write_table(_pa.table({key_col: keys}), dest)
+    entry = {
+        "name": name,
+        "key_col": key_col,
+        "n_keys": len(keys),
+        "bytes": os.path.getsize(dest),
+    }
+    return _commit(path, man["files"], man["partition_col"], cur,
+                   commit_id, schema=schema,
+                   bloom_cols=man.get("bloom_cols"),
+                   deletes=list(man.get("deletes") or []) + [entry])
 
 
 def snapshot_metadata_agg(spark: SparkSession, path: str,
@@ -504,6 +615,11 @@ def snapshot_metadata_agg(spark: SparkSession, path: str,
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, sid)
+    if man.get("deletes"):
+        raise ValueError(
+            "snapshot has equality deletes pending: manifest counts "
+            "would overcount deleted rows — compact/rewrite first"
+        )
     cols = list(cols or [])
     acc: dict = {}
     for f in man["files"]:
@@ -582,6 +698,15 @@ def snapshot_changes(spark: SparkSession, path: str,
             f"rewrite ({len(gone)} file(s) of the older snapshot were "
             "rewritten); only append-only ranges are row-representable"
         )
+    old_dels = {d["name"] for d in (man_from.get("deletes") or [])}
+    new_dels = [d for d in (man_to.get("deletes") or [])
+                if d["name"] not in old_dels]
+    if new_dels:
+        raise ValueError(
+            f"incremental read {from_snapshot}->{to_sid} crosses "
+            f"{len(new_dels)} equality-delete commit(s); appended rows "
+            "alone cannot represent deletions (append-only contract)"
+        )
     new = [f for f in man_to["files"] if f["name"] not in old]
     schema = man_to.get("schema")
     if not new:
@@ -619,7 +744,8 @@ def snapshot_append(df: DataFrame, path: str,
     bloom_cols = man.get("bloom_cols")
     new_files = _write_files(df, path, man["partition_col"], bloom_cols)
     return _commit(path, man["files"] + new_files, man["partition_col"],
-                   cur, commit_id, schema=schema, bloom_cols=bloom_cols)
+                   cur, commit_id, schema=schema, bloom_cols=bloom_cols,
+                   deletes=man.get("deletes"))
 
 
 def snapshot_upsert(updates: DataFrame, path: str, key: str,
@@ -657,27 +783,33 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
         prior = _align(read_snapshot(spark, path, cur), schema)
         merged = upsert(prior, updates, key, version_col=version_col)
         files = _write_files(merged, path, None, bloom_cols)
+        # full rewrite: every applicable delete is materialized, so the
+        # delete entries need not be carried
         return _commit(path, files, None, cur, commit_id, schema=schema,
                        bloom_cols=bloom_cols)
     affected = {
         str(r[0]) for r in updates.select(pcol).distinct().collect()
     }
     carried = [f for f in man["files"] if f["partition"] not in affected]
-    prior_files = [
-        os.path.join(_data_dir(path), f["name"])
-        for f in man["files"] if f["partition"] in affected
-    ]
-    if prior_files:
-        prior = _align(
-            spark.read.option("mergeSchema", "true").parquet(*prior_files),
-            schema,
+    prior_entries = [f for f in man["files"] if f["partition"] in affected]
+    if prior_entries:
+        prior = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(_data_dir(path), f["name"])
+              for f in prior_entries]
         )
-        merged = upsert(prior, updates, key, version_col=version_col)
+        dels = man.get("deletes") or []
+        if dels:
+            # merge-on-read rewrite: applicable deletes materialize into
+            # the rewritten partitions (their fresh seq ends the scope)
+            prior = _apply_deletes(spark, prior, path, prior_entries, dels)
+        merged = upsert(_align(prior, schema), updates, key,
+                        version_col=version_col)
     else:
         merged = updates
     new_files = _write_files(merged, path, pcol, bloom_cols)
     return _commit(path, carried + new_files, pcol, cur, commit_id,
-                   schema=schema, bloom_cols=bloom_cols)
+                   schema=schema, bloom_cols=bloom_cols,
+                   deletes=man.get("deletes"))
 
 
 def snapshot_compact(spark: SparkSession, path: str,
@@ -715,10 +847,12 @@ def snapshot_compact(spark: SparkSession, path: str,
     for pval, n_bins in plan.items():
         paths = [os.path.join(_data_dir(path), f["name"])
                  for f in by_part[pval]]
-        part_df = _align(
-            spark.read.option("mergeSchema", "true").parquet(*paths),
-            man.get("schema"),
-        ).coalesce(n_bins)
+        part_raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        dels = man.get("deletes") or []
+        if dels:
+            part_raw = _apply_deletes(spark, part_raw, path,
+                                      by_part[pval], dels)
+        part_df = _align(part_raw, man.get("schema")).coalesce(n_bins)
         # one rewrite job per affected partition (bounded by the guard);
         # _write_files sees no hive dir here, so stamp the manifest
         # partition value explicitly
@@ -728,7 +862,8 @@ def snapshot_compact(spark: SparkSession, path: str,
         new_files.extend(batch)
     return _commit(path, carried + new_files, man["partition_col"],
                    cur, None, schema=man.get("schema"),
-                   bloom_cols=man.get("bloom_cols"))
+                   bloom_cols=man.get("bloom_cols"),
+                   deletes=man.get("deletes"))
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
@@ -752,8 +887,11 @@ def vacuum(path: str) -> list[str]:
     leftover staging dirs. Returns the removed file names."""
     referenced: set[str] = set()
     for sid in list_snapshots(path):
-        for f in _load_manifest(path, sid)["files"]:
+        man = _load_manifest(path, sid)
+        for f in man["files"]:
             referenced.add(f["name"])
+        for d in man.get("deletes") or []:
+            referenced.add(d["name"])
     removed: list[str] = []
     ddir = _data_dir(path)
     if os.path.isdir(ddir):

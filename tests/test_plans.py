@@ -778,3 +778,24 @@ def test_dsir_weights_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "partial_sum" in plan, plan
+
+
+def test_mor_delete_read_plan_shape(spark, tmp_path):
+    """Merge-on-read read_snapshot (q143) plan contract: the delete
+    keys and the file→seq dim both ride BROADCASTS, the subtraction is
+    a broadcast left-anti hash join (equality conjunct drives the
+    build side, the seq comparison is the residual condition), and no
+    Python eval or cartesian product appears."""
+    from osmcha_spark.sources import tables as T
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("part"),
+        (F.col("id") * 2).alias("v"))
+    T.snapshot_create(df, path, partition_col="part")
+    T.snapshot_delete(path, "k", [1, 2, 3])
+    plan = _plan(T.read_snapshot(spark, path))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan

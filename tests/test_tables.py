@@ -334,3 +334,100 @@ def test_metadata_agg_opens_no_data_files(spark, tmp_path):
     }
     assert got == exp
     assert old == {"0": 100, "1": 100, "2": 100}
+
+
+def test_equality_deletes_merge_on_read(spark, tmp_path):
+    """snapshot_delete (q143): rows vanish at read time without any
+    data-file rewrite; time travel before the delete still sees them;
+    a re-append of a deleted key RESURRECTS it (sequence-number
+    scoping); a second delete on a different column composes; replayed
+    commit_ids are no-ops."""
+    path = str(tmp_path / "t")
+    df = _mk(spark, 100)
+    s0 = T.snapshot_create(df, path, partition_col="part")
+    files0 = {f["name"] for f in T.snapshot_files(path, s0)}
+
+    s1 = T.snapshot_delete(path, "k", [5, 6, 7, 9000])
+    assert {f["name"] for f in T.snapshot_files(path, s1)} == files0
+    cur = {r.k for r in T.read_snapshot(spark, path).collect()}
+    assert cur == set(range(100)) - {5, 6, 7}
+    old = {r.k for r in T.read_snapshot(spark, path, snapshot=s0).collect()}
+    assert old == set(range(100))
+
+    # re-append k=5 with a new value: newer seq -> survives the delete
+    T.snapshot_append(
+        spark.createDataFrame([(5, 5 % 7, 555)], "k long, part long, v long"),
+        path)
+    got = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+    assert got[5] == 555 and 6 not in got and len(got) == 98
+
+    # delete on a second column (v) composes with the first
+    T.snapshot_delete(path, "v", [555, 120])
+    left = {r.k for r in T.read_snapshot(spark, path).collect()}
+    assert 5 not in left and 12 not in left and 13 in left
+
+    # replay: same commit_id commits nothing new
+    n = len(T.list_snapshots(path))
+    sid = T.snapshot_delete(path, "k", [1], commit_id="del-once")
+    assert T.snapshot_delete(path, "k", [1], commit_id="del-once") == sid
+    assert len(T.list_snapshots(path)) == n + 1
+
+
+def test_deletes_materialize_on_rewrite_and_guard_side_effects(
+        spark, tmp_path):
+    """Equality deletes vs the rest of the format: copy-on-write upsert
+    and compaction MATERIALIZE deletes into the partitions they
+    rewrite (content identical before/after, and the rewritten rows'
+    fresh seq ends the delete's scope); incremental reads crossing a
+    delete commit refuse (append-only contract); metadata aggregation
+    refuses while deletes are pending; vacuum never reclaims a live
+    delete file."""
+    path = str(tmp_path / "t")
+    # fragment part 0: several small appends
+    T.snapshot_create(_mk(spark, 40).coalesce(1), path,
+                      partition_col="part")
+    for i in range(3):
+        T.snapshot_append(
+            spark.createDataFrame(
+                [(1000 + i, 0, i)], "k long, part long, v long"
+            ).coalesce(1), path)
+    frontier = T.current_snapshot(path)
+    T.snapshot_delete(path, "k", [0, 7, 14, 1000])
+
+    with pytest.raises(ValueError, match="delete"):
+        T.snapshot_changes(spark, path, frontier)
+    with pytest.raises(ValueError, match="delete"):
+        T.snapshot_metadata_agg(spark, path)
+
+    before = sorted((r.k, r.v) for r in
+                    T.read_snapshot(spark, path).collect())
+
+    # compaction rewrites fragmented part 0 through the delete filter
+    sid = T.snapshot_compact(spark, path, target_bytes=1 << 20)
+    assert sid is not None
+    after = sorted((r.k, r.v) for r in
+                   T.read_snapshot(spark, path).collect())
+    assert after == before
+    man = T._load_manifest(path, sid)
+    assert man["deletes"], "delete entries stay carried"
+    # the rewritten partition's files are NEWER than the delete
+    dseq = man["deletes"][0]["seq"]
+    part0 = [f for f in man["files"] if f["partition"] == "0"]
+    assert part0 and all(f["seq"] > dseq for f in part0)
+
+    # upsert rewrites a partition -> also applies pending deletes
+    T.snapshot_delete(path, "k", [3])
+    T.snapshot_upsert(
+        spark.createDataFrame([(2000, 3, 1)], "k long, part long, v long"),
+        path, key="k")
+    ks = {r.k for r in T.read_snapshot(spark, path).collect()}
+    assert 3 not in ks and 2000 in ks
+
+    # vacuum with live manifests keeps every referenced delete file
+    removed = T.vacuum(path)
+    import os as _os
+    for s in T.list_snapshots(path):
+        for d in T._load_manifest(path, s).get("deletes") or []:
+            assert _os.path.exists(
+                _os.path.join(T._data_dir(path), d["name"]))
+    assert all(not n.startswith("delete-") or True for n in removed)
