@@ -8185,6 +8185,85 @@ WHERE event_id % 14 = 3 AND event_id < 5000
 """
 
 
+# --------------------------------------------------------------- q144
+
+def _q144_pings_sql(dialect: str) -> str:
+    """Derived trajectory pings, identical in both dialects: each user
+    walks from a hashed home position in 0.09°-lon hops whose offset is
+    a pure function of the 2-DAY time phase — so consecutive events
+    inside (and often across) phases share a level-12 cell and real
+    multi-ping stays form at every SF (~2.2 events/user/day in the
+    fixture). user_id*2_000_000 + phase stays < 2^62 (synth rule)."""
+    t_us = ("unix_micros(cast(ts as timestamp))"
+            if dialect == synth.SPARK else "epoch_us(ts)")
+    ph = synth.idiv(t_us, 172_800_000_000, dialect)
+    h_blon = synth.hash_of("user_id", "blon", dialect)
+    h_blat = synth.hash_of("user_id", "blat", dialect)
+    h_w = synth.hash_of(f"user_id * 2000000 + {ph}", "walk", dialect)
+    lon = (
+        f"cast((({h_blon}) % 320000001) - 160000000 as double) / 1000000.0"
+        f" + cast((({h_w}) % 3) as double) * 0.09"
+    )
+    lat = (
+        f"cast((({h_blat}) % 140000001) - 70000000 as double) / 1000000.0"
+    )
+    return (
+        f"SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat "
+        "FROM events"
+    )
+
+
+def q144_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (operators/tiles.py:stay_points — the
+    trajectory-mining primitive on the Morton grid): maximal runs of
+    consecutive same-cell pings per user with >= 3 pings, over derived
+    random-walk trajectories (the _q144_pings_sql derivation is shared
+    verbatim with the oracle). The oracle mirrors the gaps-and-islands
+    construction — lag-based segment starts, running-sum segment ids,
+    per-segment rollup — WINDOW-for-WINDOW with the (ts, event_id)
+    tiebreak."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import stay_points
+
+    pings = spark.sql(_q144_pings_sql(synth.SPARK))
+    out = stay_points(pings, level=12, min_pings=3,
+                      order_col="event_id")
+    return out.select(
+        "user_id", "cell",
+        F.unix_micros(F.col("enter_ts").cast("timestamp"))
+        .alias("enter_us"),
+        F.unix_micros(F.col("exit_ts").cast("timestamp"))
+        .alias("exit_us"),
+        "n_pings",
+    )
+
+
+def _q144_oracle() -> str:
+    cell = cell_sql("lon", "lat", 12)
+    return f"""
+WITH pings AS ({_q144_pings_sql(synth.DUCKDB)}),
+c AS (SELECT user_id, ts, event_id, {cell} AS cell FROM pings),
+m AS (
+  SELECT user_id, ts, event_id, cell,
+         CASE WHEN lag(cell) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM cell
+              THEN 1 ELSE 0 END AS ns
+  FROM c),
+s AS (
+  SELECT user_id, ts, cell,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS seg
+  FROM m)
+SELECT user_id, max(cell) AS cell,
+       epoch_us(min(ts)) AS enter_us,
+       epoch_us(max(ts)) AS exit_us,
+       CAST(count(*) AS BIGINT) AS n_pings
+FROM s GROUP BY user_id, seg
+HAVING count(*) >= 3
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8382,6 +8461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_dsir_weights": q141_dsir_weights,
         "q142_snapshot_metadata_agg": q142_snapshot_metadata_agg,
         "q143_snapshot_equality_delete": q143_snapshot_equality_delete,
+        "q144_stay_points": q144_stay_points,
     }
 
 
@@ -8454,6 +8534,7 @@ def oracle_sql() -> dict[str, str]:
         "q141_dsir_weights": _Q141_ORACLE,
         "q142_snapshot_metadata_agg": _Q142_ORACLE,
         "q143_snapshot_equality_delete": _Q143_ORACLE,
+        "q144_stay_points": _q144_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -21,7 +21,7 @@ sample of the fact side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from osmcha_spark.geo.cells import cell_col, covering_cells_col
@@ -459,3 +459,67 @@ def grid_dbscan(
                 F.lit(0).alias("is_core"))
     )
     return core_out.unionByName(border_out)
+
+
+def stay_points(
+    pings: DataFrame,
+    level: int = 12,
+    min_pings: int = 3,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Stay-point detection over point trajectories — the
+    trajectory-mining primitive (Li et al. 2008 / Zheng 2015 survey,
+    ch. 1: a location a moving object stayed at), discretized to the
+    engine's Morton grid: a stay is a MAXIMAL run of consecutive
+    same-cell pings per mover with at least ``min_pings`` pings.
+    Engine-only (no reference counterpart — the geospatial-temporal
+    leg the changeset feed lacks).
+
+    Output: ``(user_id, cell, enter_ts, exit_ts, n_pings)``, one row
+    per qualifying stay, timestamps as the run's first/last ping.
+
+    Semantics: runs are gaps-and-islands — a NEW segment starts
+    exactly when the cell differs from the previous ping's cell (or at
+    the first ping); ordering is ``(ts, order_col)``, so pass a unique
+    tiebreaker for deterministic output under duplicate timestamps.
+    Re-visiting a cell later yields a SECOND stay (runs, not visits).
+
+    Scale shape: ONE hash partitioning by mover drives both window
+    passes (lag + running sum share the same window spec, so Catalyst
+    plans a single Exchange + one sort); the segment rollup then
+    groups on (mover, seg) — partial-aggregated map-side. State per
+    task is one mover's ping sequence, never the corpus. No UDF, no
+    self-join: the lag trick replaces the naive "join each ping to its
+    successor"."""
+    order = [F.col("__ts")] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy("user_id").orderBy(*order)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell = cell_col(F.col(lon_col), F.col(lat_col), level)
+    prev = F.lag(F.col("__cell")).over(w)
+    return (
+        pings.select(
+            F.col(id_col).alias("user_id"),
+            F.col(ts_col).alias("__ts"),
+            *( [F.col(order_col)] if order_col else [] ),
+            cell.alias("__cell"),
+        )
+        .withColumn(
+            "__ns",
+            F.when(prev.isNull() | (prev != F.col("__cell")), 1)
+            .otherwise(0),
+        )
+        .withColumn("__seg", F.sum("__ns").over(cum))
+        .groupBy("user_id", "__seg")
+        .agg(
+            F.max("__cell").alias("cell"),
+            F.min("__ts").alias("enter_ts"),
+            F.max("__ts").alias("exit_ts"),
+            F.count(F.lit(1)).alias("n_pings"),
+        )
+        .where(F.col("n_pings") >= F.lit(int(min_pings)))
+        .select("user_id", "cell", "enter_ts", "exit_ts", "n_pings")
+    )

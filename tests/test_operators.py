@@ -2482,3 +2482,32 @@ def test_dsir_weights_quantized_ratio_and_gate(spark):
               for r in dsir_weights(docs, target, raw, 1 << 20,
                                     min_logw=1).collect()}
     assert strict == {1: 0, 2: 0, 3: 0}
+
+
+def test_stay_points_runs_not_visits(spark):
+    """stay_points (q144): a >= min_pings run of same-cell pings is a
+    stay, a shorter run is not, and RE-VISITING a cell later opens a
+    SECOND stay (gaps-and-islands, not per-cell rollup); enter/exit
+    are the run's first/last ping; a second user's run is independent."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.tiles import stay_points
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = (
+        [(1, t(i), i, 0.0, 0.0) for i in range(3)]          # stay A
+        + [(1, t(3 + i), 3 + i, 0.2, 0.0) for i in range(2)]  # short hop
+        + [(1, t(5 + i), 5 + i, 0.0, 0.0) for i in range(3)]  # stay A again
+        + [(2, t(i), 10 + i, 50.0, 10.0) for i in range(4)]   # user 2
+    )
+    pings = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "lon double, lat double")
+    got = sorted(
+        (r.user_id, r.n_pings, r.enter_ts.minute, r.exit_ts.minute)
+        for r in stay_points(pings, level=12, min_pings=3,
+                             order_col="event_id").collect()
+    )
+    assert got == [(1, 3, 0, 2), (1, 3, 5, 7), (2, 4, 0, 3)]

@@ -799,3 +799,25 @@ def test_mor_delete_read_plan_shape(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_stay_points_plan_shape(spark):
+    """stay_points (q144) plan contract: the lag and the running sum
+    share ONE window partitioning (a single hash exchange on the mover
+    feeds both window passes), the segment rollup partial-aggregates,
+    and there's no Python eval and no join at all."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.tiles import stay_points
+
+    pings = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 0.0, 0.0),
+         (1, datetime(2024, 1, 2), 2, 0.1, 0.0)],
+        "user_id long, ts timestamp, event_id long, "
+        "lon double, lat double")
+    plan = _plan(stay_points(pings, order_col="event_id"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
+    # one exchange for the shared window spec, one for the rollup
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
