@@ -8264,6 +8264,61 @@ HAVING count(*) >= 3
 """
 
 
+# --------------------------------------------------------------- q145
+
+def _q145_pings_sql(dialect: str) -> str:
+    """Derived venue-visit pings: each user visits ONE of 20 shared
+    venues per day (venue = hash(user, day) % 20), so co-location —
+    two users at the same venue the same day — occurs at a 1/20
+    pair-day rate and repeat companions exist at every SF. Venue
+    positions are 0.5°-spaced (distinct level-12 cells)."""
+    t_us = ("unix_micros(cast(ts as timestamp))"
+            if dialect == synth.SPARK else "epoch_us(ts)")
+    ph = synth.idiv(t_us, 86_400_000_000, dialect)
+    h_v = synth.hash_of(f"user_id * 2000000 + {ph}", "venue", dialect)
+    lon = f"cast(({h_v}) % 20 as double) * 0.5 - 5.0"
+    lat = f"cast(({h_v}) % 20 as double) * 0.3 - 2.0"
+    return (
+        f"SELECT user_id, ts, {lon} AS lon, {lat} AS lat FROM events"
+    )
+
+
+def q145_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory co-location pairs (operators/tiles.py:
+    colocation_pairs — the companion-detection join): movers sharing a
+    (level-12 cell, day phase) bucket on >= 2 DISTINCT days, over
+    derived venue-visit trajectories (the _q145_pings_sql derivation
+    shared verbatim with the oracle). The oracle mirrors the distinct
+    (mover, bucket) projection, the bucket-keyed self-join with u <
+    u2, and the >= min_hits rollup — candidate pairs exist only
+    WITHIN a bucket on both sides (q36/q38 mirrored-candidate rule,
+    here the candidate space is exact, not approximate)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import colocation_pairs
+
+    pings = spark.sql(_q145_pings_sql(synth.SPARK))
+    return colocation_pairs(pings, level=12,
+                            phase_us=86_400_000_000, min_hits=2)
+
+
+def _q145_oracle() -> str:
+    cell = cell_sql("lon", "lat", 12)
+    return f"""
+WITH pings AS ({_q145_pings_sql(synth.DUCKDB)}),
+v AS (
+  SELECT DISTINCT user_id AS u, {cell} AS cell,
+         epoch_us(ts) - (epoch_us(ts) % 86400000000) AS ph
+  FROM pings
+)
+SELECT a.u AS user_a, b.u AS user_b,
+       CAST(count(*) AS BIGINT) AS n_cobuckets
+FROM v a
+JOIN v b ON b.cell = a.cell AND b.ph = a.ph AND a.u < b.u
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8316,7 +8371,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q51_image_features, whose oracle reads generation-time STORED
     # fixture columns (the lowest-divergence-risk seat on the board;
     # r4-green, still swept). q135/q136/q138/q139 sit past slot 50 with
-    # dual-SF sweep + pytest evidence. See SURVEY.md §2.13.
+    # dual-SF sweep + pytest evidence. Late-r5 #5: the five newest
+    # (q140 LM scoring, q141 DSIR, q142 metadata-only agg, q143
+    # equality deletes, q144 stay points) seat over five r4-green rows
+    # whose coverage is subsumed by still-seated relatives — q76
+    # (bucketed join; the snapshot-table layout family q124/q131-q133
+    # and q58 stay), q77 (count-min; q84 KMV set-ops with the r5 tau
+    # guard stays), q88 (stream-static enrich; q78/q96-shape inner
+    # machinery stays via q125/q73/q59), q94 (flat IVF-PQ; q101
+    # residual + q106 refine + q110 stored index all stay), q96
+    # (stream upsert; q105 versioned streaming commits + the snapshot
+    # streaming sink pytest stay). All five displaced keep their
+    # r4-green rows and the local sweep. See SURVEY.md §2.13.
     return {
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
@@ -8352,22 +8418,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_semdedup": q127_semdedup,
         "q73_streaming_dedup": q73_streaming_dedup,
         "q132_snapshot_evolution": q132_snapshot_evolution,
-        "q76_bucketed_join": q76_bucketed_join,
-        "q77_countmin": q77_countmin,
+        "q140_ngram_lm_score": q140_ngram_lm_score,
+        "q141_dsir_weights": q141_dsir_weights,
         "q78_stream_stream_join": q78_stream_stream_join,
         "q133_snapshot_changes": q133_snapshot_changes,
         "q80_prefix_jaccard": q80_prefix_jaccard,
         "q81_gap_fill": q81_gap_fill,
         "q84_kmv_set_ops": q84_kmv_set_ops,
         "q134_bpe_pair_counts": q134_bpe_pair_counts,
-        "q88_stream_enrich": q88_stream_enrich,
+        "q142_snapshot_metadata_agg": q142_snapshot_metadata_agg,
         "q92_retention": q92_retention,
-        "q94_ivfpq_ann": q94_ivfpq_ann,
+        "q143_snapshot_equality_delete": q143_snapshot_equality_delete,
         "q95_twap": q95_twap,
-        "q96_stream_upsert": q96_stream_upsert,
+        "q144_stay_points": q144_stay_points,
         "q97_entity_resolution": q97_entity_resolution,
         "q98_radius_join": q98_radius_join,
         "q99_grouped_order_statistics": q99_grouped_order_statistics,
+        "q76_bucketed_join": q76_bucketed_join,
+        "q77_countmin": q77_countmin,
+        "q88_stream_enrich": q88_stream_enrich,
+        "q94_ivfpq_ann": q94_ivfpq_ann,
+        "q96_stream_upsert": q96_stream_upsert,
         "q52_incremental_upsert": q52_incremental_upsert,
         "q75_snapshot_diff": q75_snapshot_diff,
         "q79_pq_ann": q79_pq_ann,
@@ -8457,11 +8528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_image_features": q51_image_features,
         "q138_sampled_radius_pairs": q138_sampled_radius_pairs,
         "q139_grid_dbscan": q139_grid_dbscan,
-        "q140_ngram_lm_score": q140_ngram_lm_score,
-        "q141_dsir_weights": q141_dsir_weights,
-        "q142_snapshot_metadata_agg": q142_snapshot_metadata_agg,
-        "q143_snapshot_equality_delete": q143_snapshot_equality_delete,
-        "q144_stay_points": q144_stay_points,
+        "q145_colocation_pairs": q145_colocation_pairs,
     }
 
 
@@ -8535,6 +8602,7 @@ def oracle_sql() -> dict[str, str]:
         "q142_snapshot_metadata_agg": _Q142_ORACLE,
         "q143_snapshot_equality_delete": _Q143_ORACLE,
         "q144_stay_points": _q144_oracle(),
+        "q145_colocation_pairs": _q145_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

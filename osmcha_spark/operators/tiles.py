@@ -523,3 +523,55 @@ def stay_points(
         .where(F.col("n_pings") >= F.lit(int(min_pings)))
         .select("user_id", "cell", "enter_ts", "exit_ts", "n_pings")
     )
+
+
+def colocation_pairs(
+    pings: DataFrame,
+    level: int = 12,
+    phase_us: int = 86_400_000_000,
+    min_hits: int = 2,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Co-location (companion) pair mining over trajectories: pairs of
+    movers observed in the SAME Morton cell during the SAME time phase
+    at least ``min_hits`` distinct times — the spatiotemporal
+    co-occurrence join of contact-graph / companion-detection
+    pipelines. Engine-only (no reference counterpart; the second
+    trajectory leg next to :func:`stay_points`).
+
+    Output: ``(user_a, user_b, n_cobuckets)`` with ``user_a <
+    user_b``; ``n_cobuckets`` counts DISTINCT shared (cell, phase)
+    buckets — multiple pings inside one bucket count once (set
+    semantics, so a chatty device can't inflate its contacts).
+
+    Scale shape: the pair space is generated ONLY within (cell, phase)
+    buckets — the candidate join is an equi-join on the bucket key, so
+    work is Σ|bucket|² over co-located movers, never corpus²; the
+    distinct (mover, bucket) projection is ONE map-side-combined
+    aggregate BEFORE the join, cutting per-bucket fan-in to unique
+    movers; dense-bucket skew is the documented AQE skew-join case
+    (same as tile_changeset_join's urban cells — salt the bucket key
+    if one venue dominates). The final pair rollup is map-side
+    combined. No UDF, no cross join."""
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    visits = (
+        pings.select(
+            F.col(id_col).alias("u"),
+            cell_col(F.col(lon_col), F.col(lat_col), level).alias("cell"),
+            (t_us - F.pmod(t_us, F.lit(int(phase_us))))
+            .alias("ph"),
+        )
+        .distinct()
+    )
+    a = visits
+    b = (visits.withColumnRenamed("u", "u2"))
+    return (
+        a.join(b, ["cell", "ph"])
+        .where(F.col("u") < F.col("u2"))
+        .groupBy(F.col("u").alias("user_a"), F.col("u2").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_cobuckets"))
+        .where(F.col("n_cobuckets") >= F.lit(int(min_hits)))
+    )

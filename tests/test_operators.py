@@ -2511,3 +2511,35 @@ def test_stay_points_runs_not_visits(spark):
                              order_col="event_id").collect()
     )
     assert got == [(1, 3, 0, 2), (1, 3, 5, 7), (2, 4, 0, 3)]
+
+
+def test_colocation_pairs_distinct_buckets_and_threshold(spark):
+    """colocation_pairs (q145): set semantics (many pings in one shared
+    bucket count ONCE), pairs below min_hits are dropped, u < u2
+    canonical order, and different phases of the same cell are
+    different buckets."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.tiles import colocation_pairs
+
+    def t(d, h=0):
+        return datetime(2024, 1, d, h)
+
+    rows = [
+        # day 1, venue A: users 1+2 (user 1 pings twice -> counts once)
+        (1, t(1, 0), 0.0, 0.0), (1, t(1, 1), 0.0, 0.0),
+        (2, t(1, 2), 0.0, 0.0),
+        # day 2, venue A: users 1+2 again -> second co-bucket
+        (1, t(2), 0.0, 0.0), (2, t(2), 0.0, 0.0),
+        # day 3, venue B: users 1+3 once only -> below min_hits
+        (1, t(3), 5.0, 5.0), (3, t(3), 5.0, 5.0),
+    ]
+    pings = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lon double, lat double")
+    got = [(r.user_a, r.user_b, r.n_cobuckets)
+           for r in colocation_pairs(pings, min_hits=2).collect()]
+    assert got == [(1, 2, 2)]
+    # min_hits=1 also surfaces the single-day pair, still u < u2
+    got1 = sorted((r.user_a, r.user_b, r.n_cobuckets)
+                  for r in colocation_pairs(pings, min_hits=1).collect())
+    assert got1 == [(1, 2, 2), (1, 3, 1)]

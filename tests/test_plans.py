@@ -821,3 +821,23 @@ def test_stay_points_plan_shape(spark):
     assert "partial_count" in plan or "partial_min" in plan, plan
     # one exchange for the shared window spec, one for the rollup
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_colocation_pairs_plan_shape(spark):
+    """colocation_pairs (q145) plan contract: candidate pairs come from
+    an EQUI-join on the (cell, phase) bucket key — no cartesian, no
+    Python eval — with the distinct (mover, bucket) aggregate
+    partial-combined BELOW the join's exchange."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.tiles import colocation_pairs
+
+    pings = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 0.0, 0.0),
+         (2, datetime(2024, 1, 1), 0.0, 0.0)],
+        "user_id long, ts timestamp, lon double, lat double")
+    plan = _plan(colocation_pairs(pings))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial" in plan, plan

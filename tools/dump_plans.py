@@ -636,6 +636,56 @@ def main() -> None:
             word_freq(docs_tbl), merges=[("e", "r")], k=30)),
     ))
 
+    from osmcha_spark.operators.text import ngram_lm_score
+
+    sections.append((
+        "quantized bigram-LM scoring (q140)",
+        "expect: training counts via two map-side-combined groupBys on "
+        "int64 n-gram hashes; scoring via two shuffle equi-joins "
+        "(vocabulary-sized count tables — NOT blindly broadcast) + one "
+        "partial-aggregated per-doc sum; the floor-log2 is pure "
+        "codegen (length(bin(x))), no Python eval anywhere",
+        formatted(ngram_lm_score(
+            docs_tbl, docs_tbl.where(F.col("doc_id") % 2 == 1))),
+    ))
+
+    from osmcha_spark.sources import tables as TBL
+
+    mor_dir = os.path.join("/tmp", f"plans_mor_{os.getpid()}")
+    import shutil as _sh
+
+    _sh.rmtree(mor_dir, ignore_errors=True)
+    TBL.snapshot_create(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("part"),
+            (F.col("id") * 3).alias("v")),
+        mor_dir, partition_col="part")
+    TBL.snapshot_delete(mor_dir, "k", [5, 6, 7])
+    sections.append((
+        "merge-on-read snapshot read with equality deletes (q143)",
+        "expect: the file→seq dim and the delete keys both BROADCAST; "
+        "the subtraction is one broadcast LEFT ANTI hash join (equality "
+        "conjunct builds, the seq comparison rides as the residual "
+        "condition); no Python eval, no cartesian",
+        formatted(TBL.read_snapshot(spark, mor_dir)),
+    ))
+    _sh.rmtree(mor_dir, ignore_errors=True)
+
+    from osmcha_spark.operators.tiles import stay_points
+
+    pings = spark.sql(
+        "SELECT user_id, ts, event_id, "
+        "cast(user_id as double) / 10 AS lon, "
+        "cast(event_id % 90 as double) AS lat FROM events")
+    sections.append((
+        "grid stay-point detection (q144)",
+        "expect: ONE hash exchange on the mover feeds both window "
+        "passes (lag + running sum share the window spec and its "
+        "sort); the (mover, seg) rollup partial-aggregates; no join, "
+        "no Python eval",
+        formatted(stay_points(pings, order_col="event_id")),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
