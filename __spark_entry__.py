@@ -8319,6 +8319,56 @@ HAVING count(*) >= 2
 """
 
 
+# --------------------------------------------------------------- q146
+
+def q146_snapshot_aoi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order AOI FILE skipping on the snapshot table format — q102's
+    access path lifted from row-group footer stats to MANIFEST
+    file-level stats (sources/tables.py:snapshot_files(where_any=…)):
+    changesets land in a snapshot table range-clustered on the
+    level-12 Morton cell of the bbox center, each AOI becomes a
+    handful of contiguous cell ranges (cell_ranges_for_rect), and the
+    DISJUNCTION of ranges prunes files driver-side before Spark plans
+    the scan. Losslessness is q102's argument verbatim (synth bbox
+    half-extent ≤ 0.050009° → pad 0.0501 makes center-in-padded-rect a
+    superset of bbox-intersects-rect), so the oracle is EXACTLY q30's
+    unclustered definitional rect join; the empty_sea AOI prunes ALL
+    files and exercises the zero-candidate empty-frame path. Skip
+    counts are pinned in tests/test_tables.py."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.geo.cells import cell_ranges_for_rect
+    from osmcha_spark.sources import tables as T
+
+    fine, coarse, pad = 12, 6, 0.0501
+    work = _work_dir("q146")
+    path = os.path.join(work, "table")
+    cs = synth.changesets_df(spark, sf_dir).withColumn(
+        "cell",
+        cell_col(
+            (F.col("min_lon") + F.col("max_lon")) / 2,
+            (F.col("min_lat") + F.col("max_lat")) / 2,
+            fine,
+        ),
+    )
+    T.snapshot_create(cs.repartitionByRange(8, F.col("cell")), path)
+
+    out = None
+    for aid, (a, b, c, d) in MULTI_AOIS:
+        ranges = cell_ranges_for_rect(
+            a - pad, b - pad, c + pad, d + pad, coarse, fine
+        )
+        hit = (
+            T.read_snapshot(spark, path, where_any=("cell", ranges))
+            .where(
+                (F.col("min_lon") <= c) & (F.col("max_lon") >= a)
+                & (F.col("min_lat") <= d) & (F.col("max_lat") >= b)
+            )
+            .select(F.lit(aid).alias("aoi_id"), "id")
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8529,6 +8579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_sampled_radius_pairs": q138_sampled_radius_pairs,
         "q139_grid_dbscan": q139_grid_dbscan,
         "q145_colocation_pairs": q145_colocation_pairs,
+        "q146_snapshot_aoi_scan": q146_snapshot_aoi_scan,
     }
 
 
@@ -8603,6 +8654,7 @@ def oracle_sql() -> dict[str, str]:
         "q143_snapshot_equality_delete": _Q143_ORACLE,
         "q144_stay_points": _q144_oracle(),
         "q145_colocation_pairs": _q145_oracle(),
+        "q146_snapshot_aoi_scan": _q30_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -429,14 +429,19 @@ def snapshot_create(df: DataFrame, path: str,
 def snapshot_files(path: str, snapshot: int | None = None,
                    partitions: list | None = None,
                    where: list | None = None,
-                   where_eq: list | None = None) -> list[dict]:
+                   where_eq: list | None = None,
+                   where_any: tuple | None = None) -> list[dict]:
     """The manifest entries a read would scan, after driver-side
     pruning — ``partitions`` selects by partition value, ``where`` is a
     list of ``(col, lo, hi)`` range predicates evaluated against the
     per-file column stats (None bound = open), ``where_eq`` is a list
     of ``(col, value)`` equality predicates evaluated against the
     per-file Bloom filters (point-lookup skipping on bloom_cols
-    tables). Pruning is lossless: a file with no stats/bloom for
+    tables), and ``where_any`` is ``(col, [(lo, hi), ...])`` — a
+    DISJUNCTION of closed ranges on one column, kept iff the file's
+    stats overlap ANY of them (the OR-of-ranges shape a Z-order AOI
+    cover produces: geo/cells.py:cell_ranges_for_rect → file skipping,
+    q146). Pruning is lossless: a file with no stats/bloom for
     ``col`` always survives, and Bloom membership only ever
     false-positives. Exposed so tests and tools can PIN the skip count
     instead of asserting it."""
@@ -465,6 +470,16 @@ def snapshot_files(path: str, snapshot: int | None = None,
             if bl is None or _bloom_maybe_contains(bl, val):
                 kept.append(f)
         files = kept
+    if where_any is not None:
+        col, ranges = where_any
+        kept = []
+        for f in files:
+            st = (f.get("stats") or {}).get(col)
+            if st is None or any(
+                st[0] <= hi and st[1] >= lo for lo, hi in ranges
+            ):
+                kept.append(f)
+        files = kept
     return files
 
 
@@ -472,7 +487,8 @@ def read_snapshot(spark: SparkSession, path: str,
                   snapshot: int | None = None,
                   partitions: list | None = None,
                   where: list | None = None,
-                  where_eq: list | None = None) -> DataFrame:
+                  where_eq: list | None = None,
+                  where_any: tuple | None = None) -> DataFrame:
     """Read a snapshot — the CURRENT one by default, or any committed id
     (time travel: snapshots are immutable, so s_n reads the same bytes
     forever). ``partitions`` (values of partition_col) and ``where``
@@ -485,9 +501,17 @@ def read_snapshot(spark: SparkSession, path: str,
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, sid)
-    files = snapshot_files(path, sid, partitions, where, where_eq)
+    files = snapshot_files(path, sid, partitions, where, where_eq,
+                           where_any)
     paths = [os.path.join(_data_dir(path), f["name"]) for f in files]
     if not paths:
+        # predicate pruning emptied the candidate set: stats pruning is
+        # lossless, so zero surviving files PROVES the result is empty
+        if (where or where_eq or where_any) and man.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(man["schema"]))
         raise ValueError(f"snapshot {sid} has no files for {partitions}")
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
     dels = man.get("deletes") or []

@@ -431,3 +431,38 @@ def test_deletes_materialize_on_rewrite_and_guard_side_effects(
             assert _os.path.exists(
                 _os.path.join(T._data_dir(path), d["name"]))
     assert all(not n.startswith("delete-") or True for n in removed)
+
+
+def test_where_any_range_disjunction_skips_files(spark, tmp_path):
+    """snapshot_files(where_any=…) (q146): an OR-of-ranges predicate on
+    a range-clustered column prunes to the overlapping files only, a
+    no-overlap disjunction prunes EVERYTHING and read_snapshot returns
+    an empty TYPED frame (lossless: zero candidates proves empty), and
+    a stats-less column never over-prunes."""
+    path = str(tmp_path / "t")
+    df = spark.range(8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 100).alias("v"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("name"),
+    )
+    T.snapshot_create(df.repartitionByRange(8, F.col("k")), path)
+    total = len(T.snapshot_files(path))
+    assert total == 8
+
+    # two narrow ranges at opposite ends: 2 files survive
+    hit = T.snapshot_files(path, where_any=("k", [(0, 10), (7990, 7999)]))
+    assert len(hit) == 2
+    got = T.read_snapshot(spark, path,
+                          where_any=("k", [(0, 10), (7990, 7999)]))
+    ks = {r.k for r in got.where("k <= 10 OR k >= 7990").collect()}
+    assert ks == set(range(0, 11)) | set(range(7990, 8000))
+
+    # disjunction with no overlap anywhere -> empty typed frame
+    empty = T.read_snapshot(spark, path,
+                            where_any=("k", [(100000, 200000)]))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v", "name"}
+
+    # no stats for strings -> everything survives (lossless)
+    assert len(T.snapshot_files(
+        path, where_any=("name", [(0, 1)]))) == total
