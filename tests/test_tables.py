@@ -466,3 +466,67 @@ def test_where_any_range_disjunction_skips_files(spark, tmp_path):
     # no stats for strings -> everything survives (lossless)
     assert len(T.snapshot_files(
         path, where_any=("name", [(0, 1)]))) == total
+
+
+def test_model_based_random_op_sequence(spark, tmp_path):
+    """Model-based check of the whole table format: a SEEDED random
+    sequence of append / upsert / delete / compact ops is applied both
+    to the snapshot table and to a pure-Python dict model; the read
+    must equal the model after EVERY op, historical snapshots must
+    replay their recorded states (time travel), and expire+vacuum at
+    the end must not change the current read. Deterministic by seed —
+    a failure is a real invariant break, never flake."""
+    import random
+
+    rng = random.Random(7)
+    path = str(tmp_path / "t")
+
+    def mk_rows(items):
+        return spark.createDataFrame(
+            [(k, k % 5, v) for k, v in items],
+            "k long, part long, v long")
+
+    model: dict = {k: k * 10 for k in range(60)}
+    T.snapshot_create(mk_rows(model.items()), path, partition_col="part")
+    history = {T.current_snapshot(path): dict(model)}
+    next_key = 1000
+
+    def check():
+        got = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+        assert got == model, (
+            f"live state diverged: {len(got)} vs {len(model)} rows")
+
+    for step in range(12):
+        op = rng.choice(["append", "upsert", "delete", "compact"])
+        if op == "append":
+            fresh = [(next_key + i, (next_key + i) * 7)
+                     for i in range(rng.randint(1, 5))]
+            next_key += 10
+            T.snapshot_append(mk_rows(fresh), path)
+            model.update(fresh)
+        elif op == "upsert":
+            keys = rng.sample(sorted(model), min(4, len(model)))
+            ups = [(k, k * 100 + step) for k in keys]
+            T.snapshot_upsert(mk_rows(ups), path, key="k")
+            model.update(ups)
+        elif op == "delete":
+            keys = rng.sample(sorted(model), min(3, len(model)))
+            T.snapshot_delete(path, "k", keys)
+            for k in keys:
+                model.pop(k)
+        else:
+            T.snapshot_compact(spark, path, target_bytes=1 << 20)
+        history[T.current_snapshot(path)] = dict(model)
+        check()
+
+    # time travel: every retained snapshot replays its recorded state
+    for sid in T.list_snapshots(path):
+        if sid in history:
+            got = {r.k: r.v
+                   for r in T.read_snapshot(spark, path,
+                                            snapshot=sid).collect()}
+            assert got == history[sid], f"time travel diverged at {sid}"
+
+    T.expire_snapshots(path, keep_last=2)
+    T.vacuum(path)
+    check()
