@@ -8369,6 +8369,71 @@ def q146_snapshot_aoi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------- q147
+
+def q147_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish + tags (sources/tables.py:
+    snapshot_append(publish=False) / snapshot_publish / snapshot_tag —
+    Iceberg's WAP pattern and named refs): a batch is STAGED (manifest
+    committed, `_CURRENT` unmoved), audited via a direct snapshot
+    read, then published as a fast-forward and tagged. The three-state
+    output pins (pre) readers never see the unaudited batch, (post)
+    publish makes exactly the staged rows visible, and (tag) the named
+    ref resolves to the published state — against a declarative
+    oracle. Non-fast-forward publishes and tag retention under expiry
+    are pinned in tests/test_tables.py."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q147")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    T.snapshot_create(ev, path)
+    batch = ev.where(F.col("event_id") % 5 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("cents") + 5).alias("cents"),
+    )
+    staged = T.snapshot_append(batch, path, publish=False)
+    # audit the staged snapshot directly: exactly the batch was added
+    audit = T.read_snapshot(spark, path, snapshot=staged)
+    pre = T.read_snapshot(spark, path) \
+        .select(F.lit("pre").alias("state"), "event_id", "cents")
+    if audit.count() - pre.count() != batch.count():
+        raise AssertionError("audit failed: staged delta != batch")
+    T.snapshot_publish(path, staged)
+    T.snapshot_tag(path, "release-1")
+    post = T.read_snapshot(spark, path) \
+        .select(F.lit("post").alias("state"), "event_id", "cents")
+    tagged = T.read_snapshot(spark, path, tag="release-1") \
+        .select(F.lit("tag").alias("state"), "event_id", "cents")
+    return pre.unionByName(post).unionByName(tagged)
+
+
+_Q147_ORACLE = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+post AS (
+  SELECT event_id, cents FROM base
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, cents + 5 AS cents
+  FROM base WHERE event_id % 5 = 0
+)
+SELECT 'pre' AS state, event_id, cents FROM base
+UNION ALL
+SELECT 'post' AS state, event_id, cents FROM post
+UNION ALL
+SELECT 'tag' AS state, event_id, cents FROM post
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8580,6 +8645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_grid_dbscan": q139_grid_dbscan,
         "q145_colocation_pairs": q145_colocation_pairs,
         "q146_snapshot_aoi_scan": q146_snapshot_aoi_scan,
+        "q147_snapshot_wap": q147_snapshot_wap,
     }
 
 
@@ -8655,6 +8721,7 @@ def oracle_sql() -> dict[str, str]:
         "q144_stay_points": _q144_oracle(),
         "q145_colocation_pairs": _q145_oracle(),
         "q146_snapshot_aoi_scan": _q30_oracle(),
+        "q147_snapshot_wap": _Q147_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

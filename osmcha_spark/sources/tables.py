@@ -238,11 +238,76 @@ def _point_current(path: str, sid: int) -> None:
     os.replace(tmp, os.path.join(path, "_CURRENT"))
 
 
+def _tags_dir(path: str) -> str:
+    return os.path.join(path, "tags")
+
+
+def snapshot_tag(path: str, name: str, snapshot: int | None = None) -> int:
+    """Name a snapshot (Iceberg's tags/refs): ``name`` → snapshot id,
+    written atomically (temp + rename; re-tagging replaces). Tagged
+    snapshots are RETAINED by :func:`expire_snapshots` regardless of
+    ``keep_last`` — a release tag keeps its data alive. Resolve with
+    ``read_snapshot(..., tag=name)`` / :func:`resolve_tag`."""
+    sid = current_snapshot(path) if snapshot is None else int(snapshot)
+    if sid is None or not os.path.exists(_manifest_file(path, sid)):
+        raise FileNotFoundError(f"no committed snapshot {sid} at {path}")
+    os.makedirs(_tags_dir(path), exist_ok=True)
+    tmp = os.path.join(_tags_dir(path), f".{name}.tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(f"{sid}\n")
+    os.replace(tmp, os.path.join(_tags_dir(path), name))
+    return sid
+
+
+def list_tags(path: str) -> dict:
+    """``{tag_name: snapshot_id}`` for every tag on the table."""
+    d = _tags_dir(path)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(d)):
+        if name.startswith("."):
+            continue
+        with open(os.path.join(d, name)) as fh:
+            out[name] = int(fh.read().strip())
+    return out
+
+
+def resolve_tag(path: str, name: str) -> int:
+    tags = list_tags(path)
+    if name not in tags:
+        raise FileNotFoundError(f"no tag {name!r} at {path}")
+    return tags[name]
+
+
+def snapshot_publish(path: str, snapshot: int) -> int:
+    """Publish a STAGED snapshot (one committed with ``publish=False``
+    — the write-audit-publish pattern: write the batch invisibly,
+    audit it via ``read_snapshot(snapshot=sid)``, then fast-forward).
+    Only a fast-forward is allowed: the staged snapshot's parent must
+    BE the current snapshot, otherwise the table moved since staging
+    and publishing would silently drop the interleaved commit — the
+    caller must re-stage (raise, same single-writer spirit as
+    ConcurrentCommitError)."""
+    sid = int(snapshot)
+    man = _load_manifest(path, sid)
+    cur = current_snapshot(path)
+    if man.get("parent") != cur:
+        raise ValueError(
+            f"snapshot {sid} (parent {man.get('parent')}) is not a "
+            f"fast-forward of current {cur}; re-stage on the new table "
+            "state"
+        )
+    _point_current(path, sid)
+    return sid
+
+
 def _commit(path: str, files: list[dict], partition_col: str | None,
             parent: int | None, commit_id: str | None,
             schema: dict | None = None,
             bloom_cols: list[str] | None = None,
-            deletes: list[dict] | None = None) -> int:
+            deletes: list[dict] | None = None,
+            publish: bool = True) -> int:
     """Steps (2)+(3) of the protocol: atomic manifest, then repoint.
 
     Every entry (data file or equality-delete file) is stamped with the
@@ -287,7 +352,8 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
             "and retry the operation"
         ) from None
     os.remove(tmp)
-    _point_current(path, sid)
+    if publish:
+        _point_current(path, sid)
     return sid
 
 
@@ -488,7 +554,8 @@ def read_snapshot(spark: SparkSession, path: str,
                   partitions: list | None = None,
                   where: list | None = None,
                   where_eq: list | None = None,
-                  where_any: tuple | None = None) -> DataFrame:
+                  where_any: tuple | None = None,
+                  tag: str | None = None) -> DataFrame:
     """Read a snapshot — the CURRENT one by default, or any committed id
     (time travel: snapshots are immutable, so s_n reads the same bytes
     forever). ``partitions`` (values of partition_col) and ``where``
@@ -496,7 +563,13 @@ def read_snapshot(spark: SparkSession, path: str,
     manifest driver-side before the scan is even planned; ``where`` is
     candidate pruning — apply the real filter on the result. The scan
     merges heterogeneous file schemas (add-column evolution) and
-    projects to the schema RECORDED in the snapshot's manifest."""
+    projects to the schema RECORDED in the snapshot's manifest.
+    ``tag`` resolves a named ref (:func:`snapshot_tag`) instead of a
+    numeric id; passing both is an error."""
+    if tag is not None:
+        if snapshot is not None:
+            raise ValueError("pass snapshot= or tag=, not both")
+        snapshot = resolve_tag(path, tag)
     sid = current_snapshot(path) if snapshot is None else int(snapshot)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -776,16 +849,24 @@ def snapshot_changes(spark: SparkSession, path: str,
 
 
 def snapshot_append(df: DataFrame, path: str,
-                    commit_id: str | None = None) -> int:
+                    commit_id: str | None = None,
+                    publish: bool = True) -> int:
     """Append-only commit: write df's rows as new files and reference
     them ALONGSIDE every current file — zero reads, zero rewrites, the
     log/fact-table ingest op (a minutely micro-batch costs exactly its
     own bytes). Key-unique tables want :func:`snapshot_upsert` instead;
-    appends are what :func:`snapshot_compact` exists to clean up after."""
+    appends are what :func:`snapshot_compact` exists to clean up after.
+
+    ``publish=False`` STAGES the commit (write-audit-publish): the
+    manifest exists and ``read_snapshot(snapshot=sid)`` can audit it,
+    but ``_CURRENT`` doesn't move until :func:`snapshot_publish` —
+    readers never see an unaudited batch. A staged snapshot must be
+    published or abandoned before further writes (publish enforces
+    fast-forward); an abandoned one is reclaimed by expire + vacuum."""
     if commit_id is not None:
         done = _find_commit(path, commit_id)
         if done is not None:
-            if current_snapshot(path) != done:
+            if publish and current_snapshot(path) != done:
                 _point_current(path, done)
             return done
     cur = current_snapshot(path)
@@ -797,7 +878,7 @@ def snapshot_append(df: DataFrame, path: str,
     new_files = _write_files(df, path, man["partition_col"], bloom_cols)
     return _commit(path, man["files"] + new_files, man["partition_col"],
                    cur, commit_id, schema=schema, bloom_cols=bloom_cols,
-                   deletes=man.get("deletes"))
+                   deletes=man.get("deletes"), publish=publish)
 
 
 def snapshot_upsert(updates: DataFrame, path: str, key: str,
@@ -928,6 +1009,7 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     sids = list_snapshots(path)
     cur = current_snapshot(path)
     keep = set(sids[-keep_last:]) | ({cur} if cur is not None else set())
+    keep |= set(list_tags(path).values())  # tagged snapshots are refs
     expired = [s for s in sids if s not in keep]
     for s in expired:
         os.remove(_manifest_file(path, s))

@@ -530,3 +530,53 @@ def test_model_based_random_op_sequence(spark, tmp_path):
     T.expire_snapshots(path, keep_last=2)
     T.vacuum(path)
     check()
+
+
+def test_wap_staging_publish_and_tags(spark, tmp_path):
+    """WAP + tags (q147): a publish=False append is INVISIBLE to
+    current readers but auditable by snapshot id; publish fast-forwards
+    exactly once; a publish that is not a fast-forward (the table moved
+    since staging) raises; staged commit_id replay does NOT move
+    current; tags resolve and survive expire_snapshots."""
+    path = str(tmp_path / "t")
+    T.snapshot_create(_mk(spark, 50), path, partition_col="part")
+    s0 = T.current_snapshot(path)
+
+    batch = spark.createDataFrame(
+        [(900, 0, 1), (901, 1, 2)], "k long, part long, v long")
+    staged = T.snapshot_append(batch, path, publish=False,
+                               commit_id="wap-1")
+    assert T.current_snapshot(path) == s0
+    assert T.read_snapshot(spark, path).count() == 50
+    assert T.read_snapshot(spark, path, snapshot=staged).count() == 52
+    # replaying the staged commit must not publish it either
+    assert T.snapshot_append(batch, path, publish=False,
+                             commit_id="wap-1") == staged
+    assert T.current_snapshot(path) == s0
+
+    T.snapshot_publish(path, staged)
+    assert T.current_snapshot(path) == staged
+    assert T.read_snapshot(spark, path).count() == 52
+
+    # stage, then move the table -> the stale staged commit can't publish
+    stale = T.snapshot_append(
+        spark.createDataFrame([(902, 0, 3)], "k long, part long, v long"),
+        path, publish=False)
+    T.snapshot_append(
+        spark.createDataFrame([(903, 0, 4)], "k long, part long, v long"),
+        path)
+    with pytest.raises(ValueError, match="fast-forward"):
+        T.snapshot_publish(path, stale)
+
+    # tags: resolve, read, and survive expiry
+    T.snapshot_tag(path, "v1", snapshot=s0)
+    assert T.read_snapshot(spark, path, tag="v1").count() == 50
+    for i in range(3):
+        T.snapshot_append(
+            spark.createDataFrame([(910 + i, 0, i)],
+                                  "k long, part long, v long"), path)
+    expired = T.expire_snapshots(path, keep_last=2)
+    assert s0 not in expired
+    assert T.read_snapshot(spark, path, tag="v1").count() == 50
+    with pytest.raises(FileNotFoundError, match="tag"):
+        T.read_snapshot(spark, path, tag="nope")
