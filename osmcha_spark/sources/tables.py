@@ -649,8 +649,14 @@ def _apply_deletes(spark: SparkSession, path: str,
                     F.lit(int(d["seq"])).alias("__dseq"),
                 )
                 keys = k if keys is None else keys.unionByName(k)
+            # manifest records n_keys per delete file, so the broadcast
+            # decision is driver-side and exact: hint only when the key
+            # set is broadcast-sized, else let AQE pick a shuffle anti
+            # join (a mass delete must not OOM the driver)
+            if sum(int(d.get("n_keys", 0)) for d in group) <= 2_000_000:
+                keys = F.broadcast(keys)
             affected = affected.join(
-                F.broadcast(keys),
+                keys,
                 on=(F.col(col) == F.col("__delkey"))
                 & (F.col("__seq") < F.col("__dseq")),
                 how="left_anti",
