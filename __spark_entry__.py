@@ -8434,6 +8434,75 @@ SELECT 'tag' AS state, event_id, cents FROM post
 """
 
 
+# --------------------------------------------------------------- q148
+
+def q148_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch refs + fast-forward publish (sources/tables.py:
+    snapshot_branch / snapshot_append(branch=…) / snapshot_fast_forward
+    — Iceberg's writable branches, the multi-commit generalization of
+    q147's single-staged-commit WAP): two batches commit ON a branch
+    while main never moves, then one fast-forward publishes the whole
+    run. Three-state output: (pre) main after both branch commits is
+    still the base table, (branch) the branch head carries base + both
+    batches, (post) fast-forward makes main identical to the branch.
+    Non-fast-forward refusal, replay-repoints-branch-not-main, branch
+    isolation and expiry retention are pinned in tests/test_tables.py."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q148")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    T.snapshot_create(ev, path)
+    T.snapshot_branch(path, "audit")
+    b1 = ev.where(F.col("event_id") % 7 == 0).select(
+        (F.col("event_id") + 20_000_000).alias("event_id"),
+        (F.col("cents") + 1).alias("cents"),
+    )
+    b2 = ev.where(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + 30_000_000).alias("event_id"),
+        (F.col("cents") + 2).alias("cents"),
+    )
+    T.snapshot_append(b1, path, branch="audit")
+    T.snapshot_append(b2, path, branch="audit")
+    pre = T.read_snapshot(spark, path) \
+        .select(F.lit("pre").alias("state"), "event_id", "cents")
+    br = T.read_snapshot(spark, path, branch="audit") \
+        .select(F.lit("branch").alias("state"), "event_id", "cents")
+    T.snapshot_fast_forward(path, "audit")
+    post = T.read_snapshot(spark, path) \
+        .select(F.lit("post").alias("state"), "event_id", "cents")
+    return pre.unionByName(br).unionByName(post)
+
+
+_Q148_ORACLE = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+published AS (
+  SELECT event_id, cents FROM base
+  UNION ALL
+  SELECT event_id + 20000000 AS event_id, cents + 1 AS cents
+  FROM base WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id + 30000000 AS event_id, cents + 2 AS cents
+  FROM base WHERE event_id % 11 = 0
+)
+SELECT 'pre' AS state, event_id, cents FROM base
+UNION ALL
+SELECT 'branch' AS state, event_id, cents FROM published
+UNION ALL
+SELECT 'post' AS state, event_id, cents FROM published
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8646,6 +8715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_colocation_pairs": q145_colocation_pairs,
         "q146_snapshot_aoi_scan": q146_snapshot_aoi_scan,
         "q147_snapshot_wap": q147_snapshot_wap,
+        "q148_snapshot_branch": q148_snapshot_branch,
     }
 
 
@@ -8722,6 +8792,7 @@ def oracle_sql() -> dict[str, str]:
         "q145_colocation_pairs": _q145_oracle(),
         "q146_snapshot_aoi_scan": _q30_oracle(),
         "q147_snapshot_wap": _Q147_ORACLE,
+        "q148_snapshot_branch": _Q148_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -280,6 +280,94 @@ def resolve_tag(path: str, name: str) -> int:
     return tags[name]
 
 
+def _branches_dir(path: str) -> str:
+    return os.path.join(path, "branches")
+
+
+def _point_branch(path: str, name: str, sid: int) -> None:
+    os.makedirs(_branches_dir(path), exist_ok=True)
+    tmp = os.path.join(_branches_dir(path),
+                       f".{name}.tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(f"{sid}\n")
+    os.replace(tmp, os.path.join(_branches_dir(path), name))
+
+
+def snapshot_branch(path: str, name: str,
+                    snapshot: int | None = None) -> int:
+    """Create (or repoint) a named BRANCH — a WRITABLE ref (Iceberg
+    branches): ``snapshot_append(..., branch=name)`` commits on the
+    branch head and advances the branch pointer while ``_CURRENT``
+    (main) never moves, so auditors/experiments accumulate commits in
+    isolation; :func:`snapshot_fast_forward` publishes the whole run
+    at once. Starts at ``snapshot`` (default: current main). Branch
+    heads are retained by :func:`expire_snapshots` like tags."""
+    sid = current_snapshot(path) if snapshot is None else int(snapshot)
+    if sid is None or not os.path.exists(_manifest_file(path, sid)):
+        raise FileNotFoundError(f"no committed snapshot {sid} at {path}")
+    _point_branch(path, name, sid)
+    return sid
+
+
+def list_branches(path: str) -> dict:
+    """``{branch_name: head_snapshot_id}`` for every branch."""
+    d = _branches_dir(path)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(d)):
+        if name.startswith("."):
+            continue
+        with open(os.path.join(d, name)) as fh:
+            out[name] = int(fh.read().strip())
+    return out
+
+
+def resolve_branch(path: str, name: str) -> int:
+    branches = list_branches(path)
+    if name not in branches:
+        raise FileNotFoundError(f"no branch {name!r} at {path}")
+    return branches[name]
+
+
+def _is_ancestor(path: str, ancestor: int, descendant: int) -> bool:
+    """Walk ``descendant``'s parent chain looking for ``ancestor``.
+    A missing manifest on the way (expired) means the ancestry can't
+    be PROVEN — return False rather than guess; the caller's
+    fast-forward then refuses, the safe failure."""
+    sid = descendant
+    while sid is not None:
+        if sid == ancestor:
+            return True
+        mf = _manifest_file(path, sid)
+        if not os.path.exists(mf):
+            return False
+        sid = _load_manifest(path, sid).get("parent")
+    return False
+
+
+def snapshot_fast_forward(path: str, branch: str) -> int:
+    """Publish a branch: move main (``_CURRENT``) to the branch head,
+    allowed only when current main IS an ancestor of that head — the
+    branch contains main's history plus its own commits, so the swap
+    drops nothing. If main moved since the branch was cut, the branch
+    must be re-staged (raise — same fast-forward-only contract as
+    :func:`snapshot_publish`, extended from one staged commit to a
+    whole branch)."""
+    head = resolve_branch(path, branch)
+    cur = current_snapshot(path)
+    if cur == head:
+        return head
+    if cur is None or not _is_ancestor(path, cur, head):
+        raise ValueError(
+            f"branch {branch!r} (head {head}) is not a fast-forward of "
+            f"current {cur}; main moved since the branch was cut — "
+            "re-stage the branch on the new table state"
+        )
+    _point_current(path, head)
+    return head
+
+
 def snapshot_publish(path: str, snapshot: int) -> int:
     """Publish a STAGED snapshot (one committed with ``publish=False``
     — the write-audit-publish pattern: write the batch invisibly,
@@ -555,7 +643,8 @@ def read_snapshot(spark: SparkSession, path: str,
                   where: list | None = None,
                   where_eq: list | None = None,
                   where_any: tuple | None = None,
-                  tag: str | None = None) -> DataFrame:
+                  tag: str | None = None,
+                  branch: str | None = None) -> DataFrame:
     """Read a snapshot — the CURRENT one by default, or any committed id
     (time travel: snapshots are immutable, so s_n reads the same bytes
     forever). ``partitions`` (values of partition_col) and ``where``
@@ -564,12 +653,15 @@ def read_snapshot(spark: SparkSession, path: str,
     candidate pruning — apply the real filter on the result. The scan
     merges heterogeneous file schemas (add-column evolution) and
     projects to the schema RECORDED in the snapshot's manifest.
-    ``tag`` resolves a named ref (:func:`snapshot_tag`) instead of a
-    numeric id; passing both is an error."""
+    ``tag`` / ``branch`` resolve a named ref (:func:`snapshot_tag` /
+    :func:`snapshot_branch`) instead of a numeric id; passing more
+    than one of snapshot/tag/branch is an error."""
+    if sum(x is not None for x in (snapshot, tag, branch)) > 1:
+        raise ValueError("pass at most one of snapshot=, tag=, branch=")
     if tag is not None:
-        if snapshot is not None:
-            raise ValueError("pass snapshot= or tag=, not both")
         snapshot = resolve_tag(path, tag)
+    if branch is not None:
+        snapshot = resolve_branch(path, branch)
     sid = current_snapshot(path) if snapshot is None else int(snapshot)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -856,7 +948,8 @@ def snapshot_changes(spark: SparkSession, path: str,
 
 def snapshot_append(df: DataFrame, path: str,
                     commit_id: str | None = None,
-                    publish: bool = True) -> int:
+                    publish: bool = True,
+                    branch: str | None = None) -> int:
     """Append-only commit: write df's rows as new files and reference
     them ALONGSIDE every current file — zero reads, zero rewrites, the
     log/fact-table ingest op (a minutely micro-batch costs exactly its
@@ -868,7 +961,32 @@ def snapshot_append(df: DataFrame, path: str,
     but ``_CURRENT`` doesn't move until :func:`snapshot_publish` —
     readers never see an unaudited batch. A staged snapshot must be
     published or abandoned before further writes (publish enforces
-    fast-forward); an abandoned one is reclaimed by expire + vacuum."""
+    fast-forward); an abandoned one is reclaimed by expire + vacuum.
+
+    ``branch=name`` commits on a BRANCH (:func:`snapshot_branch`):
+    the parent is the branch head, the branch pointer advances, and
+    main never moves — multi-commit WAP. Replays (``commit_id``)
+    repoint the branch, not main. Publish the run with
+    :func:`snapshot_fast_forward`."""
+    if branch is not None:
+        base = resolve_branch(path, branch)
+        if commit_id is not None:
+            done = _find_commit(path, commit_id)
+            if done is not None:
+                if resolve_branch(path, branch) != done:
+                    _point_branch(path, branch, done)
+                return done
+        man = _load_manifest(path, base)
+        schema = _merged_schema(man.get("schema"), df)
+        bloom_cols = man.get("bloom_cols")
+        new_files = _write_files(df, path, man["partition_col"],
+                                 bloom_cols)
+        sid = _commit(path, man["files"] + new_files,
+                      man["partition_col"], base, commit_id,
+                      schema=schema, bloom_cols=bloom_cols,
+                      deletes=man.get("deletes"), publish=False)
+        _point_branch(path, branch, sid)
+        return sid
     if commit_id is not None:
         done = _find_commit(path, commit_id)
         if done is not None:
@@ -1016,6 +1134,7 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     cur = current_snapshot(path)
     keep = set(sids[-keep_last:]) | ({cur} if cur is not None else set())
     keep |= set(list_tags(path).values())  # tagged snapshots are refs
+    keep |= set(list_branches(path).values())  # branch heads likewise
     expired = [s for s in sids if s not in keep]
     for s in expired:
         os.remove(_manifest_file(path, s))

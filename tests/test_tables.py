@@ -580,3 +580,69 @@ def test_wap_staging_publish_and_tags(spark, tmp_path):
     assert T.read_snapshot(spark, path, tag="v1").count() == 50
     with pytest.raises(FileNotFoundError, match="tag"):
         T.read_snapshot(spark, path, tag="nope")
+
+
+def test_branch_commits_isolate_and_fast_forward(spark, tmp_path):
+    """Branches (q148): commits on a branch advance the branch head
+    only (main frozen); fast-forward publishes the whole run; a
+    non-ancestor fast-forward (main moved since the cut) raises;
+    commit_id replay on a branch repoints the BRANCH, never main;
+    branch heads survive expire_snapshots; unknown branch raises."""
+    path = str(tmp_path / "t")
+    T.snapshot_create(_mk(spark, 40), path, partition_col="part")
+    s0 = T.current_snapshot(path)
+
+    T.snapshot_branch(path, "audit")
+    assert T.list_branches(path) == {"audit": s0}
+
+    b1 = spark.createDataFrame(
+        [(900, 0, 1), (901, 1, 2)], "k long, part long, v long")
+    b2 = spark.createDataFrame(
+        [(902, 2, 3)], "k long, part long, v long")
+    h1 = T.snapshot_append(b1, path, branch="audit", commit_id="br-1")
+    h2 = T.snapshot_append(b2, path, branch="audit")
+    assert T.current_snapshot(path) == s0
+    assert T.read_snapshot(spark, path).count() == 40
+    assert T.read_snapshot(spark, path, branch="audit").count() == 43
+    assert T.resolve_branch(path, "audit") == h2
+
+    # replaying the first branch commit repoints the branch to it
+    # (idempotent commit), and still never touches main
+    assert T.snapshot_append(b1, path, branch="audit",
+                             commit_id="br-1") == h1
+    assert T.resolve_branch(path, "audit") == h1
+    assert T.current_snapshot(path) == s0
+    T.snapshot_branch(path, "audit", snapshot=h2)  # restore head
+
+    ff = T.snapshot_fast_forward(path, "audit")
+    assert ff == h2 and T.current_snapshot(path) == h2
+    assert T.read_snapshot(spark, path).count() == 43
+    # fast-forward is idempotent once main == head
+    assert T.snapshot_fast_forward(path, "audit") == h2
+
+    # cut a branch, then move main -> the branch is no longer a
+    # fast-forward and publishing it must refuse
+    T.snapshot_branch(path, "stale")
+    T.snapshot_append(
+        spark.createDataFrame([(903, 0, 4)], "k long, part long, v long"),
+        path)
+    T.snapshot_append(
+        spark.createDataFrame([(904, 0, 5)], "k long, part long, v long"),
+        path, branch="stale")
+    with pytest.raises(ValueError, match="fast-forward"):
+        T.snapshot_fast_forward(path, "stale")
+
+    # branch heads are refs: expiry keeps them readable
+    stale_head = T.resolve_branch(path, "stale")
+    for i in range(3):
+        T.snapshot_append(
+            spark.createDataFrame([(910 + i, 0, i)],
+                                  "k long, part long, v long"), path)
+    expired = T.expire_snapshots(path, keep_last=2)
+    assert stale_head not in expired
+    assert T.read_snapshot(spark, path, branch="stale").count() == 44
+
+    with pytest.raises(FileNotFoundError, match="branch"):
+        T.read_snapshot(spark, path, branch="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        T.read_snapshot(spark, path, tag="x", branch="y")
