@@ -8503,6 +8503,47 @@ SELECT 'post' AS state, event_id, cents FROM published
 """
 
 
+# --------------------------------------------------------------- q149
+
+def q149_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/tiles.py:od_flows —
+    the transition-counting rung of the trajectory family: q144 finds
+    where movers pause, q145 who moves together, this one where the
+    crowd moves FROM->TO), over the SAME derived random-walk
+    trajectories as q144 (_q144_pings_sql shared verbatim). The oracle
+    mirrors the lag transition extraction (self-loops excluded, first
+    ping has no predecessor), the (from, to) rollup, and the
+    deterministic (n_trips DESC, to_cell) dest_rank window."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import od_flows
+
+    pings = spark.sql(_q144_pings_sql(synth.SPARK))
+    return od_flows(pings, level=12, order_col="event_id")
+
+
+def _q149_oracle() -> str:
+    cell = cell_sql("lon", "lat", 12)
+    return f"""
+WITH pings AS ({_q144_pings_sql(synth.DUCKDB)}),
+c AS (SELECT user_id, ts, event_id, {cell} AS cell FROM pings),
+t AS (
+  SELECT lag(cell) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS from_cell,
+         cell AS to_cell
+  FROM c),
+f AS (
+  SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n_trips
+  FROM t
+  WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+  GROUP BY from_cell, to_cell)
+SELECT from_cell, to_cell, n_trips,
+       CAST(row_number() OVER
+              (PARTITION BY from_cell
+               ORDER BY n_trips DESC, to_cell) AS BIGINT) AS dest_rank
+FROM f
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8716,6 +8757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_snapshot_aoi_scan": q146_snapshot_aoi_scan,
         "q147_snapshot_wap": q147_snapshot_wap,
         "q148_snapshot_branch": q148_snapshot_branch,
+        "q149_od_flows": q149_od_flows,
     }
 
 
@@ -8793,6 +8835,7 @@ def oracle_sql() -> dict[str, str]:
         "q146_snapshot_aoi_scan": _q30_oracle(),
         "q147_snapshot_wap": _Q147_ORACLE,
         "q148_snapshot_branch": _Q148_ORACLE,
+        "q149_od_flows": _q149_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -575,3 +575,63 @@ def colocation_pairs(
         .agg(F.count(F.lit(1)).alias("n_cobuckets"))
         .where(F.col("n_cobuckets") >= F.lit(int(min_hits)))
     )
+
+
+def od_flows(
+    pings: DataFrame,
+    level: int = 12,
+    min_flow: int = 1,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Origin-destination flow matrix over point trajectories — the
+    transition-counting rung of the trajectory-mining family (Zheng
+    2015 survey, ch. 8 mobility modeling; stay_points finds where
+    movers pause, colocation_pairs who moves together, this one where
+    the crowd moves FROM->TO). Engine-only, no reference counterpart.
+
+    A trip is a consecutive ping pair per mover whose grid cells
+    differ (self-loops — same-cell consecutive pings — are dwell, not
+    movement, and are excluded; the first ping has no predecessor).
+    Output: ``(from_cell, to_cell, n_trips, dest_rank)``, one row per
+    directed cell pair with ``n_trips >= min_flow``; ``dest_rank``
+    ranks destinations within each origin by (n_trips DESC, to_cell)
+    — deterministic, so "top-k destinations per origin" is a plain
+    ``dest_rank <= k`` filter.
+
+    Scale shape: ONE hash partitioning by mover drives the lag (state
+    per task = one mover's ping sequence), then ONE map-side-combined
+    groupBy on (from, to) — the flow matrix is at most
+    |occupied cells|^2 but in practice O(observed transitions), far
+    below ping count. The dest_rank window partitions on from_cell
+    over that already-aggregated matrix (raster-scale, never
+    ping-scale). No self-join: lag replaces "join each ping to its
+    successor"."""
+    order = [F.col("__ts")] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy("__u").orderBy(*order)
+    cell = cell_col(F.col(lon_col), F.col(lat_col), level)
+    prev = F.lag(F.col("__cell")).over(w)
+    flows = (
+        pings.select(
+            F.col(id_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            *([F.col(order_col)] if order_col else []),
+            cell.alias("__cell"),
+        )
+        .withColumn("__from", prev)
+        .where(F.col("__from").isNotNull()
+               & (F.col("__from") != F.col("__cell")))
+        .groupBy(
+            F.col("__from").alias("from_cell"),
+            F.col("__cell").alias("to_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+        .where(F.col("n_trips") >= F.lit(int(min_flow)))
+    )
+    rnk = Window.partitionBy("from_cell").orderBy(
+        F.col("n_trips").desc(), F.col("to_cell"))
+    return flows.withColumn(
+        "dest_rank", F.row_number().over(rnk).cast("long"))

@@ -2543,3 +2543,52 @@ def test_colocation_pairs_distinct_buckets_and_threshold(spark):
     got1 = sorted((r.user_a, r.user_b, r.n_cobuckets)
                   for r in colocation_pairs(pings, min_hits=1).collect())
     assert got1 == [(1, 2, 2), (1, 3, 1)]
+
+
+def test_od_flows_transitions_and_rank(spark):
+    """od_flows (q149): only consecutive DIFFERENT-cell ping pairs are
+    trips (self-loops are dwell, first ping has no predecessor), flows
+    count across movers, dest_rank orders destinations within an origin
+    by (n_trips DESC, to_cell) deterministically, and min_flow prunes."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.tiles import od_flows
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    A, B, C = (0.0, 0.0), (0.2, 0.0), (0.4, 0.0)
+    rows = (
+        # user 1: A A B A  -> A->B, B->A (the A A self-loop is dwell)
+        [(1, t(0), 0, *A), (1, t(1), 1, *A),
+         (1, t(2), 2, *B), (1, t(3), 3, *A)]
+        # user 2: A B C    -> A->B (again), B->C
+        + [(2, t(0), 10, *A), (2, t(1), 11, *B), (2, t(2), 12, *C)]
+    )
+    pings = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "lon double, lat double")
+    out = od_flows(pings, level=12, order_col="event_id").collect()
+    flows = {(r.from_cell, r.to_cell): (r.n_trips, r.dest_rank)
+             for r in out}
+    # resolve the three cells from the data itself
+    import pyspark.sql.functions as F
+
+    from osmcha_spark.geo.cells import cell_col
+    ca, cb, cc = [
+        spark.createDataFrame([p], "lon double, lat double")
+        .select(cell_col(F.col("lon"), F.col("lat"), 12)).first()[0]
+        for p in (A, B, C)
+    ]
+    # B's two destinations tie at 1 trip -> rank breaks by to_cell asc
+    ra, rc = (1, 2) if ca < cc else (2, 1)
+    assert flows == {
+        (ca, cb): (2, 1),   # two movers made A->B; A's top destination
+        (cb, ca): (1, ra),
+        (cb, cc): (1, rc),
+    }
+    # min_flow=2 keeps only the doubled edge
+    kept = [(r.from_cell, r.to_cell, r.n_trips)
+            for r in od_flows(pings, level=12, min_flow=2,
+                              order_col="event_id").collect()]
+    assert kept == [(ca, cb, 2)]

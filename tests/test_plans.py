@@ -841,3 +841,25 @@ def test_colocation_pairs_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial" in plan, plan
+
+
+def test_od_flows_plan_shape(spark):
+    """od_flows (q149) plan contract: no Python eval, no join at all
+    (lag replaces the ping->successor self-join), the (from, to)
+    rollup partial-aggregates map-side, and at most three hash
+    exchanges total (mover window, flow rollup, origin rank window —
+    the rank runs on the aggregated matrix, never on pings)."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.tiles import od_flows
+
+    pings = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 0.0, 0.0),
+         (1, datetime(2024, 1, 2), 2, 0.2, 0.0)],
+        "user_id long, ts timestamp, event_id long, "
+        "lon double, lat double")
+    plan = _plan(od_flows(pings, order_col="event_id"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
