@@ -8544,6 +8544,54 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- q150
+
+def q150_snapshot_rewrite_sorted(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Sort-order rewrite (sources/tables.py:snapshot_rewrite_sorted —
+    Iceberg's rewrite_data_files with a sort order): a table written
+    HASH-distributed (range stats useless, the q135 layout) is
+    re-clustered on cents, after which the R99 [min,max] pruning
+    bites. Two-state oracle: the rewrite carries content row-for-row,
+    so pre == post == base — pruning changes WHICH files a read scans,
+    never the rows (q131's rule; the 8-files-to-few skip-count flip,
+    time travel to the old layout, the changelog rewrite guard and
+    delete materialization are pinned in tests/test_tables.py)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q150")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .repartition(8, "event_id")  # hash layout: every file spans
+    )                                # the full cents range
+    T.snapshot_create(ev, path)
+    pre = T.read_snapshot(spark, path) \
+        .select(F.lit("pre").alias("state"), "event_id", "cents")
+    total = sum(f["bytes"] for f in T.snapshot_files(path))
+    T.snapshot_rewrite_sorted(spark, path, "cents",
+                              target_bytes=max(1, total // 6))
+    post = T.read_snapshot(spark, path) \
+        .select(F.lit("post").alias("state"), "event_id", "cents")
+    return pre.unionByName(post)
+
+
+_Q150_ORACLE = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT 'pre' AS state, event_id, cents FROM base
+UNION ALL
+SELECT 'post' AS state, event_id, cents FROM base
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8758,6 +8806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_snapshot_wap": q147_snapshot_wap,
         "q148_snapshot_branch": q148_snapshot_branch,
         "q149_od_flows": q149_od_flows,
+        "q150_snapshot_rewrite_sorted": q150_snapshot_rewrite_sorted,
     }
 
 
@@ -8836,6 +8885,7 @@ def oracle_sql() -> dict[str, str]:
         "q147_snapshot_wap": _Q147_ORACLE,
         "q148_snapshot_branch": _Q148_ORACLE,
         "q149_od_flows": _q149_oracle(),
+        "q150_snapshot_rewrite_sorted": _Q150_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

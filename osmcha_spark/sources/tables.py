@@ -1125,6 +1125,56 @@ def snapshot_compact(spark: SparkSession, path: str,
                    deletes=man.get("deletes"))
 
 
+def snapshot_rewrite_sorted(spark: SparkSession, path: str,
+                            sort_col: str,
+                            target_bytes: int = 128 * 1024 * 1024,
+                            commit_id: str | None = None) -> int:
+    """Re-CLUSTER the whole table on ``sort_col`` (Iceberg's
+    rewrite_data_files with a sort order): read the current snapshot
+    (merge-on-read — pending equality deletes materialize, ending
+    their scope), range-repartition on the column, and commit the
+    result as a full-replacement snapshot. Content is carried
+    row-for-row; what changes is WHICH file each row lives in — after
+    the rewrite every file holds one contiguous ``sort_col`` range,
+    so the manifest's per-file [min, max] stats (R99) and
+    ``where``/``where_any`` pruning finally bite on a table that was
+    written unclustered. Time travel keeps the old layout readable.
+
+    The file count is sized from the CURRENT manifest's bytes
+    (ceil(total/target) — driver-side metadata, no extra scan).
+    Range boundaries come from Spark's range-partition sampling, so
+    skewed keys still split evenly. At 100 TB this is the scheduled
+    maintenance op Iceberg users run after bulk loads; here, one
+    bounded job whose output supersedes every prior file."""
+    import math
+
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    total = sum(f["bytes"] for f in man["files"])
+    n_files = max(1, math.ceil(total / target_bytes))
+    from pyspark.sql import functions as F
+
+    df = read_snapshot(spark, path, cur) \
+        .repartitionByRange(n_files, F.col(sort_col))
+    pcol = man["partition_col"]
+    # one writer job; on a partitioned table the hive split inside
+    # _write_files cuts each RANGE partition by value, so every file
+    # still holds one contiguous sort_col range — clustering survives,
+    # at the cost of up to ranges x values files
+    files = _write_files(df, path, pcol, man.get("bloom_cols"))
+    return _commit(path, files, pcol, cur, commit_id,
+                   schema=man.get("schema"),
+                   bloom_cols=man.get("bloom_cols"))
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` manifests (the current one
     always survives) and vacuum files they exclusively referenced.

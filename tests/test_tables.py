@@ -646,3 +646,57 @@ def test_branch_commits_isolate_and_fast_forward(spark, tmp_path):
         T.read_snapshot(spark, path, branch="nope")
     with pytest.raises(ValueError, match="at most one"):
         T.read_snapshot(spark, path, tag="x", branch="y")
+
+
+def test_rewrite_sorted_enables_pruning_and_carries_content(
+        spark, tmp_path):
+    """snapshot_rewrite_sorted (q150): a hash-distributed table where
+    every file spans the full value range (stats prune nothing) is
+    re-clustered so a narrow range read skips most files; content is
+    carried row-for-row; time travel still reads the OLD layout;
+    snapshot_changes across the rewrite refuses (append-only guard);
+    pending equality deletes MATERIALIZE (the manifest's delete list
+    empties and a re-appended key survives); commit_id replay
+    repoints."""
+    path = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+    ).repartition(8, "k")  # hash layout: v spans [0, 1197] everywhere
+    T.snapshot_create(df, path)
+    s0 = T.current_snapshot(path)
+    assert len(T.snapshot_files(path)) == 8
+    # stats exist but prune nothing on this layout (51 of 400 ids fall
+    # in the probe range — every hash file holds several of them)
+    assert len(T.snapshot_files(path, where=[("v", 0, 150)])) == 8
+
+    T.snapshot_delete(path, "k", [7])
+    total = sum(f["bytes"] for f in T.snapshot_files(path))
+    sid = T.snapshot_rewrite_sorted(spark, path, "v",
+                                    target_bytes=max(1, total // 8),
+                                    commit_id="rw-1")
+    # replay is a no-op repoint
+    assert T.snapshot_rewrite_sorted(spark, path, "v",
+                                     commit_id="rw-1") == sid
+
+    # narrow range now touches a small fraction of the files
+    n_all = len(T.snapshot_files(path))
+    n_hit = len(T.snapshot_files(path, where=[("v", 0, 150)]))
+    assert n_all >= 6 and n_hit <= 2, (n_all, n_hit)
+
+    # content carried row-for-row, with the delete materialized
+    got = sorted((r.k, r.v) for r in
+                 T.read_snapshot(spark, path).collect())
+    assert got == [(i, i * 3) for i in range(400) if i != 7]
+    assert T._load_manifest(path, sid)["deletes"] == []
+    # re-append the deleted key: no delete entry is left to re-apply
+    T.snapshot_append(
+        spark.createDataFrame([(7, 21)], "k long, v long"), path)
+    assert T.read_snapshot(spark, path).count() == 400
+
+    # time travel: the pre-rewrite snapshot still reads the old layout
+    assert len(T.snapshot_files(path, snapshot=s0)) == 8
+    assert T.read_snapshot(spark, path, snapshot=s0).count() == 400
+
+    # changelog across the rewrite refuses rather than double-counts
+    with pytest.raises(ValueError):
+        T.snapshot_changes(spark, path, s0, sid)
