@@ -8592,6 +8592,43 @@ SELECT 'post' AS state, event_id, cents FROM base
 """
 
 
+# --------------------------------------------------------------- q151
+
+def q151_tile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile mosaic / per-cell representative image
+    (operators/tiles.py:cell_representatives): the sharpest image per
+    level-3 grid cell over the committed image fixture (stored
+    generation-time sharpness column, the q51 fixture rule), with the
+    cell's image count. Engine argmax is one map-side-combined
+    ``max(struct(score, id))`` groupBy; the oracle mirrors the same
+    deterministic selection (score DESC, id DESC on ties) as a
+    window-rank — semantics, not construction."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import cell_representatives
+
+    imgs = spark.read.parquet(
+        os.path.join(FIXTURE_DIR, "images.parquet"))
+    return cell_representatives(imgs, level=3)
+
+
+def _q151_oracle() -> str:
+    path = os.path.join(FIXTURE_DIR, "images.parquet")
+    cell = cell_sql("lon", "lat", 3)
+    return f"""
+WITH c AS (
+  SELECT {cell} AS cell, image_id, sharpness_milli
+  FROM read_parquet('{path}')),
+r AS (
+  SELECT cell, image_id, sharpness_milli,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY sharpness_milli DESC,
+                                     image_id DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_images
+  FROM c)
+SELECT cell, image_id, sharpness_milli, n_images FROM r WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8807,6 +8844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_snapshot_branch": q148_snapshot_branch,
         "q149_od_flows": q149_od_flows,
         "q150_snapshot_rewrite_sorted": q150_snapshot_rewrite_sorted,
+        "q151_tile_mosaic": q151_tile_mosaic,
     }
 
 
@@ -8886,6 +8924,7 @@ def oracle_sql() -> dict[str, str]:
         "q148_snapshot_branch": _Q148_ORACLE,
         "q149_od_flows": _q149_oracle(),
         "q150_snapshot_rewrite_sorted": _Q150_ORACLE,
+        "q151_tile_mosaic": _q151_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

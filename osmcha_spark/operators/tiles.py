@@ -635,3 +635,48 @@ def od_flows(
         F.col("n_trips").desc(), F.col("to_cell"))
     return flows.withColumn(
         "dest_rank", F.row_number().over(rnk).cast("long"))
+
+
+def cell_representatives(
+    df: DataFrame,
+    level: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "image_id",
+    score_col: str = "sharpness_milli",
+) -> DataFrame:
+    """Per-cell representative selection — the tile-mosaic op: for
+    every occupied grid cell pick the single best-scoring row (the
+    sharpest image for a map tile's thumbnail, the canonical photo
+    for a venue cell). Engine-only; ties the image payload to the
+    tiling engine (no reference counterpart — osmcha has no raster
+    payload at all).
+
+    Output: ``(cell, <id_col>, <score_col>, n_images)`` — one row per
+    occupied cell; deterministic under score ties (the LARGER id
+    wins: the argmax is ``max(struct(score, id))``, which compares
+    fields left to right).
+
+    Scale shape: ONE map-side-combined groupBy — ``max`` over a
+    (score, id) struct replaces the window-rank idiom, so there is no
+    per-cell sort and no second pass for the count; partial maxima
+    and partial counts combine before the single hash exchange, which
+    carries at most |occupied cells| rows regardless of corpus size.
+    Dense-cell skew costs nothing here for the same reason (partials
+    shrink each dense cell to one row per task before the shuffle)."""
+    cell = cell_col(F.col(lon_col), F.col(lat_col), level)
+    return (
+        df.groupBy(cell.alias("cell"))
+        .agg(
+            F.max(F.struct(
+                F.col(score_col).alias("s"), F.col(id_col).alias("i"),
+            )).alias("__b"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .select(
+            "cell",
+            F.col("__b.i").alias(id_col),
+            F.col("__b.s").alias(score_col),
+            "n_images",
+        )
+    )

@@ -2592,3 +2592,29 @@ def test_od_flows_transitions_and_rank(spark):
             for r in od_flows(pings, level=12, min_flow=2,
                               order_col="event_id").collect()]
     assert kept == [(ca, cb, 2)]
+
+
+def test_cell_representatives_argmax_ties_and_counts(spark):
+    """cell_representatives (q151): highest score wins per cell, score
+    ties break to the LARGER id (max over (score, id) structs),
+    singleton cells pass through, and n_images counts every row in
+    the cell, not just candidates."""
+    from osmcha_spark.operators.tiles import cell_representatives
+
+    rows = [
+        # cell A (0.0, 0.0): clear winner b
+        ("a", 0.0, 0.0, 100), ("b", 0.01, 0.01, 300),
+        ("c", 0.02, 0.02, 200),
+        # cell B (50, 10): tie at 500 -> 'z' beats 'y'
+        ("y", 50.0, 10.0, 500), ("z", 50.01, 10.01, 500),
+        # cell C: singleton
+        ("s", -120.0, -40.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, lon double, lat double, "
+              "sharpness_milli long")
+    got = sorted(
+        (r.image_id, r.sharpness_milli, r.n_images)
+        for r in cell_representatives(df, level=3).collect()
+    )
+    assert got == [("b", 300, 3), ("s", 7, 1), ("z", 500, 2)]

@@ -863,3 +863,20 @@ def test_od_flows_plan_shape(spark):
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_cell_representatives_plan_shape(spark):
+    """cell_representatives (q151) plan contract: the argmax is ONE
+    map-side-combined aggregate (partial max over the (score, id)
+    struct below a single hash exchange) — no window sort, no join,
+    no Python eval."""
+    from osmcha_spark.operators.tiles import cell_representatives
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0, 1), ("b", 0.0, 0.0, 2)],
+        "image_id string, lon double, lat double, sharpness_milli long")
+    plan = _plan(cell_representatives(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_max" in plan or "partial" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
