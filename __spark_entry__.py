@@ -8629,6 +8629,72 @@ SELECT cell, image_id, sharpness_milli, n_images FROM r WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------- q152
+
+def q152_hot_cold_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord-style hot/cold cells (operators/tiles.py:
+    hot_cold_cells): per occupied level-10 cell over the clustered
+    synth points, the EXACT integer Gi* numerator
+    ``A * focal_n - w * T`` and its sign flag — hot where the 3×3
+    window's mean count beats the global mean. The oracle composes
+    q115's focal CTE with the in-grid window size (least/greatest,
+    identical both engines) and a single-row global CTE; everything
+    stays integer so the comparison is bit-exact."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import hot_cold_cells
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return hot_cold_cells(pts, level=10)
+
+
+def _q152_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+
+    xs = _axis_sql("lon", 180.0, 360.0, 10)
+    ys = _axis_sql("lat", 90.0, 180.0, 10)
+    cell = f"(({_spread_sql('c.x')}) | (({_spread_sql('c.y')}) << 1) " \
+           f"| {10 << 56})"
+    return f"""
+WITH pts AS ({synth.points_sql(D)}),
+xy AS (SELECT ({xs}) AS x, ({ys}) AS y FROM pts),
+counts AS (SELECT x, y, count(*) AS n FROM xy GROUP BY 1, 2),
+off AS (SELECT unnest(range(-1, 2)) AS d),
+contrib AS (
+  SELECT c.x + dx.d AS x, c.y + dy.d AS y, sum(c.n) AS focal_n
+  FROM counts c, off dx, off dy
+  WHERE c.x + dx.d BETWEEN 0 AND 1023
+    AND c.y + dy.d BETWEEN 0 AND 1023
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t,
+         CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)
+           AS a
+  FROM counts
+)
+SELECT c.x, c.y, {cell} AS cell,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(f.focal_n AS BIGINT) AS focal_n,
+       CAST((LEAST(c.x + 1, 1023) - GREATEST(c.x - 1, 0) + 1)
+          * (LEAST(c.y + 1, 1023) - GREATEST(c.y - 1, 0) + 1)
+          AS BIGINT) AS w,
+       CAST(g.a * f.focal_n
+          - (LEAST(c.x + 1, 1023) - GREATEST(c.x - 1, 0) + 1)
+          * (LEAST(c.y + 1, 1023) - GREATEST(c.y - 1, 0) + 1)
+          * g.t AS BIGINT) AS score_num,
+       CAST(CASE WHEN g.a * f.focal_n
+                    > (LEAST(c.x + 1, 1023) - GREATEST(c.x - 1, 0) + 1)
+                    * (LEAST(c.y + 1, 1023) - GREATEST(c.y - 1, 0) + 1)
+                    * g.t THEN 1
+                 WHEN g.a * f.focal_n
+                    < (LEAST(c.x + 1, 1023) - GREATEST(c.x - 1, 0) + 1)
+                    * (LEAST(c.y + 1, 1023) - GREATEST(c.y - 1, 0) + 1)
+                    * g.t THEN -1
+                 ELSE 0 END AS BIGINT) AS flag
+FROM counts c JOIN contrib f USING (x, y), totals g
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8845,6 +8911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_od_flows": q149_od_flows,
         "q150_snapshot_rewrite_sorted": q150_snapshot_rewrite_sorted,
         "q151_tile_mosaic": q151_tile_mosaic,
+        "q152_hot_cold_cells": q152_hot_cold_cells,
     }
 
 
@@ -8925,6 +8992,7 @@ def oracle_sql() -> dict[str, str]:
         "q149_od_flows": _q149_oracle(),
         "q150_snapshot_rewrite_sorted": _Q150_ORACLE,
         "q151_tile_mosaic": _q151_oracle(),
+        "q152_hot_cold_cells": _q152_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

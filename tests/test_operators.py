@@ -2618,3 +2618,37 @@ def test_cell_representatives_argmax_ties_and_counts(spark):
         for r in cell_representatives(df, level=3).collect()
     )
     assert got == [("b", 300, 3), ("s", 7, 1), ("z", 500, 2)]
+
+
+def test_hot_cold_cells_signs_and_edge_window(spark):
+    """hot_cold_cells (q152): a dense blob's cell flags hot, a distant
+    singleton in the same bbox flags cold (its 3x3 mean undershoots
+    the global mean), scores are the exact integer Gi* numerator
+    A*focal_n - w*T, and a grid-corner cell's window clamps to 4."""
+    from osmcha_spark.operators.tiles import hot_cold_cells
+
+    def lonlat(x, y, level=10):
+        lim = 1 << level
+        return (-180 + (x + 0.5) * 360.0 / lim,
+                -90 + (y + 0.5) * 180.0 / lim)
+
+    blob = [lonlat(300, 500)] * 50
+    lone = [lonlat(320, 500)]          # same row, 20 cells away
+    rows = [(lon, lat) for lon, lat in blob + lone]
+    pts = spark.createDataFrame(rows, "lon double, lat double")
+    got = {(r.x, r.y): r for r in hot_cold_cells(pts, level=10).collect()}
+    # bbox: x 300..320, y 500 -> A = 21; T = 51
+    b, s = got[(300, 500)], got[(320, 500)]
+    assert (b.n, b.focal_n, b.w) == (50, 50, 9)
+    assert b.score_num == 21 * 50 - 9 * 51 and b.flag == 1
+    assert (s.n, s.focal_n, s.w) == (1, 1, 9)
+    assert s.score_num == 21 * 1 - 9 * 51 and s.flag == -1
+
+    # grid corner: the in-grid window is 2x2, not 9
+    corner = spark.createDataFrame(
+        [lonlat(0, 0)], "lon double, lat double")
+    c = hot_cold_cells(corner, level=10).collect()[0]
+    assert (c.x, c.y, c.w) == (0, 0, 4)
+    # A=1, T=1: score = 1*1 - 4*1 = -3 — a lone point "dilutes" its
+    # own window below the global mean (w > A), the documented edge
+    assert c.score_num == -3 and c.flag == -1
