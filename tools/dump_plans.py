@@ -686,6 +686,38 @@ def main() -> None:
         formatted(stay_points(pings, order_col="event_id")),
     ))
 
+    from osmcha_spark.operators.tiles import (
+        cell_representatives,
+        hot_cold_cells,
+        od_flows,
+    )
+
+    sections.append((
+        "origin-destination flow matrix (q149)",
+        "expect: ONE mover-hash exchange for the lag, a map-side-"
+        "combined (from, to) rollup, and a dest_rank window over the "
+        "aggregated matrix only — no join, no Python eval, <=3 "
+        "exchanges",
+        formatted(od_flows(pings, order_col="event_id")),
+    ))
+
+    mos = spark.read.parquet(os.path.join(FIXTURES, "images.parquet"))
+    sections.append((
+        "per-cell representative image / tile mosaic (q151)",
+        "expect: the argmax is partial max over a (score, id) struct "
+        "below ONE hash exchange — no window, no join, no Python eval",
+        formatted(cell_representatives(mos, level=3)),
+    ))
+
+    sections.append((
+        "Getis-Ord hot/cold cells (q152)",
+        "expect: focal_sum's raster convolution (two map-side-combined "
+        "groupBys over cells, never points) + a single-row global "
+        "aggregate BROADCAST back over the surface — integer score, "
+        "no Python eval, no fact-side shuffle after the surface",
+        formatted(hot_cold_cells(r_pts, level=10)),
+    ))
+
     lines = [
         "# PLANS — .explain(\"formatted\") of the headline pipelines",
         "",
