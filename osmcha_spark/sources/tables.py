@@ -1125,6 +1125,22 @@ def snapshot_compact(spark: SparkSession, path: str,
                    deletes=man.get("deletes"))
 
 
+def snapshot_rollback(path: str, snapshot: int) -> int:
+    """Roll the table back: repoint ``_CURRENT`` at an earlier
+    committed snapshot (Iceberg's rollback/set-current-snapshot — the
+    bad-batch undo). Snapshots are immutable, so this is ONE pointer
+    swap; nothing is deleted, and the abandoned newer snapshots stay
+    time-travelable until :func:`expire_snapshots` reclaims them. A
+    write after a rollback parents on the rolled-back snapshot,
+    forking history exactly like Iceberg (the abandoned tip simply
+    stops being anyone's parent)."""
+    sid = int(snapshot)
+    if not os.path.exists(_manifest_file(path, sid)):
+        raise FileNotFoundError(f"no committed snapshot {sid} at {path}")
+    _point_current(path, sid)
+    return sid
+
+
 def snapshot_rewrite_sorted(spark: SparkSession, path: str,
                             sort_col: str,
                             target_bytes: int = 128 * 1024 * 1024,

@@ -700,3 +700,32 @@ def test_rewrite_sorted_enables_pruning_and_carries_content(
     # changelog across the rewrite refuses rather than double-counts
     with pytest.raises(ValueError):
         T.snapshot_changes(spark, path, s0, sid)
+
+
+def test_rollback_repoints_and_forks_history(spark, tmp_path):
+    """snapshot_rollback: one pointer swap back to any committed
+    snapshot; the abandoned tip stays time-travelable; a write after
+    the rollback parents on the rolled-back snapshot (forked history,
+    the bad-batch undo); rolling back to an uncommitted id raises."""
+    path = str(tmp_path / "t")
+    T.snapshot_create(_mk(spark, 30), path, partition_col="part")
+    s0 = T.current_snapshot(path)
+    bad = T.snapshot_append(
+        spark.createDataFrame([(900, 0, -1)], "k long, part long, v long"),
+        path)
+    assert T.read_snapshot(spark, path).count() == 31
+
+    assert T.snapshot_rollback(path, s0) == s0
+    assert T.current_snapshot(path) == s0
+    assert T.read_snapshot(spark, path).count() == 30
+    # the bad batch is still time-travelable until expiry
+    assert T.read_snapshot(spark, path, snapshot=bad).count() == 31
+
+    # a new write forks: its parent is s0, not the abandoned tip
+    fix = T.snapshot_append(
+        spark.createDataFrame([(901, 0, 1)], "k long, part long, v long"),
+        path)
+    assert T._load_manifest(path, fix)["parent"] == s0
+
+    with pytest.raises(FileNotFoundError):
+        T.snapshot_rollback(path, 999)
