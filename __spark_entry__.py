@@ -8695,6 +8695,66 @@ FROM counts c JOIN contrib f USING (x, y), totals g
 """
 
 
+# --------------------------------------------------------------- q153
+
+def q153_trend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall emerging-hotspot trend (operators/tiles.py:
+    trend_cells): per occupied level-10 cell over the clustered synth
+    points, each point assigned a deterministic time bucket in [0, 8)
+    (md5-prefix hash of its id — the synth rule, identical in both
+    engines), the EXACT integer S statistic ``sum over bucket pairs
+    i < j of sign(n_j - n_i)`` with missing buckets counting zero (the
+    space-time-cube contract), plus the +1/-1/0 emerging flag. The
+    oracle densifies cells x range(8) and folds the 28 pairs in a
+    self-join; the engine folds them in-row over a dense array — same
+    integers, so the comparison is bit-exact."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import trend_cells
+
+    bucket = f"({synth.hash_of('id', 'tb', synth.SPARK)}) % 8"
+    pts = spark.sql(
+        f"SELECT p.*, {bucket} AS bucket "
+        f"FROM ({synth.points_sql(synth.SPARK)}) p")
+    return trend_cells(pts, level=10, n_buckets=8)
+
+
+def _q153_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+
+    xs = _axis_sql("lon", 180.0, 360.0, 10)
+    ys = _axis_sql("lat", 90.0, 180.0, 10)
+    cell = f"(({_spread_sql('c.x')}) | (({_spread_sql('c.y')}) << 1) " \
+           f"| {10 << 56})"
+    bucket = f"({synth.hash_of('id', 'tb', D)}) % 8"
+    return f"""
+WITH pts AS (
+  SELECT p.*, {bucket} AS b FROM ({synth.points_sql(D)}) p),
+xy AS (SELECT ({xs}) AS x, ({ys}) AS y, b FROM pts),
+counts AS (SELECT x, y, b, count(*) AS n FROM xy GROUP BY 1, 2, 3),
+cells AS (
+  SELECT x, y, CAST(sum(n) AS BIGINT) AS n_total
+  FROM counts GROUP BY 1, 2),
+bk AS (SELECT unnest(range(0, 8)) AS b),
+dense AS (
+  SELECT c.x, c.y, bk.b, COALESCE(k.n, 0) AS n
+  FROM cells c CROSS JOIN bk
+  LEFT JOIN counts k ON k.x = c.x AND k.y = c.y AND k.b = bk.b),
+s AS (
+  SELECT lo.x, lo.y,
+         CAST(sum(CASE WHEN hi.n > lo.n THEN 1
+                       WHEN hi.n < lo.n THEN -1
+                       ELSE 0 END) AS BIGINT) AS trend_s
+  FROM dense lo
+  JOIN dense hi ON hi.x = lo.x AND hi.y = lo.y AND hi.b > lo.b
+  GROUP BY 1, 2)
+SELECT c.x, c.y, {cell} AS cell, c.n_total, s.trend_s,
+       CAST(CASE WHEN s.trend_s > 0 THEN 1
+                 WHEN s.trend_s < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS flag
+FROM cells c JOIN s ON s.x = c.x AND s.y = c.y
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8912,6 +8972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_snapshot_rewrite_sorted": q150_snapshot_rewrite_sorted,
         "q151_tile_mosaic": q151_tile_mosaic,
         "q152_hot_cold_cells": q152_hot_cold_cells,
+        "q153_trend_cells": q153_trend_cells,
     }
 
 
@@ -8993,6 +9054,7 @@ def oracle_sql() -> dict[str, str]:
         "q150_snapshot_rewrite_sorted": _Q150_ORACLE,
         "q151_tile_mosaic": _q151_oracle(),
         "q152_hot_cold_cells": _q152_oracle(),
+        "q153_trend_cells": _q153_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -738,3 +738,93 @@ def hot_cold_cells(
         .select("x", "y", "cell", "n", "focal_n", "w",
                 "score_num", "flag")
     )
+
+
+def trend_cells(
+    points: DataFrame,
+    level: int = 10,
+    n_buckets: int = 8,
+    bucket_col: str = "bucket",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Mann-Kendall trend per grid cell over a fixed ladder of time
+    buckets — the space-time-cube "emerging hotspot" rung on top of
+    hot_cold_cells' single-epoch contrast: per occupied cell,
+
+        trend_s = sum over bucket pairs i < j of sign(n_j - n_i)
+
+    with MISSING buckets counting ZERO (the space-time cube contract —
+    a cell that only appears in the last bucket of 8 scores +7, not 0).
+    The S statistic is a pure integer function of counts, so engine and
+    oracle agree bit-for-bit (the q128/q140/q152 integer-quantization
+    move applied to temporal statistics; the float variance
+    normalization that turns S into a z-score bolts on top, everything
+    else unchanged). flag = +1 emerging / -1 diminishing / 0 flat.
+    Rows with a bucket outside ``[0, n_buckets)`` are ignored.
+
+    Scale shape: one point->(cell, bucket) aggregation (map-side
+    combined) reduces the fact to at most ``4^level * n_buckets`` rows;
+    the second groupBy packs each cell's at-most-``n_buckets`` entries
+    into a map (bounded state, never a whole-partition buffer) and the
+    O(B^2) pair fold runs as a Catalyst ``aggregate`` over a dense
+    in-row array — no pair join, no second pass over points. The
+    reference has no temporal operators at all (osmcha/changeset.py
+    analyses one changeset snapshot at a time); this is engine-side
+    mandate territory like focal_sum/grid_dbscan.
+    """
+    from osmcha_spark.geo.cells import _axis_col, _spread_col
+
+    b_max = int(n_buckets)
+    x = _axis_col(F.col(lon_col), 180.0, 360.0, level)
+    y = _axis_col(F.col(lat_col), 90.0, 180.0, level)
+    counts = (
+        points.select(
+            x.alias("x"), y.alias("y"),
+            F.col(bucket_col).cast("long").alias("b"),
+        )
+        .where((F.col("b") >= 0) & (F.col("b") < b_max))
+        .groupBy("x", "y", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dense = (
+        counts.groupBy("x", "y")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "n"))).alias("m"),
+            F.sum("n").cast("long").alias("n_total"),
+        )
+        .withColumn(
+            "cnt",
+            F.expr(
+                f"transform(sequence(0, {b_max - 1}), "
+                "b -> coalesce(element_at(m, cast(b as bigint)), 0L))"),
+        )
+    )
+    if b_max < 2:
+        # no bucket pairs — sequence(0, -1) would DESCEND in Spark and
+        # index cnt[-1]; the S statistic is 0 by definition
+        s_expr = F.lit(0)
+    else:
+        s_expr = F.expr(
+            f"aggregate(sequence(0, {b_max - 2}), 0L, (acc, i) -> acc + "
+            f"aggregate(sequence(i + 1, {b_max - 1}), 0L, (a2, j) -> a2 + "
+            "(CASE WHEN cnt[j] > cnt[i] THEN 1L "
+            "WHEN cnt[j] < cnt[i] THEN -1L ELSE 0L END)))"
+        )
+    cell = (
+        _spread_col(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_col(F.col("y")), 1))
+        .bitwiseOR(F.lit(level << 56))
+    )
+    return (
+        dense.withColumn("trend_s", s_expr.cast("long"))
+        .withColumn(
+            "flag",
+            F.when(F.col("trend_s") > 0, F.lit(1))
+            .when(F.col("trend_s") < 0, F.lit(-1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .select("x", "y", cell.alias("cell"), "n_total",
+                "trend_s", "flag")
+    )

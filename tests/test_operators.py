@@ -2652,3 +2652,33 @@ def test_hot_cold_cells_signs_and_edge_window(spark):
     # A=1, T=1: score = 1*1 - 4*1 = -3 — a lone point "dilutes" its
     # own window below the global mean (w > A), the documented edge
     assert c.score_num == -3 and c.flag == -1
+
+
+def test_trend_cells_mann_kendall_signs(spark):
+    """trend_cells (q153): rising counts score +B(B-1)/2, falling the
+    negative, constant zero; a cell seen ONLY in the last bucket scores
+    +(B-1) because missing buckets count zero (the space-time-cube
+    contract); out-of-range buckets are ignored entirely."""
+    from osmcha_spark.operators.tiles import trend_cells
+
+    rows = []
+    for b in range(8):
+        rows += [(0.0001, 0.0001, b)] * (b + 1)      # rising  -> +28
+        rows += [(-20.0, -20.0, b)] * 2              # flat    ->   0
+        rows += [(40.0, 40.0, b)] * (8 - b)          # falling -> -28
+    rows += [(10.0, 10.0, 7)] * 5                    # tail-only -> +7
+    rows += [(0.0001, 0.0001, 99)]                   # ignored
+    df = spark.createDataFrame(rows, "lon double, lat double, bucket int")
+    got = {(r.x, r.y): r for r in trend_cells(df, level=10).collect()}
+    assert len(got) == 4
+    vals = sorted((r.n_total, r.trend_s, r.flag) for r in got.values())
+    assert (5, 7, 1) in vals            # tail-only cell
+    assert (16, 0, 0) in vals           # flat cell
+    assert (36, 28, 1) in vals          # rising cell (bucket 99 dropped)
+    assert (36, -28, -1) in vals        # falling cell
+    # degenerate single-bucket ladder: no pairs, S = 0 by definition
+    # (sequence(0, -1) DESCENDS in Spark — pinned so the guard stays)
+    one = spark.createDataFrame(
+        [(1.0, 1.0, 0)] * 3, "lon double, lat double, bucket int")
+    r1 = trend_cells(one, level=5, n_buckets=1).collect()
+    assert len(r1) == 1 and r1[0].trend_s == 0 and r1[0].n_total == 3
