@@ -8755,6 +8755,72 @@ FROM cells c JOIN s ON s.x = c.x AND s.y = c.y
 """
 
 
+# --------------------------------------------------------------- q154
+
+_Q154_TARGET = """
+SELECT event_id, event_id % 8 AS bucket,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+"""
+
+_Q154_SOURCE = """
+SELECT event_id, event_id % 8 AS bucket,
+       CAST((event_id * 37) % 20000 - 5000 AS BIGINT) AS cents
+FROM events WHERE event_id % 7 < 2
+UNION ALL
+SELECT event_id + 1099511627776 AS event_id,
+       (event_id + 1099511627776) % 8 AS bucket,
+       CAST(event_id % 1000 AS BIGINT) AS cents
+FROM events WHERE event_id % 11 = 3
+"""
+
+
+def q154_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the snapshot table format (sources/tables.py:
+    snapshot_merge_into): events land as an 8-partition table, then one
+    merge batch exercises all four clause outcomes — matched rows with
+    negative source cents are DELETED (clause order: delete first),
+    matched rows where the source beats the target are UPDATED, other
+    matched rows are KEPT, and unmatched source keys are INSERTED.
+    Target, source, and conditions are plain ANSI SQL shared verbatim
+    with the oracle's CTE-for-CTE full-outer mirror; the engine path
+    additionally rewrites ONLY the touched partitions (carry-over by
+    file reference — pinned in tests/test_tables.py)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q154")
+    path = os.path.join(work, "table")
+    T.snapshot_create(spark.sql(_Q154_TARGET), path,
+                      partition_col="bucket")
+    T.snapshot_merge_into(spark.sql(_Q154_SOURCE), path, "event_id",
+                          delete_condition="s.cents < 0",
+                          update_condition="s.cents > t.cents")
+    return T.read_snapshot(spark, path) \
+        .select("event_id", "bucket", "cents")
+
+
+_Q154_ORACLE = f"""
+WITH t AS ({_Q154_TARGET}),
+s AS ({_Q154_SOURCE}),
+m AS (
+  SELECT COALESCE(s.event_id, t.event_id) AS event_id,
+         COALESCE(s.bucket, t.bucket) AS bucket,
+         CASE WHEN s.event_id IS NOT NULL AND t.event_id IS NOT NULL
+              THEN CASE WHEN s.cents > t.cents THEN s.cents
+                        ELSE t.cents END
+              WHEN s.event_id IS NOT NULL THEN s.cents
+              ELSE t.cents END AS cents
+  FROM t FULL OUTER JOIN s ON s.event_id = t.event_id
+  WHERE NOT (s.event_id IS NOT NULL AND t.event_id IS NOT NULL
+             AND s.cents < 0))
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(cents AS BIGINT) AS cents
+FROM m
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8973,6 +9039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_tile_mosaic": q151_tile_mosaic,
         "q152_hot_cold_cells": q152_hot_cold_cells,
         "q153_trend_cells": q153_trend_cells,
+        "q154_snapshot_merge": q154_snapshot_merge,
     }
 
 
@@ -9055,6 +9122,7 @@ def oracle_sql() -> dict[str, str]:
         "q151_tile_mosaic": _q151_oracle(),
         "q152_hot_cold_cells": _q152_oracle(),
         "q153_trend_cells": _q153_oracle(),
+        "q154_snapshot_merge": _Q154_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

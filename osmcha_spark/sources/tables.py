@@ -1070,6 +1070,102 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
                    deletes=man.get("deletes"))
 
 
+def snapshot_merge_into(source: DataFrame, path: str, key: str,
+                        delete_condition: str | None = None,
+                        update_condition: str | None = None,
+                        insert: bool = True,
+                        commit_id: str | None = None) -> int:
+    """MERGE INTO with clause semantics — the general lakehouse write
+    verb snapshot_upsert's last-writer-wins is a special case of.
+    Matched target rows are resolved in Delta/Iceberg clause order:
+
+      1. matched AND ``delete_condition``            -> row removed
+      2. matched AND ``update_condition`` (def true) -> source row wins
+      3. matched, neither condition met              -> target row kept
+      4. source-only                                 -> inserted iff
+                                                        ``insert``
+
+    Conditions are SQL strings over the aliases ``s`` (source) and
+    ``t`` (target), e.g. ``"s.cents < t.cents"``. The reference has no
+    table writes at all (osmcha/changeset.py is read-only over the API);
+    this is engine-mandate territory like the rest of the format.
+
+    Scale shape: identical to snapshot_upsert — only partitions the
+    source touches are rewritten (ONE full-outer join per batch, both
+    sides pruned to the affected partitions); untouched partitions are
+    carried by file REFERENCE. Pending equality deletes materialize
+    into the rewritten partitions through ``_apply_deletes`` (their
+    fresh seq ends the delete's scope — the q143 contract). ``source``
+    must carry the table's partition_col with partition-stable keys
+    (a key never changes partitions), the same contract as upsert.
+    ``commit_id`` makes replays repoint-only no-ops."""
+    from pyspark.sql import functions as F
+
+    spark = source.sparkSession
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    pcol = man["partition_col"]
+    bloom_cols = man.get("bloom_cols")
+    schema = _merged_schema(man.get("schema"), source)
+    source = _align(source, schema)
+
+    if pcol is None:
+        carried: list[dict] = []
+        prior_entries = list(man["files"])
+        carried_deletes = None  # full rewrite materializes every delete
+    else:
+        affected = {
+            str(r[0]) for r in source.select(pcol).distinct().collect()
+        }
+        carried = [f for f in man["files"] if f["partition"] not in affected]
+        prior_entries = [f for f in man["files"]
+                         if f["partition"] in affected]
+        carried_deletes = man.get("deletes")
+
+    if prior_entries:
+        dels = man.get("deletes") or []
+        if dels:
+            prior = _apply_deletes(spark, path, prior_entries, dels)
+        else:
+            prior = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(_data_dir(path), f["name"])
+                  for f in prior_entries]
+            )
+        prior = _align(prior, schema)
+    else:
+        prior = _align(
+            spark.createDataFrame([], source.schema), schema)
+
+    t, s = prior.alias("t"), source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"),
+                    "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    del_c = F.expr(delete_condition) if delete_condition else F.lit(False)
+    upd_c = F.expr(update_condition) if update_condition else F.lit(True)
+    keep = F.when(matched, ~del_c).otherwise(
+        F.when(F.col(f"s.{key}").isNotNull(), F.lit(bool(insert)))
+        .otherwise(F.lit(True)))
+    take_s = F.when(matched, ~del_c & upd_c) \
+        .otherwise(F.col(f"t.{key}").isNull())
+    cols = [f.name for f in prior.schema.fields]
+    merged = joined.where(keep).select(*[
+        F.when(take_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        .alias(c) for c in cols
+    ])
+    new_files = _write_files(merged, path, pcol, bloom_cols)
+    return _commit(path, carried + new_files, pcol, cur, commit_id,
+                   schema=schema, bloom_cols=bloom_cols,
+                   deletes=carried_deletes)
+
+
 def snapshot_compact(spark: SparkSession, path: str,
                      target_bytes: int = 128 * 1024 * 1024) -> int | None:
     """Bin-pack fragmented partitions into ceil(bytes/target) files and

@@ -729,3 +729,69 @@ def test_rollback_repoints_and_forks_history(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         T.snapshot_rollback(path, 999)
+
+
+def test_merge_into_clause_order_and_carryover(spark, tmp_path):
+    """snapshot_merge_into (q154): delete clause wins over update on
+    matched rows, update only fires when its condition holds, unmatched
+    targets survive, unmatched sources insert (or drop under
+    insert=False); untouched partitions are carried by file REFERENCE
+    and commit_id replays repoint without rewriting."""
+    path = str(tmp_path / "t")
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40),
+         (5, "c", 50)],
+        "k int, p string, v int")
+    T.snapshot_create(tgt, path, partition_col="p")
+    before_c = {f["name"] for f in T.snapshot_files(path)
+                if f["partition"] == "c"}
+    src = spark.createDataFrame(
+        [(1, "a", -99),   # matched + delete_condition -> removed
+         (2, "a", 25),    # matched + s.v > t.v        -> updated
+         (3, "b", 7),     # matched, update cond false -> kept
+         (9, "b", 90)],   # unmatched source           -> inserted
+        "k int, p string, v int")
+    T.snapshot_merge_into(src, path, "k",
+                          delete_condition="s.v < 0",
+                          update_condition="s.v > t.v")
+    got = sorted((r.k, r.p, r.v)
+                 for r in T.read_snapshot(spark, path).collect())
+    assert got == [(2, "a", 25), (3, "b", 30), (4, "b", 40),
+                   (5, "c", 50), (9, "b", 90)]
+    after_c = {f["name"] for f in T.snapshot_files(path)
+               if f["partition"] == "c"}
+    assert before_c == after_c  # untouched partition never rewritten
+
+    # insert=False: unmatched source rows dropped, matched still merge
+    src2 = spark.createDataFrame([(100, "a", 1), (2, "a", 999)],
+                                 "k int, p string, v int")
+    sid = T.snapshot_merge_into(src2, path, "k", insert=False,
+                                commit_id="m1")
+    got2 = {r.k: r.v for r in T.read_snapshot(spark, path).collect()}
+    assert got2[2] == 999 and 100 not in got2
+    assert T.snapshot_merge_into(src2, path, "k", insert=False,
+                                 commit_id="m1") == sid
+
+
+def test_merge_into_materializes_pending_deletes_in_touched_partitions(
+        spark, tmp_path):
+    """A pending equality delete stays masked everywhere: rewritten
+    partitions materialize it (fresh seq ends its scope), untouched
+    partitions keep masking it through the carried delete entry — and a
+    merge INSERT of a previously deleted key resurrects it (the q143
+    seq-scoping contract)."""
+    path = str(tmp_path / "t")
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "k int, p string, v int")
+    T.snapshot_create(tgt, path, partition_col="p")
+    T.snapshot_delete(path, "k", [1, 3])
+    # merge touches only partition "a": updates k=2, re-inserts k=1
+    src = spark.createDataFrame([(2, "a", 99), (1, "a", 11)],
+                                "k int, p string, v int")
+    T.snapshot_merge_into(src, path, "k")
+    got = sorted((r.k, r.v)
+                 for r in T.read_snapshot(spark, path).collect())
+    # k=1 resurrected by the merge insert (its file seq > delete seq);
+    # k=3 still masked by the carried delete entry in untouched "b"
+    assert got == [(1, 11), (2, 99), (4, 40)]
