@@ -8821,6 +8821,71 @@ FROM m
 """
 
 
+# --------------------------------------------------------------- q155
+
+def q155_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths within 3 edges
+    (operators/graph.py:sssp_bounded): the q108 deterministic link
+    graph ((src·31+j) mod N, j ∈ 0..2) weighted with the integer rule
+    ``w = (src·7 + dst·13) % 20 + 1``, seeds doc_id % 97 == 0. The
+    engine relaxes frontier-only Bellman-Ford rounds (work per round is
+    frontier-sized, min-combined map-side); the oracle enumerates
+    ≤3-edge paths in a DuckDB recursive CTE and takes min(cost) —
+    affordable exactly at gate scale, which is the point of the
+    frontier formulation. Weights are integers, so dist is bit-exact."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.graph import sssp_bounded
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        docs.join(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            "__n",
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j")) % F.col("__n")).alias("dst"),
+        )
+        .withColumn(
+            "w",
+            (F.col("src") * 7 + F.col("dst") * 13) % 20 + 1,
+        )
+    )
+    seeds = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node_id")
+    )
+    return sssp_bounded(edges, seeds, max_rounds=3) \
+        .select("node_id", "dist")
+
+
+_Q155_ORACLE = """
+WITH RECURSIVE
+n AS (SELECT count(*) AS nn FROM documents),
+series AS (SELECT unnest(range(0, 3)) AS j),
+edges AS (
+  SELECT src, dst, (src * 7 + dst * 13) % 20 + 1 AS w
+  FROM (
+    SELECT d.doc_id AS src, (d.doc_id * 31 + s.j) % n.nn AS dst
+    FROM documents d, n, series s
+  )
+),
+reach(node_id, dist, hops) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT e.dst, r.dist + e.w, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.node_id
+  WHERE r.hops < 3
+)
+SELECT node_id, CAST(min(dist) AS BIGINT) AS dist
+FROM reach GROUP BY node_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9040,6 +9105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_hot_cold_cells": q152_hot_cold_cells,
         "q153_trend_cells": q153_trend_cells,
         "q154_snapshot_merge": q154_snapshot_merge,
+        "q155_sssp_bounded": q155_sssp_bounded,
     }
 
 
@@ -9123,6 +9189,7 @@ def oracle_sql() -> dict[str, str]:
         "q152_hot_cold_cells": _q152_oracle(),
         "q153_trend_cells": _q153_oracle(),
         "q154_snapshot_merge": _Q154_ORACLE,
+        "q155_sssp_bounded": _Q155_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

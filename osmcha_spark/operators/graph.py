@@ -243,3 +243,78 @@ def bfs_hops(
         visited = _ckpt(visited.unionByName(nxt))
         frontier = nxt.select(id_col)
     return visited
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int,
+    id_col: str = "node_id",
+    weight_col: str = "w",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded: ``(node_id,
+    dist)`` = the minimum total edge weight from ANY seed over paths of
+    at most ``max_rounds`` directed edges — the weighted rung above
+    bfs_hops (hop counts are the ``w = 1`` special case). Weights must
+    be non-negative integers for the exact cross-engine contract
+    (documented like kmeans_step's nonnegativity rule); negative
+    weights relax correctly too but the bounded-path semantics is the
+    only oracle-expressible one either way.
+
+    Delta-stepping-flavored Bellman-Ford: each round relaxes ONLY the
+    frontier (nodes whose distance improved last round) against edges,
+    min-combines per target map-side, and keeps a candidate only when
+    it beats the settled table — so work per round is frontier-sized,
+    not |V|-sized, and the loop exits early when no distance improves.
+    After round k the settled table is EXACTLY min-cost over <=k-edge
+    paths (each relaxation consumes one edge), which is what the
+    recursive-CTE oracle enumerates at gate scale. Lineage truncates
+    per round (localCheckpoint, or reliable via ``checkpoint_dir`` —
+    the bfs_hops durability tradeoff); only per-round improved-counts
+    cross to the driver.
+    """
+    if checkpoint_dir is not None:
+        seeds.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.localCheckpoint() if checkpoint_dir is None
+            else df.checkpoint()
+        )
+
+    dist = _ckpt(
+        seeds.select(F.col(id_col))
+        .distinct()
+        .select(id_col, F.lit(0).cast("long").alias("dist"))
+    )
+    frontier = dist
+    for _ in range(int(max_rounds)):
+        cand = (
+            frontier.join(edges, frontier[id_col] == edges["src"])
+            .select(
+                F.col("dst").alias(id_col),
+                (F.col("dist") + F.col(weight_col).cast("long"))
+                .alias("dist"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = _ckpt(
+            cand.join(
+                dist.select(id_col,
+                            F.col("dist").alias("__old")),
+                id_col, "left",
+            )
+            .where(F.col("__old").isNull()
+                   | (F.col("dist") < F.col("__old")))
+            .select(id_col, "dist")
+        )
+        if improved.isEmpty():
+            break
+        dist = _ckpt(
+            dist.join(improved.select(id_col), id_col, "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    return dist

@@ -2682,3 +2682,35 @@ def test_trend_cells_mann_kendall_signs(spark):
         [(1.0, 1.0, 0)] * 3, "lon double, lat double, bucket int")
     r1 = trend_cells(one, level=5, n_buckets=1).collect()
     assert len(r1) == 1 and r1[0].trend_s == 0 and r1[0].n_total == 3
+
+
+def test_sssp_bounded_improvement_and_round_bound(spark):
+    """sssp_bounded (q155): a cheaper two-edge path found in a LATER
+    round replaces an earlier direct-edge distance; nodes needing more
+    edges than max_rounds stay unreachable; hop-count semantics is the
+    w=1 special case (matches bfs_hops)."""
+    from osmcha_spark.operators.graph import bfs_hops, sssp_bounded
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10),   # direct but expensive
+         (0, 2, 1), (2, 1, 2),   # two edges, cheaper -> dist(1) = 3
+         (1, 3, 1),    # 3 edges total via the cheap path -> dist(3) = 4
+         (3, 4, 1)],   # cheap route to 4 needs FOUR edges (cost 5) —
+        "src long, dst long, w long")  # beyond max_rounds, so dist(4)
+    seeds = spark.createDataFrame([(0,)], "node_id long")  # = 12 via
+    got = {r.node_id: r.dist                    # the expensive 3-edge
+           for r in sssp_bounded(edges, seeds,  # path 0->1->3->4
+                                 max_rounds=3).collect()}
+    assert got == {0: 0, 2: 1, 1: 3, 3: 4, 4: 12}
+    # one more round lets the cheap path through: dist(4) drops to 5
+    got4 = {r.node_id: r.dist
+            for r in sssp_bounded(edges, seeds, max_rounds=4).collect()}
+    assert got4[4] == 5
+
+    # w = 1 everywhere degenerates to min-hops
+    unit = edges.select("src", "dst", F.lit(1).alias("w"))
+    hops = {r.node_id: r.hops
+            for r in bfs_hops(unit, seeds, max_hops=3).collect()}
+    unit_dist = {r.node_id: r.dist
+                 for r in sssp_bounded(unit, seeds, max_rounds=3).collect()}
+    assert unit_dist == {k: v for k, v in hops.items()}
