@@ -8886,6 +8886,60 @@ FROM reach GROUP BY node_id
 """
 
 
+# --------------------------------------------------------------- q156
+
+def q156_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE sink (streaming/ingest.py:
+    stream_snapshot_merge): the q154 target lands as micro-batch 1
+    (table create), the q154 changelog as micro-batch 2 (one
+    snapshot_merge_into commit — deletes where source cents are
+    negative, updates where the source beats the target, inserts for
+    new keys), driven through foreachBatch with per-batch commit_ids so
+    replays repoint instead of re-merging. The final table state is
+    definitionally q154's batch merge, so the oracle is REUSED verbatim
+    (the q146/q104 composition rule: same semantics, different
+    execution path)."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.sources import tables as T
+    from osmcha_spark.streaming.ingest import stream_snapshot_merge
+
+    work = _work_dir("q156")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    def _one_file(df, name):
+        tmp = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        return dest
+
+    f1 = _one_file(spark.sql(_Q154_TARGET), "b1.parquet")
+    f2 = _one_file(spark.sql(_Q154_SOURCE), "b2.parquet")
+    now = os.path.getmtime(f1)
+    os.utime(f2, (now + 10, now + 10))
+
+    stream = (
+        spark.readStream.schema("event_id long, bucket long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    path = os.path.join(work, "table")
+    q = stream_snapshot_merge(
+        stream, path, os.path.join(work, "ckpt"), key="event_id",
+        partition_col="bucket",
+        delete_condition="s.cents < 0",
+        update_condition="s.cents > t.cents",
+    )
+    q.awaitTermination()
+    return T.read_snapshot(spark, path) \
+        .select("event_id", "bucket", "cents")
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9106,6 +9160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_trend_cells": q153_trend_cells,
         "q154_snapshot_merge": q154_snapshot_merge,
         "q155_sssp_bounded": q155_sssp_bounded,
+        "q156_stream_snapshot_merge": q156_stream_snapshot_merge,
     }
 
 
@@ -9190,6 +9245,7 @@ def oracle_sql() -> dict[str, str]:
         "q153_trend_cells": _q153_oracle(),
         "q154_snapshot_merge": _Q154_ORACLE,
         "q155_sssp_bounded": _Q155_ORACLE,
+        "q156_stream_snapshot_merge": _Q154_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -221,3 +221,53 @@ def stream_snapshot_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_snapshot_merge(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key: str,
+    partition_col: str | None = None,
+    delete_condition: str | None = None,
+    update_condition: str | None = None,
+    insert: bool = True,
+):
+    """CDC ingest into the snapshot table format: each micro-batch runs
+    one :func:`~osmcha_spark.sources.tables.snapshot_merge_into` commit
+    (clause order delete -> update -> keep, unmatched inserts) — the
+    streaming MERGE sink that turns an upsert/delete changelog into a
+    continuously-correct table, where stream_snapshot_append only
+    accumulates. Same exactly-once contract: commits are stamped
+    ``commit_id="stream-merge-<id>"`` so a foreachBatch replay finds
+    its manifest and repoints instead of re-merging (idempotence at the
+    table level, pinned in tests/test_streaming.py).
+
+    Per-batch cost is snapshot_merge_into's: ONE full-outer join pruned
+    to the partitions the batch touches, untouched partitions carried
+    by file reference — so a trickle of late rows against a huge table
+    rewrites only the partitions those rows live in. The first batch
+    creates the table. Within one micro-batch the merge sees each key
+    once iff the upstream emits it once; dedup upstream (q73's
+    streaming dedup) when the changelog can repeat keys intra-batch."""
+    from osmcha_spark.sources import tables as T
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cid = f"stream-merge-{batch_id}"
+        if T.current_snapshot(path) is None:
+            T.snapshot_create(batch, path, partition_col=partition_col,
+                              commit_id=cid)
+        else:
+            T.snapshot_merge_into(batch, path, key,
+                                  delete_condition=delete_condition,
+                                  update_condition=update_condition,
+                                  insert=insert, commit_id=cid)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

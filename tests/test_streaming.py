@@ -954,3 +954,65 @@ def test_stream_snapshot_append_exactly_once_and_incremental(
     assert T.read_snapshot(spark, table).count() == 5
     # every commit remains a time-travelable snapshot
     assert T.read_snapshot(spark, table, snapshot=0).count() == 2
+
+
+def test_stream_snapshot_merge_cdc_and_replay(spark, stream_dirs, tmp_path):
+    """CDC wiring (q156): micro-batches MERGE into the snapshot table
+    (delete/update/insert clause order per batch), replays of a batch's
+    commit_id repoint instead of re-merging, untouched partitions are
+    carried by reference, and a restarted query merges only new files."""
+    import glob
+    import os
+    import shutil
+
+    from osmcha_spark.sources import tables as T
+    from osmcha_spark.streaming.ingest import stream_snapshot_merge
+
+    in_dir, _out, ckpt = stream_dirs
+    table = str(tmp_path / "table")
+    schema = "id long, part string, v long"
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / f"_st_{name}")
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(in_dir, f"{name}.parquet"))
+
+    def drain():
+        ss = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = stream_snapshot_merge(
+            ss, table, checkpoint_dir=ckpt, key="id",
+            partition_col="part",
+            delete_condition="s.v < 0",
+            update_condition="s.v > t.v",
+        )
+        q.awaitTermination()
+
+    add_file([(1, "p1", 10), (2, "p2", 20), (3, "p3", 30)], "b0")
+    add_file([(1, "p1", -5), (2, "p2", 99), (4, "p1", 40)], "b1")
+    drain()
+    assert T.current_snapshot(table) == 1  # create + one merge commit
+    got = {r.id: r.v for r in T.read_snapshot(spark, table).collect()}
+    assert got == {2: 99, 3: 30, 4: 40}  # 1 deleted, 2 updated, 4 inserted
+    # p3 never touched by the merge batch -> its file carried verbatim
+    f0 = {f["name"] for f in T.snapshot_files(table, snapshot=0)
+          if f["partition"] == "p3"}
+    f1 = {f["name"] for f in T.snapshot_files(table, snapshot=1)
+          if f["partition"] == "p3"}
+    assert f0 == f1
+    # replay of batch 1's commit_id repoints, never re-merges
+    replay = spark.createDataFrame([(2, "p2", 1)], schema)
+    assert T.snapshot_merge_into(replay, table, "id",
+                                 commit_id="stream-merge-1") == 1
+    assert {r.id: r.v for r in T.read_snapshot(spark, table).collect()} \
+        == {2: 99, 3: 30, 4: 40}
+    # restart merges only the new file: 150 > 99 updates, -1 deletes
+    add_file([(2, "p2", 150), (3, "p3", -1)], "b2")
+    drain()
+    assert T.current_snapshot(table) == 2
+    got2 = {r.id: r.v for r in T.read_snapshot(spark, table).collect()}
+    assert got2 == {2: 150, 4: 40}
