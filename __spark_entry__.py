@@ -8940,6 +8940,49 @@ def q156_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "bucket", "cents")
 
 
+# --------------------------------------------------------------- q157
+
+def q157_ripley_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's-K-style pair-correlation counts (operators/tiles.py:
+    ripley_pair_counts): over the clustered synth points, the number of
+    unordered point pairs within each radius of the {32, 128, 512}
+    grid-unit ladder (coordinates quantized at scale 2048 — the
+    _axis_sql move, so distance is a pure integer and the comparison is
+    bit-exact). The engine generates candidates ONLY within a 3×3
+    neighborhood of coarse buckets of side r_max — LOSSLESS by the
+    floor-div bound — while the oracle is the definitional all-pairs
+    self-join (the q102 rule: exact engine path vs definitional
+    oracle, affordable because points are one-per-customer at gate
+    scale)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import ripley_pair_counts
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return ripley_pair_counts(pts, radii=(32, 128, 512), scale=2048.0)
+
+
+_Q157_ORACLE = f"""
+WITH pts AS ({{points}}),
+q AS (
+  SELECT id,
+         CAST(floor((lon + 180.0) * 2048.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 2048.0) AS BIGINT) AS iy
+  FROM pts),
+pairs AS (
+  SELECT (a.ix - b.ix) * (a.ix - b.ix)
+       + (a.iy - b.iy) * (a.iy - b.iy) AS d2
+  FROM q a JOIN q b ON a.id < b.id),
+r AS (SELECT CAST(unnest([32, 128, 512]) AS BIGINT) AS radius)
+SELECT r.radius, CAST(count(p.d2) AS BIGINT) AS n_pairs
+FROM r LEFT JOIN pairs p ON p.d2 <= r.radius * r.radius
+GROUP BY r.radius
+"""
+
+
+def _q157_oracle() -> str:
+    return _Q157_ORACLE.format(points=synth.points_sql(D))
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9161,6 +9204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_snapshot_merge": q154_snapshot_merge,
         "q155_sssp_bounded": q155_sssp_bounded,
         "q156_stream_snapshot_merge": q156_stream_snapshot_merge,
+        "q157_ripley_pair_counts": q157_ripley_pair_counts,
     }
 
 
@@ -9246,6 +9290,7 @@ def oracle_sql() -> dict[str, str]:
         "q154_snapshot_merge": _Q154_ORACLE,
         "q155_sssp_bounded": _Q155_ORACLE,
         "q156_stream_snapshot_merge": _Q154_ORACLE,
+        "q157_ripley_pair_counts": _q157_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

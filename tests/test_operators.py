@@ -2714,3 +2714,33 @@ def test_sssp_bounded_improvement_and_round_bound(spark):
     unit_dist = {r.node_id: r.dist
                  for r in sssp_bounded(unit, seeds, max_rounds=3).collect()}
     assert unit_dist == {k: v for k, v in hops.items()}
+
+
+def test_ripley_pair_counts_planted_ladder(spark):
+    """ripley_pair_counts (q157): hand-counted pairs on a planted
+    pattern — a tight pair (d=10 units), a mid-range third point whose
+    pairs only clear the largest radius (and STRADDLE a coarse-bucket
+    boundary, pinning the 3x3 lossless candidate emission), a far
+    outlier contributing nothing, and a radius below every distance
+    emitting an explicit zero row."""
+    from osmcha_spark.operators.tiles import ripley_pair_counts
+
+    def pt(pid, u, v):
+        # land exactly on integer grid coords (u, v) at scale 2048
+        return (pid, -180.0 + (u + 0.5) / 2048.0, -90.0 + (v + 0.5) / 2048.0)
+
+    # A-B d=10; A-C d=300, B-C d=290 (C sits in the NEXT 512-bucket);
+    # D is isolated
+    df = spark.createDataFrame(
+        [pt(1, 1000, 1000), pt(2, 1010, 1000), pt(3, 1300, 1000),
+         pt(4, 5000, 5000)],
+        "id long, lon double, lat double")
+    got = {r.radius: r.n_pairs
+           for r in ripley_pair_counts(df, radii=(8, 32, 128, 512)).collect()}
+    assert got == {8: 0, 32: 1, 128: 1, 512: 3}
+
+    # empty input still emits every requested radius, all zero
+    empty = spark.createDataFrame([], "id long, lon double, lat double")
+    got0 = {r.radius: r.n_pairs
+            for r in ripley_pair_counts(empty, radii=(32, 512)).collect()}
+    assert got0 == {32: 0, 512: 0}

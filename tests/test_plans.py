@@ -880,3 +880,21 @@ def test_cell_representatives_plan_shape(spark):
     assert "Join" not in plan and "Window" not in plan, plan
     assert "partial_max" in plan or "partial" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ripley_pair_counts_plan_shape(spark):
+    """ripley_pair_counts (q157) plan contract: candidates come from an
+    EQUI-join on the coarse bucket key — no cartesian, no
+    BroadcastNestedLoopJoin, no Python eval — and the radius-ladder
+    fold is a map-side-combined (partial) aggregate over candidate
+    pairs."""
+    from osmcha_spark.operators.tiles import ripley_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.01, 0.01)],
+        "id long, lon double, lat double")
+    plan = _plan(ripley_pair_counts(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial" in plan, plan
