@@ -8940,6 +8940,64 @@ def q156_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "bucket", "cents")
 
 
+# --------------------------------------------------------------- q158
+
+_Q158_BASE = """
+SELECT event_id, event_id % 8 AS b8, event_id % 5 AS b5,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+"""
+
+
+def q158_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution on the snapshot table format
+    (sources/tables.py:snapshot_evolve_partition /
+    snapshot_rewrite_partitions): batch 1 lands partitioned by b8, the
+    spec evolves to b5 as a METADATA-ONLY commit, batch 2 lands under
+    the new spec, and a partitions=[3] read is taken BEFORE and AFTER
+    materialization — old-spec files survive new-spec pruning (lossless
+    candidate pruning, Iceberg's contract), so both stages see exactly
+    the b5=3 slice of ALL events. The oracle is the definitional
+    filtered aggregate emitted once per stage (two-state content
+    identity — the q150 rule: the rewrite changes WHICH files a read
+    scans, never the rows). File-level pruning counts are pinned in
+    tests/test_tables.py, not here."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q158")
+    path = os.path.join(work, "table")
+    base = spark.sql(_Q158_BASE)
+    T.snapshot_create(base.where("event_id % 7 < 4"), path,
+                      partition_col="b8")
+    T.snapshot_evolve_partition(path, "b5")
+    T.snapshot_append(base.where("event_id % 7 >= 4"), path)
+
+    def _agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.where("b5 = 3").agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    pre = _agg(T.read_snapshot(spark, path, partitions=[3]), "pre")
+    T.snapshot_rewrite_partitions(spark, path)
+    post = _agg(T.read_snapshot(spark, path, partitions=[3]), "post")
+    return pre.unionByName(post)
+
+
+_Q158_ORACLE = f"""
+WITH t AS ({_Q158_BASE}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM t WHERE b5 = 3)
+SELECT 'pre' AS stage, n_rows, sum_cents FROM agg
+UNION ALL
+SELECT 'post' AS stage, n_rows, sum_cents FROM agg
+"""
+
+
 # --------------------------------------------------------------- q157
 
 def q157_ripley_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9205,6 +9263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_sssp_bounded": q155_sssp_bounded,
         "q156_stream_snapshot_merge": q156_stream_snapshot_merge,
         "q157_ripley_pair_counts": q157_ripley_pair_counts,
+        "q158_partition_evolution": q158_partition_evolution,
     }
 
 
@@ -9291,6 +9350,7 @@ def oracle_sql() -> dict[str, str]:
         "q155_sssp_bounded": _Q155_ORACLE,
         "q156_stream_snapshot_merge": _Q154_ORACLE,
         "q157_ripley_pair_counts": _q157_oracle(),
+        "q158_partition_evolution": _Q158_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -409,6 +409,11 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
     sid = (max(existing) + 1) if existing else 0
     for f in files:
         f.setdefault("seq", sid)
+        # partition-spec evolution (q158): every entry remembers the
+        # spec column it was WRITTEN under; carried entries keep theirs,
+        # so after snapshot_evolve_partition old files stay correctly
+        # interpreted (and never wrongly pruned) under the new spec
+        f.setdefault("spec_col", partition_col)
     for d in (deletes or []):
         d.setdefault("seq", sid)
     manifest = {
@@ -443,6 +448,23 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
     if publish:
         _point_current(path, sid)
     return sid
+
+
+def _mixed_spec(man: dict) -> bool:
+    """True when the manifest carries files written under an OLDER
+    partition spec than the current one (q158: between
+    snapshot_evolve_partition and snapshot_rewrite_partitions)."""
+    pcol = man["partition_col"]
+    return any(f.get("spec_col", pcol) != pcol for f in man["files"])
+
+
+def _require_single_spec(man: dict, op: str) -> None:
+    if _mixed_spec(man):
+        raise ValueError(
+            f"{op} requires a single partition spec, but the table has "
+            "files written under an older spec (partition evolution is "
+            "pending): run snapshot_rewrite_partitions first"
+        )
 
 
 def _find_commit(path: str, commit_id: str) -> int | None:
@@ -606,7 +628,14 @@ def snapshot_files(path: str, snapshot: int | None = None,
     files = man["files"]
     if partitions is not None:
         want = {str(v) for v in partitions}
-        files = [f for f in files if f["partition"] in want]
+        pcol = man["partition_col"]
+        # spec-aware (q158): a file written under an OLDER partition
+        # spec cannot be pruned by values of the current one — it
+        # always survives (candidate pruning stays lossless; the
+        # caller's real filter does the rest, Iceberg's contract)
+        files = [f for f in files
+                 if f.get("spec_col", pcol) != pcol
+                 or f["partition"] in want]
     for col, lo, hi in (where or []):
         kept = []
         for f in files:
@@ -843,6 +872,12 @@ def snapshot_metadata_agg(spark: SparkSession, path: str,
             "snapshot has equality deletes pending: manifest counts "
             "would overcount deleted rows — compact/rewrite first"
         )
+    if _mixed_spec(man):
+        raise ValueError(
+            "table has files under mixed partition specs (evolution "
+            "pending): per-partition rows would mix two specs' values "
+            "— run snapshot_rewrite_partitions first"
+        )
     cols = list(cols or [])
     acc: dict = {}
     for f in man["files"]:
@@ -1044,6 +1079,7 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
         # delete entries need not be carried
         return _commit(path, files, None, cur, commit_id, schema=schema,
                        bloom_cols=bloom_cols)
+    _require_single_spec(man, "snapshot_upsert")
     affected = {
         str(r[0]) for r in updates.select(pcol).distinct().collect()
     }
@@ -1122,6 +1158,7 @@ def snapshot_merge_into(source: DataFrame, path: str, key: str,
         prior_entries = list(man["files"])
         carried_deletes = None  # full rewrite materializes every delete
     else:
+        _require_single_spec(man, "snapshot_merge_into")
         affected = {
             str(r[0]) for r in source.select(pcol).distinct().collect()
         }
@@ -1184,26 +1221,35 @@ def snapshot_compact(spark: SparkSession, path: str,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    # group by (spec, partition value): under a pending partition
+    # evolution (q158) same-valued partitions of DIFFERENT specs must
+    # never bin-pack together — each group stamps its own spec back
     by_part: dict = {}
     for f in man["files"]:
-        by_part.setdefault(f["partition"], []).append(f)
+        gkey = (f.get("spec_col", man["partition_col"]), f["partition"])
+        by_part.setdefault(gkey, []).append(f)
     plan: dict = {}
-    for pval, files in by_part.items():
+    for gkey, files in by_part.items():
         total = sum(f["bytes"] for f in files)
         n_bins = max(1, math.ceil(total / target_bytes))
         n_small = sum(1 for f in files if f["bytes"] < target_bytes // 2)
         if len(files) > n_bins and n_small >= 2:
-            plan[pval] = n_bins
+            plan[gkey] = n_bins
     if not plan:
         return None
-    carried = [f for f in man["files"] if f["partition"] not in plan]
+    carried = [
+        f for f in man["files"]
+        if (f.get("spec_col", man["partition_col"]), f["partition"])
+        not in plan
+    ]
     new_files: list[dict] = []
-    for pval, n_bins in plan.items():
+    for gkey, n_bins in plan.items():
+        spec_col, pval = gkey
         paths = [os.path.join(_data_dir(path), f["name"])
-                 for f in by_part[pval]]
+                 for f in by_part[gkey]]
         dels = man.get("deletes") or []
         if dels:
-            part_raw = _apply_deletes(spark, path, by_part[pval], dels)
+            part_raw = _apply_deletes(spark, path, by_part[gkey], dels)
         else:
             part_raw = spark.read.option("mergeSchema", "true").parquet(
                 *paths)
@@ -1214,6 +1260,7 @@ def snapshot_compact(spark: SparkSession, path: str,
         batch = _write_files(part_df, path, None, man.get("bloom_cols"))
         for e in batch:
             e["partition"] = pval
+            e["spec_col"] = spec_col
         new_files.extend(batch)
     return _commit(path, carried + new_files, man["partition_col"],
                    cur, None, schema=man.get("schema"),
@@ -1235,6 +1282,102 @@ def snapshot_rollback(path: str, snapshot: int) -> int:
         raise FileNotFoundError(f"no committed snapshot {sid} at {path}")
     _point_current(path, sid)
     return sid
+
+
+def snapshot_evolve_partition(path: str, new_col: str | None,
+                              commit_id: str | None = None) -> int:
+    """Partition-spec evolution (Iceberg's ``ALTER TABLE ... WRITE
+    ORDERED BY`` sibling, ``update-partition-spec``): change the column
+    FUTURE writes partition by, as a METADATA-ONLY commit — every
+    current file is carried by reference, zero data moves. Old files
+    keep the spec they were written under (each manifest entry records
+    its ``spec_col``), so:
+
+    - ``partitions=`` pruning by new-spec values still prunes new-spec
+      files exactly, while old-spec files always SURVIVE (candidate
+      pruning stays lossless — Iceberg's exact contract);
+    - partition-bounded rewrites (upsert / merge / metadata_agg) REFUSE
+      while specs are mixed — "rewrite only the touched partitions" is
+      ill-defined across two specs — directing to
+      :func:`snapshot_rewrite_partitions`, the bounded materializer;
+    - time travel to a pre-evolution snapshot sees the old spec (each
+      manifest is immutable).
+
+    ``new_col`` must exist in the recorded schema (it becomes the
+    hive-split column of the next :func:`snapshot_append`); ``None``
+    unpartitions future writes. Appends after evolution want the new
+    column NON-NULL (a null partition value writes the hive default
+    bucket). Reference: no counterpart (osmcha is read-only); this is
+    the engine-mandate table layer, same as the rest of the format."""
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    schema = man.get("schema")
+    if new_col is not None and schema is not None:
+        names = [f["name"] for f in schema.get("fields", [])]
+        if new_col not in names:
+            raise ValueError(
+                f"partition column {new_col!r} is not in the table "
+                f"schema {names}"
+            )
+    if new_col == man["partition_col"]:
+        return cur  # no-op: the spec already is new_col
+    return _commit(path, man["files"], new_col, cur, commit_id,
+                   schema=schema, bloom_cols=man.get("bloom_cols"),
+                   deletes=man.get("deletes"))
+
+
+def snapshot_rewrite_partitions(spark: SparkSession, path: str,
+                                commit_id: str | None = None) -> int | None:
+    """Materialize a pending partition-spec evolution: rewrite ONLY the
+    files written under an older spec into the current one; files
+    already on the current spec are carried by reference (zero read,
+    zero write). Returns the new snapshot id, or None when every file
+    already matches (the idempotent no-op — run it twice, the second
+    run does nothing).
+
+    Pending equality deletes are applied to the rewritten (old-spec)
+    files merge-on-read — their fresh file seqs end the delete's scope
+    for exactly those rows, while the CARRIED delete entries keep
+    masking the carried files (the q143 scoping contract, same as
+    snapshot_upsert's partial rewrite). Cost is bounded by the
+    old-spec bytes, not the table: after a spec change on a 100 TB
+    table you pay for the history you migrate, never for the data that
+    already landed under the new spec."""
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    pcol = man["partition_col"]
+    stale = [f for f in man["files"] if f.get("spec_col", pcol) != pcol]
+    if not stale:
+        return None
+    carried = [f for f in man["files"] if f.get("spec_col", pcol) == pcol]
+    dels = man.get("deletes") or []
+    if dels:
+        df = _apply_deletes(spark, path, stale, dels)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(_data_dir(path), f["name"]) for f in stale])
+    df = _align(df, man.get("schema"))
+    new_files = _write_files(df, path, pcol, man.get("bloom_cols"))
+    return _commit(path, carried + new_files, pcol, cur, commit_id,
+                   schema=man.get("schema"),
+                   bloom_cols=man.get("bloom_cols"),
+                   deletes=man.get("deletes"))
 
 
 def snapshot_rewrite_sorted(spark: SparkSession, path: str,

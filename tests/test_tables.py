@@ -795,3 +795,100 @@ def test_merge_into_materializes_pending_deletes_in_touched_partitions(
     # k=1 resurrected by the merge insert (its file seq > delete seq);
     # k=3 still masked by the carried delete entry in untouched "b"
     assert got == [(1, 11), (2, 99), (4, 40)]
+
+
+def _mk_evo(spark, lo, hi):
+    return spark.range(lo, hi).repartition(1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("b8"),
+        (F.col("id") % 5).alias("b5"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def test_partition_evolution_spec_aware(spark, tmp_path):
+    """q158: evolve is metadata-only (files carried by NAME); new-spec
+    values prune new files exactly while old-spec files always survive
+    (lossless); time travel keeps the OLD spec's exact pruning;
+    partition-bounded ops refuse on mixed specs; rewrite_partitions
+    materializes ONLY the old-spec files (new ones carried by name),
+    restores exact pruning, and is an idempotent no-op the second
+    time."""
+    path = str(tmp_path / "t")
+    s0 = T.snapshot_create(_mk_evo(spark, 0, 200), path,
+                           partition_col="b8")
+    names0 = {f["name"] for f in T.snapshot_files(path)}
+    assert len(names0) == 8
+
+    s1 = T.snapshot_evolve_partition(path, "b5")
+    assert {f["name"] for f in T.snapshot_files(path)} == names0
+    # no-op evolve to the same column returns current, commits nothing
+    assert T.snapshot_evolve_partition(path, "b5") == s1
+    with pytest.raises(ValueError):
+        T.snapshot_evolve_partition(path, "nope")
+
+    T.snapshot_append(_mk_evo(spark, 200, 300), path)
+    files = T.snapshot_files(path)
+    assert len(files) == 13  # 8 old-spec + 5 new-spec (one per b5)
+
+    # new-spec pruning: 8 old-spec survivors (candidate) + 1 b5=3 file
+    pruned = T.snapshot_files(path, partitions=[3])
+    assert len(pruned) == 9
+    specs = {f.get("spec_col") for f in pruned}
+    assert specs == {"b8", "b5"}
+
+    got = sorted(r.k for r in T.read_snapshot(spark, path,
+                                              partitions=[3])
+                 .where("b5 = 3").collect())
+    assert got == [k for k in range(300) if k % 5 == 3]
+
+    # time travel to the pre-evolution snapshot: OLD spec prunes exactly
+    assert len(T.snapshot_files(path, snapshot=s0, partitions=[3])) == 1
+
+    # partition-bounded ops refuse while specs are mixed
+    upd = _mk_evo(spark, 0, 1)
+    with pytest.raises(ValueError, match="rewrite_partitions"):
+        T.snapshot_upsert(upd, path, "k")
+    with pytest.raises(ValueError, match="rewrite_partitions"):
+        T.snapshot_merge_into(upd, path, "k")
+    with pytest.raises(ValueError, match="rewrite_partitions"):
+        T.snapshot_metadata_agg(spark, path, ["v"])
+
+    # materialize: new-spec files carried BY NAME, old ones rewritten
+    new_names = {f["name"] for f in T.snapshot_files(path)
+                 if f.get("spec_col") == "b5"}
+    sid = T.snapshot_rewrite_partitions(spark, path)
+    after = T.snapshot_files(path)
+    assert new_names <= {f["name"] for f in after}
+    assert all(f.get("spec_col") == "b5" for f in after)
+    assert not (names0 & {f["name"] for f in after})
+    # exact pruning again, and content identical
+    assert {f["partition"] for f in
+            T.snapshot_files(path, partitions=[3])} == {"3"}
+    got2 = sorted(r.k for r in T.read_snapshot(spark, path,
+                                               partitions=[3])
+                  .where("b5 = 3").collect())
+    assert got2 == got
+    # idempotent no-op; bounded ops work again
+    assert T.snapshot_rewrite_partitions(spark, path) is None
+    T.snapshot_upsert(upd.withColumn("v", F.lit(999).cast("long")),
+                      path, "k")
+    assert T.read_snapshot(spark, path).where("k = 0") \
+        .collect()[0].v == 999
+    assert sid == T.list_snapshots(path)[-2]
+
+
+def test_partition_evolution_with_pending_deletes(spark, tmp_path):
+    """rewrite_partitions reads old-spec files merge-on-read: a pending
+    equality delete on an old-spec row materializes (its fresh seq ends
+    the scope), while carried new-spec files keep their masking delete
+    entries — final content equals the delete-applied table."""
+    path = str(tmp_path / "t")
+    T.snapshot_create(_mk_evo(spark, 0, 40), path, partition_col="b8")
+    T.snapshot_evolve_partition(path, "b5")
+    T.snapshot_append(_mk_evo(spark, 40, 60), path)
+    # k=7 lives in an old-spec file, k=44 in a new-spec file
+    T.snapshot_delete(path, "k", [7, 44])
+    T.snapshot_rewrite_partitions(spark, path)
+    got = sorted(r.k for r in T.read_snapshot(spark, path).collect())
+    assert got == [k for k in range(60) if k not in (7, 44)]
