@@ -9041,6 +9041,49 @@ def _q157_oracle() -> str:
     return _Q157_ORACLE.format(points=synth.points_sql(D))
 
 
+# --------------------------------------------------------------- q159
+
+def q159_nn_distance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-function nearest-neighbor distance counts (operators/tiles.py:
+    nn_distance_counts): per radius of the {32, 128, 512} ladder, how
+    many synth points have their nearest other point within that
+    radius, censored at 512 — Ripley's K's per-point sibling (q157),
+    sharing its lossless 3×3 coarse-bucket candidate join. The oracle
+    is the definitional all-pairs per-point min: a point whose true NN
+    clears the ladder is among the engine's candidates by the floor-div
+    bound, and a point whose true NN is beyond r_max fails every
+    ladder comparison in both engines identically."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import nn_distance_counts
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return nn_distance_counts(pts, radii=(32, 128, 512), scale=2048.0)
+
+
+_Q159_ORACLE = """
+WITH pts AS ({points}),
+q AS (
+  SELECT id,
+         CAST(floor((lon + 180.0) * 2048.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 2048.0) AS BIGINT) AS iy
+  FROM pts),
+nn AS (
+  SELECT a.id,
+         min((a.ix - b.ix) * (a.ix - b.ix)
+           + (a.iy - b.iy) * (a.iy - b.iy)) AS nn_d2
+  FROM q a JOIN q b ON a.id <> b.id
+  GROUP BY a.id),
+r AS (SELECT CAST(unnest([32, 128, 512]) AS BIGINT) AS radius)
+SELECT r.radius, CAST(count(n.nn_d2) AS BIGINT) AS n_points
+FROM r LEFT JOIN nn n ON n.nn_d2 <= r.radius * r.radius
+GROUP BY r.radius
+"""
+
+
+def _q159_oracle() -> str:
+    return _Q159_ORACLE.format(points=synth.points_sql(D))
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9264,6 +9307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_stream_snapshot_merge": q156_stream_snapshot_merge,
         "q157_ripley_pair_counts": q157_ripley_pair_counts,
         "q158_partition_evolution": q158_partition_evolution,
+        "q159_nn_distance_counts": q159_nn_distance_counts,
     }
 
 
@@ -9351,6 +9395,7 @@ def oracle_sql() -> dict[str, str]:
         "q156_stream_snapshot_merge": _Q154_ORACLE,
         "q157_ripley_pair_counts": _q157_oracle(),
         "q158_partition_evolution": _Q158_ORACLE,
+        "q159_nn_distance_counts": _q159_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -830,6 +830,57 @@ def trend_cells(
     )
 
 
+def _bucket_candidates(points: DataFrame, rmax: int, scale: float,
+                       id_col: str, lon_col: str, lat_col: str) -> DataFrame:
+    """Shared candidate generator for the point-pattern statistics
+    (q157/q159): DIRECTED candidate pairs ``(pid, pid2, d2)`` with
+    ``pid != pid2`` and ``d2 <= rmax**2``, produced by an equi-join on
+    coarse buckets of side ``rmax`` over integer-quantized coordinates.
+    LOSSLESS for any distance <= rmax: floor-div guarantees two points
+    within rmax differ by <= 1 in bucket coords, so the 3x3 offset
+    emission on the right side reaches every qualifying partner exactly
+    once per direction."""
+    q = points.select(
+        F.col(id_col).alias("pid"),
+        F.floor((F.col(lon_col) + F.lit(180.0)) * F.lit(scale)).alias("ix"),
+        F.floor((F.col(lat_col) + F.lit(90.0)) * F.lit(scale)).alias("iy"),
+    )
+    # ix/iy are nonnegative over the lon/lat domain, so truncating `div`
+    # IS floor-div here (the synth.py floor-div rule does not bite).
+    a = q.select(
+        F.col("pid"), F.col("ix"), F.col("iy"),
+        (F.col("ix") / rmax).cast("long").alias("bx"),
+        (F.col("iy") / rmax).cast("long").alias("by"),
+    )
+    off = F.array([F.lit(i) for i in (-1, 0, 1)])
+    # one generator per select list (the round-4 nesting rule)
+    b = q.select(
+        F.col("pid").alias("pid2"), F.col("ix").alias("ix2"),
+        F.col("iy").alias("iy2"),
+        (F.col("ix") / rmax).cast("long").alias("bx0"),
+        (F.col("iy") / rmax).cast("long").alias("by0"),
+        F.explode(off).alias("dx"),
+    )
+    b = b.select(
+        "pid2", "ix2", "iy2",
+        (F.col("bx0") + F.col("dx")).alias("bx"),
+        F.col("by0"), F.explode(off).alias("dy"),
+    ).select(
+        "pid2", "ix2", "iy2", "bx",
+        (F.col("by0") + F.col("dy")).alias("by"),
+    )
+    d2 = (
+        (F.col("ix") - F.col("ix2")) * (F.col("ix") - F.col("ix2"))
+        + (F.col("iy") - F.col("iy2")) * (F.col("iy") - F.col("iy2"))
+    )
+    return (
+        a.join(b, ["bx", "by"])
+        .where(F.col("pid") != F.col("pid2"))
+        .select("pid", "pid2", d2.alias("d2"))
+        .where(F.col("d2") <= F.lit(int(rmax) * int(rmax)))
+    )
+
+
 def ripley_pair_counts(
     points: DataFrame,
     radii: list[int] | tuple[int, ...] = (32, 128, 512),
@@ -871,44 +922,10 @@ def ripley_pair_counts(
     if not radii or radii[0] <= 0:
         raise ValueError("radii must be positive")
     rmax = radii[-1]
-    q = points.select(
-        F.col(id_col).alias("pid"),
-        F.floor((F.col(lon_col) + F.lit(180.0)) * F.lit(scale)).alias("ix"),
-        F.floor((F.col(lat_col) + F.lit(90.0)) * F.lit(scale)).alias("iy"),
-    )
-    # ix/iy are nonnegative over the lon/lat domain, so truncating `div`
-    # IS floor-div here (the synth.py floor-div rule does not bite).
-    a = q.select(
-        F.col("pid"), F.col("ix"), F.col("iy"),
-        (F.col("ix") / rmax).cast("long").alias("bx"),
-        (F.col("iy") / rmax).cast("long").alias("by"),
-    )
-    off = F.array([F.lit(i) for i in (-1, 0, 1)])
-    # one generator per select list (the round-4 nesting rule)
-    b = q.select(
-        F.col("pid").alias("pid2"), F.col("ix").alias("ix2"),
-        F.col("iy").alias("iy2"),
-        (F.col("ix") / rmax).cast("long").alias("bx0"),
-        (F.col("iy") / rmax).cast("long").alias("by0"),
-        F.explode(off).alias("dx"),
-    )
-    b = b.select(
-        "pid2", "ix2", "iy2",
-        (F.col("bx0") + F.col("dx")).alias("bx"),
-        F.col("by0"), F.explode(off).alias("dy"),
-    ).select(
-        "pid2", "ix2", "iy2", "bx",
-        (F.col("by0") + F.col("dy")).alias("by"),
-    )
-    d2 = (
-        (F.col("ix") - F.col("ix2")) * (F.col("ix") - F.col("ix2"))
-        + (F.col("iy") - F.col("iy2")) * (F.col("iy") - F.col("iy2"))
-    )
     pairs = (
-        a.join(b, ["bx", "by"])
+        _bucket_candidates(points, rmax, scale, id_col, lon_col, lat_col)
         .where(F.col("pid") < F.col("pid2"))
-        .select(d2.alias("d2"))
-        .where(F.col("d2") <= F.lit(rmax * rmax))
+        .select("d2")
     )
     aggs = [
         F.coalesce(F.sum(F.when(F.col("d2") <= F.lit(r * r), 1)), F.lit(0))
@@ -920,3 +937,55 @@ def ripley_pair_counts(
         f"CAST({r} AS BIGINT), _r{i}" for i, r in enumerate(radii))
     return one.selectExpr(
         f"stack({len(radii)}, {stack}) AS (radius, n_pairs)")
+
+
+def nn_distance_counts(
+    points: DataFrame,
+    radii: list[int] | tuple[int, ...] = (32, 128, 512),
+    scale: float = 2048.0,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """G-function (nearest-neighbor distance) counts: for each radius
+    in a ladder, how many points have their nearest OTHER point within
+    that radius — the empirical NN-distance CDF numerator of
+    point-pattern analysis (Ripley's K's per-point sibling; together
+    they separate clustering from dispersion). Censored at
+    ``max(radii)``: a point whose true NN is farther simply never
+    counts, which is exactly the G-function estimator's censoring.
+
+    Same integer quantization and LOSSLESS 3×3 coarse-bucket candidate
+    join as :func:`ripley_pair_counts` (shared via
+    ``_bucket_candidates``) — if a point's true NN is within r_max, it
+    IS among the candidates, so ``min(d2)`` over candidates equals the
+    true NN distance whenever that distance clears any radius in the
+    ladder; points whose candidates are all farther (or absent) fall
+    out identically in engine and oracle. Returns one row per radius:
+    ``(radius, n_points)``, both BIGINT; every requested radius always
+    appears.
+
+    Scale shape: one equi-join (work Σ|bucket-neighborhood|², never
+    corpus²), then a map-side-combined per-point min — the groupBy key
+    is the point id, so partials collapse each point's candidate list
+    inside its task — and ONE global conditional-sum pass for the
+    whole ladder."""
+    radii = sorted(int(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("radii must be positive")
+    rmax = radii[-1]
+    nn = (
+        _bucket_candidates(points, rmax, scale, id_col, lon_col, lat_col)
+        .groupBy("pid")
+        .agg(F.min("d2").alias("nn_d2"))
+    )
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col("nn_d2") <= F.lit(r * r), 1)),
+                   F.lit(0)).cast("long").alias(f"_r{i}")
+        for i, r in enumerate(radii)
+    ]
+    one = nn.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({r} AS BIGINT), _r{i}" for i, r in enumerate(radii))
+    return one.selectExpr(
+        f"stack({len(radii)}, {stack}) AS (radius, n_points)")

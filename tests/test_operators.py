@@ -2744,3 +2744,27 @@ def test_ripley_pair_counts_planted_ladder(spark):
     got0 = {r.radius: r.n_pairs
             for r in ripley_pair_counts(empty, radii=(32, 512)).collect()}
     assert got0 == {32: 0, 512: 0}
+
+
+def test_nn_distance_counts_censoring(spark):
+    """nn_distance_counts (q159): NN(A)=NN(B)=10, NN(C)=290 (bucket-
+    straddling), D censored beyond r_max — hand-counted G-function
+    ladder; a single point has no NN and yields all zeros."""
+    from osmcha_spark.operators.tiles import nn_distance_counts
+
+    def pt(pid, u, v):
+        return (pid, -180.0 + (u + 0.5) / 2048.0, -90.0 + (v + 0.5) / 2048.0)
+
+    df = spark.createDataFrame(
+        [pt(1, 1000, 1000), pt(2, 1010, 1000), pt(3, 1300, 1000),
+         pt(4, 5000, 5000)],
+        "id long, lon double, lat double")
+    got = {r.radius: r.n_points
+           for r in nn_distance_counts(df, radii=(8, 32, 128, 512)).collect()}
+    assert got == {8: 0, 32: 2, 128: 2, 512: 3}
+
+    solo = spark.createDataFrame([pt(1, 100, 100)],
+                                 "id long, lon double, lat double")
+    got1 = {r.radius: r.n_points
+            for r in nn_distance_counts(solo, radii=(32,)).collect()}
+    assert got1 == {32: 0}

@@ -898,3 +898,19 @@ def test_ripley_pair_counts_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial" in plan, plan
+
+
+def test_nn_distance_counts_plan_shape(spark):
+    """nn_distance_counts (q159) plan contract: equi-join candidates
+    only (no cartesian/BNLJ, no Python eval) and a map-side-combined
+    (partial) per-point min below the ladder fold."""
+    from osmcha_spark.operators.tiles import nn_distance_counts
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.01, 0.01)],
+        "id long, lon double, lat double")
+    plan = _plan(nn_distance_counts(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_min" in plan or "partial" in plan, plan
