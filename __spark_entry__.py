@@ -9084,6 +9084,85 @@ def _q159_oracle() -> str:
     return _Q159_ORACLE.format(points=synth.points_sql(D))
 
 
+# --------------------------------------------------------------- q160
+
+def q160_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One batch perceptron training round for the fastText-shape
+    quality classifier (operators/text.py:perceptron_step — the
+    TRAINING side of q128's hashed_ngram_score, the q62/kmeans_step
+    move applied to classification): labels are a pure function of
+    doc_id (md5-hash % 2 → ±1, the q128/q129 fixture rule), initial
+    weights are q128's fixture table (bucket % 211 − 105 over 4096
+    buckets), and the output is the updated integer weight vector plus
+    each bucket's gradient. The oracle mirrors q128's feature CTEs
+    verbatim and folds the misclassified-set gradient CTE-for-CTE —
+    every term integer, so iterating the step is bit-stable."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import perceptron_step
+
+    lbl = f"({synth.hash_of('doc_id', 'lbl', synth.SPARK)}) % 2"
+    docs = spark.sql(
+        f"SELECT doc_id, text, CASE WHEN {lbl} = 0 THEN 1 ELSE -1 END "
+        f"AS label FROM documents")
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 211 - 105).cast("long").alias("weight"),
+    )
+    return perceptron_step(docs, weights, 4096)
+
+
+def _q160_oracle() -> str:
+    lbl = f"({synth.hash_of('doc_id', 'lbl', D)}) % 2"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+feats AS (
+  SELECT doc_id, tok AS f FROM flat
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS f
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+fb AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % 4096 AS bucket
+  FROM feats
+),
+w AS (
+  SELECT range AS bucket, CAST(range % 211 - 105 AS BIGINT) AS weight
+  FROM range(0, 4096)
+),
+scored AS (
+  SELECT fb.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+  FROM fb JOIN w ON w.bucket = fb.bucket
+  GROUP BY 1
+),
+lab AS (
+  SELECT doc_id, CASE WHEN {lbl} = 0 THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+mis AS (
+  SELECT l.doc_id, l.y
+  FROM lab l LEFT JOIN scored s ON s.doc_id = l.doc_id
+  WHERE l.y * COALESCE(s.score, 0) <= 0
+),
+grad AS (
+  SELECT fb.bucket, CAST(sum(m.y) AS BIGINT) AS g
+  FROM fb JOIN mis m ON m.doc_id = fb.doc_id
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(w.bucket, g.bucket) AS BIGINT) AS bucket,
+       CAST(COALESCE(w.weight, 0) + COALESCE(g.g, 0) AS BIGINT) AS weight,
+       CAST(COALESCE(g.g, 0) AS BIGINT) AS grad
+FROM w FULL OUTER JOIN grad g ON g.bucket = w.bucket
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9308,6 +9387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_ripley_pair_counts": q157_ripley_pair_counts,
         "q158_partition_evolution": q158_partition_evolution,
         "q159_nn_distance_counts": q159_nn_distance_counts,
+        "q160_perceptron_step": q160_perceptron_step,
     }
 
 
@@ -9396,6 +9476,7 @@ def oracle_sql() -> dict[str, str]:
         "q157_ripley_pair_counts": _q157_oracle(),
         "q158_partition_evolution": _Q158_ORACLE,
         "q159_nn_distance_counts": _q159_oracle(),
+        "q160_perceptron_step": _q160_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

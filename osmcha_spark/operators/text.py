@@ -675,3 +675,82 @@ def ngram_lm_score(
             .alias("loglik_q"),
         )
     )
+
+
+def perceptron_step(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """One BATCH perceptron training round over the hashed uni+bigram
+    feature space — the TRAINING side of the fastText-shape quality
+    classifier :func:`hashed_ngram_score` deploys (Joulin et al. 2017;
+    CCNet trains exactly such a linear filter over its corpus). The
+    q62/kmeans_step move applied to classification: one
+    order-independent batch step is expressible as joins + aggregates
+    and therefore oracle-exact, while a full training run is the
+    driver-side loop over this step (like train_bpe over
+    bpe_pair_counts).
+
+        score_d   = Σ_b count(d, b) · w_b            (bag semantics)
+        misclassified: label_d · score_d <= 0        (labels ±1)
+        grad_b    = Σ_{d misclassified} label_d · count(d, b)
+        w'_b      = w_b + grad_b
+
+    Everything stays integer (labels ±1, integer weights, integer
+    counts), so engine and oracle agree bit-for-bit and iterating the
+    step is bit-stable. Docs with no features score 0 and count as
+    misclassified but contribute nothing to any gradient — they drop
+    out identically in both engines.
+
+    Output: ``(bucket, weight, grad)`` for the UNION of buckets with a
+    prior weight or a nonzero-support gradient (weight = new weight;
+    buckets untouched this round carry through unchanged).
+
+    Scale shape: the weight table is BOUNDED at n_buckets (the feature-
+    hashing trick), so both weight joins broadcast by construction;
+    feature rows are Θ(tokens), hashed map-side; the two shuffles are
+    the per-doc score sum and the per-bucket gradient sum, both
+    map-side combined. The feature explode runs twice (score pass +
+    gradient pass) — cache the feature frame across many steps of a
+    training loop if the corpus scan dominates."""
+    feats = hashed_features(docs, n_buckets, text_col, id_col) \
+        .withColumnRenamed("bucket", "__bucket")
+    w = weights.select(
+        F.col(bucket_col).alias("__bucket"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    scored = (
+        feats.join(F.broadcast(w), "__bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("__w"), F.lit(0).cast("long")))
+             .alias("__score"))
+    )
+    mis = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(label_col).cast("long").alias("__y"))
+        .join(scored, "doc_id", "left")
+        .where(F.col("__y") * F.coalesce(F.col("__score"),
+                                         F.lit(0).cast("long")) <= 0)
+        .select("doc_id", "__y")
+    )
+    grad = (
+        feats.join(mis, "doc_id")
+        .groupBy("__bucket")
+        .agg(F.sum("__y").alias("__g"))
+    )
+    return (
+        w.join(grad, "__bucket", "full_outer")
+        .select(
+            F.col("__bucket").alias("bucket"),
+            (F.coalesce(F.col("__w"), F.lit(0).cast("long"))
+             + F.coalesce(F.col("__g"), F.lit(0).cast("long")))
+            .alias("weight"),
+            F.coalesce(F.col("__g"), F.lit(0).cast("long")).alias("grad"),
+        )
+    )

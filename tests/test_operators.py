@@ -2768,3 +2768,39 @@ def test_nn_distance_counts_censoring(spark):
     got1 = {r.radius: r.n_points
             for r in nn_distance_counts(solo, radii=(32,)).collect()}
     assert got1 == {32: 0}
+
+
+def test_perceptron_step_two_rounds_hand_computed(spark):
+    """perceptron_step (q160): from ZERO weights every doc is
+    misclassified (score 0), so round 1's gradient is the label-
+    weighted bag count; round 2 fixes the positive doc and keeps
+    pushing the negative one — hand-computed integer weights, bag
+    semantics ('a a' contributes count 2 to bucket(a)), and the
+    empty doc contributes nothing to any gradient."""
+    from osmcha_spark.operators.text import hashed_features, perceptron_step
+
+    n_b = 1 << 20
+    docs = spark.createDataFrame(
+        [(1, "a a", 1), (2, "a", -1), (3, "", 1)],
+        "doc_id long, text string, label int")
+    # resolve the feature buckets via the engine's own hashing: doc 2
+    # has exactly the unigram 'a'; doc 1 adds the bigram 'a a'
+    b_a = hashed_features(
+        spark.createDataFrame([(9, "a")], "doc_id long, text string"),
+        n_b).collect()[0].bucket
+    f1 = {r.bucket for r in hashed_features(
+        spark.createDataFrame([(9, "a a")], "doc_id long, text string"),
+        n_b).collect()}
+    (b_aa,) = f1 - {b_a}
+
+    w0 = spark.createDataFrame([], "bucket long, weight long")
+    w1 = perceptron_step(docs, w0, n_b)
+    got1 = {r.bucket: (r.weight, r.grad) for r in w1.collect()}
+    # grad(a) = +1*2 (doc1, bag) - 1*1 (doc2) = +1; grad(a a) = +1
+    assert got1 == {b_a: (1, 1), b_aa: (1, 1)}
+
+    w2 = perceptron_step(docs, w1.select("bucket", "weight"), n_b)
+    got2 = {r.bucket: (r.weight, r.grad) for r in w2.collect()}
+    # doc1 scores 2*1+1=3 (correct); doc2 scores 1 (wrong, y=-1);
+    # doc3 scores 0 (wrong but featureless) -> grad(a) = -1 only
+    assert got2 == {b_a: (0, -1), b_aa: (1, 0)}

@@ -914,3 +914,21 @@ def test_nn_distance_counts_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_min" in plan or "partial" in plan, plan
+
+
+def test_perceptron_step_plan_shape(spark):
+    """perceptron_step (q160) plan contract: the bounded weight table
+    joins BROADCAST, no cartesian/BNLJ, no Python eval, and both the
+    per-doc score sum and per-bucket gradient sum partial-aggregate
+    map-side."""
+    from osmcha_spark.operators.text import perceptron_step
+
+    docs = spark.createDataFrame([(1, "x y", 1)],
+                                 "doc_id long, text string, label int")
+    w = spark.range(16).selectExpr("id AS bucket", "id AS weight")
+    plan = _plan(perceptron_step(docs, w, 16))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan or "partial" in plan, plan
