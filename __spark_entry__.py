@@ -9163,6 +9163,49 @@ FROM w FULL OUTER JOIN grad g ON g.bucket = w.bucket
 """
 
 
+# --------------------------------------------------------------- q161
+
+def q161_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tent-kernel density heatmap surface (operators/tiles.py:
+    kernel_density): per level-10 cell over the clustered synth points,
+    the integer Bartlett-kernel weighted neighborhood sum at radius 2 —
+    the discrete KDE every hotspot heatmap renders, focal_sum's
+    weighted generalization (q115/q152 family). Output covers every
+    in-grid cell receiving mass, not just occupied ones. The oracle is
+    q115's contrib CTE with the closed-form (r+1−|dx|)(r+1−|dy|)
+    weight folded in — every term integer, bit-exact both engines."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import kernel_density
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return kernel_density(pts, level=10, radius=2)
+
+
+def _q161_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+
+    xs = _axis_sql("lon", 180.0, 360.0, 10)
+    ys = _axis_sql("lat", 90.0, 180.0, 10)
+    cell = f"(({_spread_sql('s.x')}) | (({_spread_sql('s.y')}) << 1) " \
+           f"| {10 << 56})"
+    return f"""
+WITH pts AS ({synth.points_sql(D)}),
+xy AS (SELECT ({xs}) AS x, ({ys}) AS y FROM pts),
+counts AS (SELECT x, y, count(*) AS n FROM xy GROUP BY 1, 2),
+off AS (SELECT unnest(range(-2, 3)) AS d),
+s AS (
+  SELECT c.x + dx.d AS x, c.y + dy.d AS y,
+         CAST(sum(c.n * (3 - abs(dx.d)) * (3 - abs(dy.d))) AS BIGINT)
+           AS kde
+  FROM counts c, off dx, off dy
+  WHERE c.x + dx.d BETWEEN 0 AND 1023
+    AND c.y + dy.d BETWEEN 0 AND 1023
+  GROUP BY 1, 2
+)
+SELECT s.x, s.y, {cell} AS cell, s.kde FROM s
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9388,6 +9431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_partition_evolution": q158_partition_evolution,
         "q159_nn_distance_counts": q159_nn_distance_counts,
         "q160_perceptron_step": q160_perceptron_step,
+        "q161_kernel_density": q161_kernel_density,
     }
 
 
@@ -9477,6 +9521,7 @@ def oracle_sql() -> dict[str, str]:
         "q158_partition_evolution": _Q158_ORACLE,
         "q159_nn_distance_counts": _q159_oracle(),
         "q160_perceptron_step": _q160_oracle(),
+        "q161_kernel_density": _q161_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -989,3 +989,69 @@ def nn_distance_counts(
         f"CAST({r} AS BIGINT), _r{i}" for i, r in enumerate(radii))
     return one.selectExpr(
         f"stack({len(radii)}, {stack}) AS (radius, n_points)")
+
+
+def kernel_density(
+    points: DataFrame,
+    level: int,
+    radius: int = 2,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Kernel-density heatmap surface on the grid: per cell, the
+    tent-kernel (Bartlett) weighted sum of neighboring cell counts,
+
+        kde(x, y) = Σ_{|dx|,|dy| <= r} n(x-dx, y-dy)
+                    · (r+1-|dx|) · (r+1-|dy|)
+
+    — the separable integer triangular kernel, the discrete stand-in
+    for the Gaussian KDE every hotspot heatmap renders (focal_sum is
+    the box-kernel special case; a Gaussian is this kernel convolved
+    with itself — run the op twice at half the radius). Integer
+    weights keep engine and oracle bit-exact (the q152 move). Output
+    rows are every in-grid cell receiving nonzero mass (the rendered
+    surface, not just occupied cells): ``(x, y, cell, kde)``.
+
+    Scale shape — identical to focal_sum: one map-side-combined
+    point→cell aggregation bounds the fact at 4^level rows, and only
+    the cell table explodes ×(2r+1)² into the second groupBy; the
+    convolution never touches points again."""
+    from osmcha_spark.geo.cells import _axis_col, _spread_col
+
+    lim = 1 << level
+    r = int(radius)
+    x = _axis_col(F.col(lon_col), 180.0, 360.0, level)
+    y = _axis_col(F.col(lat_col), 90.0, 180.0, level)
+    counts = (
+        points.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    off = F.sequence(F.lit(-r), F.lit(r))
+    w = (
+        (F.lit(r + 1) - F.abs(F.col("dx")))
+        * (F.lit(r + 1) - F.abs(F.col("dy")))
+    )
+    surface = (
+        counts.select("x", "y", "n", F.explode(off).alias("dx"))
+        .select(
+            (F.col("x") + F.col("dx")).alias("tx"), "y", "n", "dx",
+            F.explode(off).alias("dy"),
+        )
+        .select(
+            "tx", (F.col("y") + F.col("dy")).alias("ty"),
+            (F.col("n") * w).alias("m"),
+        )
+        .where(
+            (F.col("tx") >= 0) & (F.col("tx") < lim)
+            & (F.col("ty") >= 0) & (F.col("ty") < lim)
+        )
+        .groupBy(F.col("tx").alias("x"), F.col("ty").alias("y"))
+        .agg(F.sum("m").cast("long").alias("kde"))
+    )
+    cell = (
+        _spread_col(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_col(F.col("y")), 1))
+        .bitwiseOR(F.lit(level << 56))
+    )
+    return surface.select("x", "y", cell.alias("cell"), "kde")

@@ -2804,3 +2804,36 @@ def test_perceptron_step_two_rounds_hand_computed(spark):
     # doc1 scores 2*1+1=3 (correct); doc2 scores 1 (wrong, y=-1);
     # doc3 scores 0 (wrong but featureless) -> grad(a) = -1 only
     assert got2 == {b_a: (0, -1), b_aa: (1, 0)}
+
+
+def test_kernel_density_tent_kernel(spark):
+    """kernel_density (q161): one point at radius 1 paints the exact
+    [1 2 1; 2 4 2; 1 2 1] tent; two coincident points double it; a
+    grid-corner point clamps off-grid mass (no wraparound)."""
+    from osmcha_spark.geo.cells import _axis_col  # noqa: F401 (spec ref)
+    from osmcha_spark.operators.tiles import kernel_density
+
+    def pt(u, v, level=10):
+        span = 360.0 / (1 << level)
+        return (-180.0 + (u + 0.5) * span,
+                -90.0 + (v + 0.5) * (180.0 / (1 << level)))
+
+    one = spark.createDataFrame([pt(100, 100)], "lon double, lat double")
+    got = {(r.x, r.y): r.kde
+           for r in kernel_density(one, level=10, radius=1).collect()}
+    want = {}
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            want[(100 + dx, 100 + dy)] = (2 - abs(dx)) * (2 - abs(dy))
+    assert got == want
+
+    two = spark.createDataFrame([pt(100, 100), pt(100, 100)],
+                                "lon double, lat double")
+    got2 = {(r.x, r.y): r.kde
+            for r in kernel_density(two, level=10, radius=1).collect()}
+    assert got2 == {k: 2 * v for k, v in want.items()}
+
+    corner = spark.createDataFrame([pt(0, 0)], "lon double, lat double")
+    gotc = {(r.x, r.y): r.kde
+            for r in kernel_density(corner, level=10, radius=1).collect()}
+    assert gotc == {(0, 0): 4, (0, 1): 2, (1, 0): 2, (1, 1): 1}
