@@ -9206,6 +9206,72 @@ SELECT s.x, s.y, {cell} AS cell, s.kde FROM s
 """
 
 
+# --------------------------------------------------------------- q162
+
+def q162_lpa_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous label-propagation round (operators/graph.py:
+    lpa_step) over q74's deterministic link graph (doc_id·31 + j mod N,
+    j in 0..2 — identical in both engines), labels initialized to node
+    ids. The oracle symmetrizes the same edges, counts neighbor-label
+    votes, and picks the argmax with the (count DESC, label ASC)
+    tiebreak via row_number — same integers, so label VALUES are
+    bit-exact (the q62/q74/q160 one-step rule; the iterated loop is
+    pytest-gated on a planted two-community graph)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.graph import lpa_step
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        docs.join(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            "__n",
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("node_id"))
+    labels = nodes.select(
+        "node_id", F.col("node_id").cast("long").alias("label"))
+    return lpa_step(nodes, edges, labels)
+
+
+_Q162_ORACLE = """
+WITH n AS (SELECT count(*) AS nn FROM documents),
+series AS (SELECT unnest(range(0, 3)) AS j),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 31 + s.j) % n.nn AS dst
+  FROM documents d, n, series s
+),
+sym AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL
+  SELECT dst AS u, src AS v FROM edges
+),
+votes AS (
+  SELECT s.v, s.u AS lbl, count(*) AS c
+  FROM sym s
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT v, lbl,
+         row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC)
+           AS rn
+  FROM votes
+)
+SELECT d.doc_id AS node_id,
+       CAST(COALESCE(b.lbl, d.doc_id) AS BIGINT) AS label
+FROM documents d
+LEFT JOIN best b ON b.v = d.doc_id AND b.rn = 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9432,6 +9498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_nn_distance_counts": q159_nn_distance_counts,
         "q160_perceptron_step": q160_perceptron_step,
         "q161_kernel_density": q161_kernel_density,
+        "q162_lpa_step": q162_lpa_step,
     }
 
 
@@ -9522,6 +9589,7 @@ def oracle_sql() -> dict[str, str]:
         "q159_nn_distance_counts": _q159_oracle(),
         "q160_perceptron_step": _q160_oracle(),
         "q161_kernel_density": _q161_oracle(),
+        "q162_lpa_step": _Q162_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

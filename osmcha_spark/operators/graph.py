@@ -318,3 +318,64 @@ def sssp_bounded(
         )
         frontier = improved
     return dist
+
+
+def lpa_step(
+    nodes: DataFrame,
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str = "node_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """One SYNCHRONOUS label-propagation round (Raghavan et al. 2007
+    community detection; the Pregel-style synchronous variant — every
+    node updates from the SAME previous labeling, which is what makes
+    the round order-independent and therefore oracle-exact, the
+    q62/q74/q160 one-step rule). Communities are the "which docs cluster
+    together" rung between connected components (any path joins) and
+    PageRank (authority): dense link neighborhoods converge onto one
+    label in a few rounds.
+
+    ``nodes``: (id_col); ``edges``: (src, dst) — treated UNDIRECTED
+    via symmetrization, multi-edges vote multiply, a self-loop votes
+    the node's own label TWICE (symmetrization emits both directions); ``labels``: (id_col, label_col) with
+    NONNEGATIVE integer labels (init: each node its own id).
+
+    new_label(v) = argmax over neighbor-label vote counts, ties broken
+    toward the SMALLEST label (the deterministic tiebreak — classic
+    async LPA breaks ties randomly, which no oracle can check);
+    isolated nodes keep their current label.
+
+    Scale shape per round: one fact-sized equi-join (symmetrized edges
+    ⋈ labels on the neighbor id), a map-side-combined (v, label) vote
+    count, and the argmax as ``max(struct(count, -label))`` inside a
+    second combined groupBy — no window, no per-node sort; the iterated
+    driver loop mirrors pagerank/components (truncate lineage per
+    round)."""
+    sym = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    cur = labels.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__cur"),
+    )
+    votes = (
+        sym.join(cur.select(F.col("__id").alias("u"),
+                            F.col("__cur").alias("__nl")), "u")
+        .groupBy("v", "__nl")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    best = votes.groupBy("v").agg(
+        F.max(F.struct(F.col("__c").alias("c"),
+                       (-F.col("__nl")).alias("neg"))).alias("__b")
+    )
+    return (
+        cur.join(best, cur["__id"] == best["v"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(-F.col("__b.neg"), F.col("__cur"))
+            .cast("long").alias(label_col),
+        )
+    )

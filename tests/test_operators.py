@@ -2837,3 +2837,54 @@ def test_kernel_density_tent_kernel(spark):
     gotc = {(r.x, r.y): r.kde
             for r in kernel_density(corner, level=10, radius=1).collect()}
     assert gotc == {(0, 0): 4, (0, 1): 2, (1, 0): 2, (1, 1): 1}
+
+
+def test_lpa_step_tiebreak_multiedge_selfloop_isolated(spark):
+    """lpa_step (q162): tie -> smallest label; a multi-edge votes
+    multiply; a self-loop votes the node's own label TWICE (the
+    symmetrization emits both directions), so it beats a single
+    outside vote; an isolated node keeps its label."""
+    from osmcha_spark.operators.graph import lpa_step
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 7, 8, 9, 42)], "node_id long")
+    edges = spark.createDataFrame(
+        [(5, 7), (5, 3),          # node 5: nbr labels {7, 3} tie -> 3
+         (6, 8), (8, 6), (6, 3),  # node 6: {8: 2 votes, 3: 1} -> 8
+         (9, 9), (9, 1)],         # node 9: {9: 2 (loop), 1: 1} -> 9
+        "src long, dst long")
+    labels = nodes.selectExpr("node_id", "node_id AS label")
+    got = {r.node_id: r.label
+           for r in lpa_step(nodes, edges, labels).collect()}
+    assert got[5] == 3
+    assert got[6] == 8
+    assert got[9] == 9
+    assert got[42] == 42
+
+
+def test_lpa_converges_on_two_communities(spark):
+    """Iterated lpa_step: two 4-cliques joined by one bridge settle on
+    one label per clique within a few synchronous rounds, and the
+    labeling is a fixed point."""
+    from itertools import combinations
+
+    from osmcha_spark.operators.graph import lpa_step
+
+    a = [0, 1, 2, 3]
+    b = [10, 11, 12, 13]
+    e = [p for p in combinations(a, 2)] + \
+        [p for p in combinations(b, 2)] + [(3, 10)]
+    nodes = spark.createDataFrame([(i,) for i in a + b], "node_id long")
+    edges = spark.createDataFrame(e, "src long, dst long")
+    labels = nodes.selectExpr("node_id", "node_id AS label")
+    for _ in range(4):
+        labels = spark.createDataFrame(
+            lpa_step(nodes, edges, labels).collect(),
+            "node_id long, label long")
+    got = {r.node_id: r.label for r in labels.collect()}
+    assert len({got[i] for i in a}) == 1
+    assert len({got[i] for i in b}) == 1
+    assert got[0] != got[10]
+    again = {r.node_id: r.label
+             for r in lpa_step(nodes, edges, labels).collect()}
+    assert again == got

@@ -932,3 +932,20 @@ def test_perceptron_step_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_sum" in plan or "partial" in plan, plan
+
+
+def test_lpa_step_plan_shape(spark):
+    """lpa_step (q162) plan contract: no window, no cartesian/BNLJ, no
+    Python eval; the vote count and argmax are map-side-combined
+    (partial) aggregates."""
+    from osmcha_spark.operators.graph import lpa_step
+
+    nodes = spark.createDataFrame([(1,), (2,)], "node_id long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels = nodes.selectExpr("node_id", "node_id AS label")
+    plan = _plan(lpa_step(nodes, edges, labels))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial" in plan, plan
