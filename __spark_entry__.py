@@ -9272,6 +9272,101 @@ LEFT JOIN best b ON b.v = d.doc_id AND b.rn = 1
 """
 
 
+# --------------------------------------------------------------- q163
+
+def q163_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window aggregation (streaming/windows.py:
+    sliding_agg): per-(user, 6-hour window sliding every 2 hours) count
+    + integer-cents sum in append mode — q112's harness verbatim (two
+    time-split micro-batches so straddling windows accumulate
+    cross-batch, plus the far-future sentinel that closes every real
+    window and whose own width/slide window set never closes). Each
+    event lands in exactly width/slide = 3 windows starting at
+    floor(t/slide)·slide − j·slide, which the oracle rebuilds with a
+    range explode over j — the emitted set is EXACTLY that batch
+    rollup."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import sliding_agg
+
+    work = _work_dir("q163")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+
+    def _one_file(df, name):
+        tmp = os.path.join(work, f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        return dest
+
+    f1 = _one_file(ev.where(F.unix_micros("ts") <= mid), "b1.parquet")
+    f2 = _one_file(ev.where(F.unix_micros("ts") > mid), "b2.parquet")
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(hi + 86400_000_000 * 2)).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    f3 = _one_file(sentinel, "b3.parquet")
+    now = os.path.getmtime(f1)
+    os.utime(f2, (now + 10, now + 10))
+    os.utime(f3, (now + 20, now + 20))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        sliding_agg(stream, key="user_id", ts_col="ts",
+                    width="6 hours", slide="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "win_start_us", "n_events", "cents"
+    )
+
+
+_Q163_ORACLE = """
+WITH series AS (SELECT unnest(range(0, 3)) AS j)
+SELECT user_id,
+       -- floor division (the q112 rule) to the 2h slide grid, then
+       -- back j slides: the exact window-start set Spark assigns
+       ((epoch_us(ts) - ((epoch_us(ts) % 7200000000) + 7200000000) % 7200000000) // 7200000000) * 7200000000
+         - j * 7200000000 AS win_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events, series
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9499,6 +9594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_perceptron_step": q160_perceptron_step,
         "q161_kernel_density": q161_kernel_density,
         "q162_lpa_step": q162_lpa_step,
+        "q163_stream_sliding": q163_stream_sliding,
     }
 
 
@@ -9590,6 +9686,7 @@ def oracle_sql() -> dict[str, str]:
         "q160_perceptron_step": _q160_oracle(),
         "q161_kernel_density": _q161_oracle(),
         "q162_lpa_step": _Q162_ORACLE,
+        "q163_stream_sliding": _Q163_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -38,7 +38,8 @@ from osmcha_spark.streaming.sessions import (
     sessionized_stream,
 )
 from osmcha_spark.streaming.stateful import user_stats_stream
-from osmcha_spark.streaming.windows import tumbling_agg, tumbling_distinct
+from osmcha_spark.streaming.windows import (sliding_agg, tumbling_agg,
+                                             tumbling_distinct)
 
 __all__ = [
     "deduped_stream",
@@ -57,6 +58,7 @@ __all__ = [
     "run_session_stream",
     "sessionized_stream",
     "user_stats_stream",
+    "sliding_agg",
     "tumbling_agg",
     "tumbling_distinct",
 ]

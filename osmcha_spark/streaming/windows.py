@@ -83,3 +83,43 @@ def tumbling_distinct(
             "n_distinct",
         )
     )
+
+
+def sliding_agg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    width: str = "6 hours",
+    slide: str = "2 hours",
+    cents_col: str = "cents",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-(key, SLIDING window) count + integer-cents sum, append mode
+    — tumbling_agg's overlapping generalization (the moving-average /
+    trailing-rate shape: every event lands in width/slide windows, so
+    each emitted row is a trailing ``width`` rollup refreshed every
+    ``slide``). Spark assigns the window set natively (``F.window``
+    with a slide): an event at t belongs to the windows starting at
+    ``floor(t/slide)·slide − j·slide`` for j in 0..width/slide−1 —
+    exactly the set the q163 oracle rebuilds with a range explode.
+
+    State and emission follow tumbling_agg: a window emits once, when
+    the watermark passes its END, with the cross-batch total; the
+    store holds open (key, window) pairs — sliding multiplies that by
+    width/slide, the price of overlap (state is still bounded by the
+    watermark horizon, never history). Output: ``(key, win_start_us,
+    n_events, cents)`` with epoch-micro bounds, q112's hashing rule."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.col(key), F.window(F.col(ts_col), width, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(cents_col)).alias("cents"),
+        )
+        .select(
+            key,
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "n_events",
+            "cents",
+        )
+    )

@@ -1016,3 +1016,29 @@ def test_stream_snapshot_merge_cdc_and_replay(spark, stream_dirs, tmp_path):
     assert T.current_snapshot(table) == 2
     got2 = {r.id: r.v for r in T.read_snapshot(spark, table).collect()}
     assert got2 == {2: 150, 4: 40}
+
+
+def test_sliding_agg_window_set_batch_semantics(spark):
+    """sliding_agg (q163): in batch mode one event lands in exactly
+    width/slide windows whose starts step back by the slide from its
+    slide-grid bucket; two events one slide apart overlap on
+    width/slide - 1 trailing windows and their cents superpose there."""
+    from datetime import datetime, timezone
+
+    from osmcha_spark.streaming import sliding_agg
+
+    def us(h):
+        return int(datetime(2024, 1, 1, h,
+                            tzinfo=timezone.utc).timestamp()) * 1_000_000
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 7), 10, 5),
+         (2, datetime(2024, 1, 1, 9), 10, 7)],
+        "event_id long, ts timestamp, user_id long, cents long")
+    got = {r.win_start_us: (r.n_events, r.cents)
+           for r in sliding_agg(ev, width="6 hours", slide="2 hours")
+           .collect()}
+    # event@7h -> windows starting 2h, 4h, 6h; event@9h -> 4h, 6h, 8h
+    assert got == {
+        us(2): (1, 5), us(4): (2, 12), us(6): (2, 12), us(8): (1, 7),
+    }
