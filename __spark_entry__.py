@@ -9367,6 +9367,48 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- q164
+
+def q164_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration + visited-cell count per mover
+    (operators/tiles.py:radius_of_gyration) over the q144 derived
+    trajectories (the _q144_pings_sql derivation shared VERBATIM, the
+    trajectory-family rule). The oracle is the definitional per-mover
+    GROUP BY over the same quantized integers — rog_num = n·Σ(ix²+iy²)
+    − (Σix)² − (Σiy)² is a pure integer, so VALUES are bit-exact; the
+    physical radius is sqrt(rog_num)/n/scale degrees, left to the
+    caller (the q152 numerator-only move)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import radius_of_gyration
+
+    pings = spark.sql(_q144_pings_sql(synth.SPARK))
+    return radius_of_gyration(pings, scale=256.0, level=12)
+
+
+def _q164_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql
+
+    cx = _axis_sql("lon", 180.0, 360.0, 12)
+    cy = _axis_sql("lat", 90.0, 180.0, 12)
+    return f"""
+WITH pings AS ({_q144_pings_sql(D)}),
+q AS (
+  SELECT user_id,
+         CAST(floor((lon + 180.0) * 256.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 256.0) AS BIGINT) AS iy,
+         ({cx}) * 4096 + ({cy}) AS cell
+  FROM pings)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+       CAST(count(*) * (sum(ix * ix) + sum(iy * iy))
+            - sum(ix) * sum(ix) - sum(iy) * sum(iy) AS BIGINT)
+         AS rog_num
+FROM q
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9595,6 +9637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_kernel_density": q161_kernel_density,
         "q162_lpa_step": q162_lpa_step,
         "q163_stream_sliding": q163_stream_sliding,
+        "q164_radius_of_gyration": q164_radius_of_gyration,
     }
 
 
@@ -9687,6 +9730,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_kernel_density": _q161_oracle(),
         "q162_lpa_step": _Q162_ORACLE,
         "q163_stream_sliding": _Q163_ORACLE,
+        "q164_radius_of_gyration": _q164_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

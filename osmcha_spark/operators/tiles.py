@@ -1055,3 +1055,66 @@ def kernel_density(
         .bitwiseOR(F.lit(level << 56))
     )
     return surface.select("x", "y", cell.alias("cell"), "kde")
+
+
+def radius_of_gyration(
+    pings: DataFrame,
+    scale: float = 256.0,
+    level: int = 12,
+    id_col: str = "user_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Radius of gyration + visited-cell count per mover — the two
+    canonical human-mobility statistics (Gonzalez et al. 2008: rog
+    separates commuters from travelers; distinct locations feed
+    predictability bounds). Fourth rung of the trajectory family
+    (stay_points / colocation_pairs / od_flows).
+
+    Integer-exact (the q128/q152 quantization move): coordinates
+    quantize to a grid at ``scale`` cells/degree and the output carries
+    the NUMERATOR
+
+        rog_num = n·Σ(ix² + iy²) − (Σix)² − (Σiy)²   ( = n² · rog²
+                                                       in grid units² )
+
+    — a pure integer, bit-exact both engines; take
+    ``sqrt(rog_num)/n / scale`` degrees for the physical radius.
+    Overflow bound (synth.py rule): with M = 360·scale ≈ 92k at the
+    default, n·M must stay < 2^31 — fine to ~20k pings per mover;
+    lower ``scale`` for chattier devices. ``n_cells`` counts DISTINCT
+    level-``level`` grid cells visited.
+
+    Scale shape: ONE map-side-combined groupBy per mover over five
+    running sums plus one distinct-cell count — no join, no window, no
+    second pass over pings; state per task is a constant-size
+    accumulator per mover."""
+    from osmcha_spark.geo.cells import _axis_col
+
+    ix = F.floor((F.col(lon_col) + F.lit(180.0)) * F.lit(scale))
+    iy = F.floor((F.col(lat_col) + F.lit(90.0)) * F.lit(scale))
+    cx = _axis_col(F.col(lon_col), 180.0, 360.0, level)
+    cy = _axis_col(F.col(lat_col), 90.0, 180.0, level)
+    q = pings.select(
+        F.col(id_col),
+        ix.alias("__ix"), iy.alias("__iy"),
+        (cx * F.lit(1 << level) + cy).alias("__cell"),
+    )
+    g = q.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__ix").alias("__sx"),
+        F.sum("__iy").alias("__sy"),
+        F.sum(F.col("__ix") * F.col("__ix")).alias("__sxx"),
+        F.sum(F.col("__iy") * F.col("__iy")).alias("__syy"),
+        F.countDistinct("__cell").alias("n_cells"),
+    )
+    return g.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_pings"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        (
+            F.col("__n") * (F.col("__sxx") + F.col("__syy"))
+            - F.col("__sx") * F.col("__sx")
+            - F.col("__sy") * F.col("__sy")
+        ).cast("long").alias("rog_num"),
+    )

@@ -2888,3 +2888,26 @@ def test_lpa_converges_on_two_communities(spark):
     again = {r.node_id: r.label
              for r in lpa_step(nodes, edges, labels).collect()}
     assert again == got
+
+
+def test_radius_of_gyration_hand_computed(spark):
+    """radius_of_gyration (q164): a stationary mover scores rog_num 0;
+    a two-point mover scores n·Σd² − Σ² by hand; coincident pings
+    count one distinct cell."""
+    from osmcha_spark.operators.tiles import radius_of_gyration
+
+    def pt(uid, u, v):
+        return (uid, -180.0 + (u + 0.5) / 256.0, -90.0 + (v + 0.5) / 256.0)
+
+    df = spark.createDataFrame(
+        [pt(1, 100, 100), pt(1, 100, 100),           # stationary
+         pt(2, 10, 20), pt(2, 14, 23)],              # dx=4, dy=3
+        "user_id long, lon double, lat double")
+    got = {r.user_id: r for r in
+           radius_of_gyration(df, scale=256.0, level=12).collect()}
+    assert got[1].rog_num == 0
+    assert got[1].n_pings == 2 and got[1].n_cells == 1
+    # n=2: 2*(296 + 929) - 24^2 - 43^2 = 25 — for two points rog_num
+    # collapses to the squared pair distance dx^2 + dy^2
+    assert got[2].rog_num == 4 * 4 + 3 * 3
+    assert got[2].n_pings == 2 and got[2].n_cells == 2
