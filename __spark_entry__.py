@@ -9409,6 +9409,47 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------- q165
+
+def q165_mobility_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized location entropy per mover (operators/tiles.py:
+    mobility_entropy) over the q144 derived trajectories (shared
+    derivation, trajectory-family rule): ent_num = n·flog2(n) −
+    Σ_c n_c·flog2(n_c) with flog2 the exact integer bit-length log
+    (q140's move applied to entropy) — the oracle mirrors it with
+    DuckDB's format('{:b}') bit length, every term integer, bit-exact.
+    """
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import mobility_entropy
+
+    pings = spark.sql(_q144_pings_sql(synth.SPARK))
+    return mobility_entropy(pings, level=12)
+
+
+def _q165_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql
+
+    cx = _axis_sql("lon", 180.0, 360.0, 12)
+    cy = _axis_sql("lat", 90.0, 180.0, 12)
+    return f"""
+WITH pings AS ({_q144_pings_sql(D)}),
+q AS (SELECT user_id, ({cx}) * 4096 + ({cy}) AS cell FROM pings),
+counts AS (
+  SELECT user_id, cell, count(*) AS nc FROM q GROUP BY 1, 2),
+folds AS (
+  SELECT user_id,
+         CAST(sum(nc) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(nc * (length(format('{{:b}}', nc)) - 1)) AS BIGINT)
+           AS s
+  FROM counts GROUP BY 1)
+SELECT user_id, n AS n_pings, k AS n_cells,
+       CAST(n * (length(format('{{:b}}', n)) - 1) - s AS BIGINT)
+         AS ent_num
+FROM folds
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9638,6 +9679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_lpa_step": q162_lpa_step,
         "q163_stream_sliding": q163_stream_sliding,
         "q164_radius_of_gyration": q164_radius_of_gyration,
+        "q165_mobility_entropy": q165_mobility_entropy,
     }
 
 
@@ -9731,6 +9773,7 @@ def oracle_sql() -> dict[str, str]:
         "q162_lpa_step": _Q162_ORACLE,
         "q163_stream_sliding": _Q163_ORACLE,
         "q164_radius_of_gyration": _q164_oracle(),
+        "q165_mobility_entropy": _q165_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -1118,3 +1118,59 @@ def radius_of_gyration(
             - F.col("__sy") * F.col("__sy")
         ).cast("long").alias("rog_num"),
     )
+
+
+def mobility_entropy(
+    pings: DataFrame,
+    level: int = 12,
+    id_col: str = "user_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Quantized location entropy per mover — the (uncorrelated)
+    visitation-entropy statistic of Song et al. 2010's predictability
+    bound: movers who spread pings evenly over many cells score high,
+    movers camped in one cell score 0. Fifth trajectory rung.
+
+    The q140/flog2 integer-quantization move applied to entropy: with
+    n_c the mover's ping count in cell c and n = Σ n_c,
+
+        ent_num = n·flog2(n) − Σ_c n_c·flog2(n_c)
+
+    — the Shannon entropy numerator n·H with log2 floored to the
+    integer bit length (text.py:flog2_col, exact in both engines), a
+    pure function of integer counts, so bit-exact. ent_num = 0 iff one
+    cell holds every ping... or counts are log2-indistinguishable (the
+    quantization's documented coarseness — swap in a float log for
+    ranked scores, nothing else changes). Output: ``(id, n_pings,
+    n_cells, ent_num)``.
+
+    Scale shape: two map-side-combined groupBys — ping→(mover, cell)
+    counts (bounded by occupied (mover, cell) pairs), then the per-
+    mover fold; no join, no window, no second pass over pings."""
+    from osmcha_spark.geo.cells import _axis_col
+    from osmcha_spark.operators.text import flog2_col
+
+    cx = _axis_col(F.col(lon_col), 180.0, 360.0, level)
+    cy = _axis_col(F.col(lat_col), 90.0, 180.0, level)
+    counts = (
+        pings.select(F.col(id_col),
+                     (cx * F.lit(1 << level) + cy).alias("__cell"))
+        .groupBy(id_col, "__cell")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("__nc").alias("__n"),
+            F.count(F.lit(1)).alias("__k"),
+            F.sum(F.col("__nc") * flog2_col(F.col("__nc"))).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("long").alias("n_pings"),
+            F.col("__k").cast("long").alias("n_cells"),
+            (F.col("__n") * flog2_col(F.col("__n")) - F.col("__s"))
+            .cast("long").alias("ent_num"),
+        )
+    )

@@ -2911,3 +2911,27 @@ def test_radius_of_gyration_hand_computed(spark):
     # collapses to the squared pair distance dx^2 + dy^2
     assert got[2].rog_num == 4 * 4 + 3 * 3
     assert got[2].n_pings == 2 and got[2].n_cells == 2
+
+
+def test_mobility_entropy_quantized(spark):
+    """mobility_entropy (q165): a one-cell camper scores 0; an even
+    4-cell spread of 8 pings scores exactly n*flog2(n) - sum =
+    8*3 - 4*(2*1) = 16 (true n*H = 16 — dyadic distributions are
+    where the floor-log is exact); a 3-vs-1 split shows the documented
+    quantization coarseness (flog2(3) = 1)."""
+    from osmcha_spark.operators.tiles import mobility_entropy
+
+    def pt(uid, u, v):
+        span = 360.0 / 4096
+        return (uid, -180.0 + (u + 0.5) * span,
+                -90.0 + (v + 0.5) * (180.0 / 4096))
+
+    rows = [pt(1, 5, 5)] * 6
+    rows += [pt(2, c, c) for c in (10, 20, 30, 40) for _ in range(2)]
+    rows += [pt(3, 50, 50)] * 3 + [pt(3, 60, 60)]
+    df = spark.createDataFrame(rows, "user_id long, lon double, lat double")
+    got = {r.user_id: r for r in mobility_entropy(df, level=12).collect()}
+    assert (got[1].ent_num, got[1].n_cells, got[1].n_pings) == (0, 1, 6)
+    assert (got[2].ent_num, got[2].n_cells) == (16, 4)
+    # n=4: 4*flog2(4) - (3*flog2(3) + 1*flog2(1)) = 8 - 3 = 5
+    assert (got[3].ent_num, got[3].n_cells) == (5, 2)
