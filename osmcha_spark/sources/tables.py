@@ -185,6 +185,34 @@ def _file_stats(meta) -> dict:
     return stats
 
 
+def _file_nulls(meta) -> dict:
+    """Per-column NULL counts from the parquet footer for TOP-LEVEL
+    columns (any type — null_count is type-agnostic). Recorded only
+    when EVERY row group reports one (absence means "cannot answer",
+    the stats rule). Powers the all-NULL file skip in snapshot_files
+    (a range predicate can never match a column that is NULL in every
+    row — pruning such files is lossless) and
+    snapshot_metadata_agg(null_cols=...)."""
+    nulls: dict = {}
+    if meta.num_row_groups == 0:
+        return nulls
+    for i in range(meta.num_columns):
+        path = meta.row_group(0).column(i).path_in_schema
+        if "." in path:
+            continue
+        total = 0
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(i).statistics
+            if st is None or st.null_count is None:
+                ok = False
+                break
+            total += int(st.null_count)
+        if ok:
+            nulls[path] = total
+    return nulls
+
+
 _BLOOM_K = 4
 _BLOOM_MIN_BITS = 1 << 10
 _BLOOM_MAX_BITS = 1 << 17  # 16 KiB binary per (file, column) manifest cap
@@ -416,9 +444,22 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
         f.setdefault("spec_col", partition_col)
     for d in (deletes or []):
         d.setdefault("seq", sid)
+    prev_ts = 0
+    if existing:
+        prev_ts = max(
+            int(_load_manifest(path, e).get("committed_at_us") or 0)
+            for e in existing
+        )
+    import time as _time
+
     manifest = {
         "snapshot": sid,
         "parent": parent,
+        # wall-clock commit stamp, forced strictly increasing so
+        # as-of-timestamp resolution is total-ordered even when two
+        # commits land inside one clock tick
+        "committed_at_us": max(int(_time.time() * 1_000_000),
+                               prev_ts + 1),
         "partition_col": partition_col,
         "commit_id": commit_id,
         "schema": schema,
@@ -514,6 +555,7 @@ def _write_files(df: DataFrame, path: str,
                 "bytes": os.path.getsize(dest),
                 "rows": meta.num_rows,
                 "stats": _file_stats(meta),
+                "nulls": _file_nulls(meta),
             }
             if bloom_cols:
                 # one extra columnar read of the FRESH local file (the
@@ -639,6 +681,12 @@ def snapshot_files(path: str, snapshot: int | None = None,
     for col, lo, hi in (where or []):
         kept = []
         for f in files:
+            nu = (f.get("nulls") or {}).get(col)
+            if nu is not None and f["rows"] > 0 and nu == f["rows"]:
+                # the column is NULL in every row of this file: a range
+                # predicate can never match — skipping is LOSSLESS even
+                # though there are no min/max stats to compare
+                continue
             st = (f.get("stats") or {}).get(col)
             if st is None or (
                 (hi is None or st[0] <= hi)
@@ -666,6 +714,25 @@ def snapshot_files(path: str, snapshot: int | None = None,
     return files
 
 
+def snapshot_as_of(path: str, ts_us: int) -> int:
+    """AS-OF-TIMESTAMP time travel (Iceberg's ``FOR SYSTEM_TIME AS
+    OF``): the newest snapshot whose commit stamp is <= ``ts_us``
+    (epoch micros). Commit stamps are forced strictly increasing at
+    _commit, so the resolution is total-ordered; raises when the
+    timestamp predates the table (or predates every still-retained
+    manifest after expiry — expired history is honestly gone)."""
+    best = None
+    for sid in list_snapshots(path):
+        ts = _load_manifest(path, sid).get("committed_at_us")
+        if ts is not None and int(ts) <= int(ts_us):
+            best = sid
+    if best is None:
+        raise ValueError(
+            f"no snapshot at {path} committed at or before {ts_us}"
+        )
+    return best
+
+
 def read_snapshot(spark: SparkSession, path: str,
                   snapshot: int | None = None,
                   partitions: list | None = None,
@@ -673,7 +740,8 @@ def read_snapshot(spark: SparkSession, path: str,
                   where_eq: list | None = None,
                   where_any: tuple | None = None,
                   tag: str | None = None,
-                  branch: str | None = None) -> DataFrame:
+                  branch: str | None = None,
+                  as_of_us: int | None = None) -> DataFrame:
     """Read a snapshot — the CURRENT one by default, or any committed id
     (time travel: snapshots are immutable, so s_n reads the same bytes
     forever). ``partitions`` (values of partition_col) and ``where``
@@ -683,14 +751,20 @@ def read_snapshot(spark: SparkSession, path: str,
     merges heterogeneous file schemas (add-column evolution) and
     projects to the schema RECORDED in the snapshot's manifest.
     ``tag`` / ``branch`` resolve a named ref (:func:`snapshot_tag` /
-    :func:`snapshot_branch`) instead of a numeric id; passing more
-    than one of snapshot/tag/branch is an error."""
-    if sum(x is not None for x in (snapshot, tag, branch)) > 1:
-        raise ValueError("pass at most one of snapshot=, tag=, branch=")
+    :func:`snapshot_branch`) and ``as_of_us`` resolves by commit
+    timestamp (:func:`snapshot_as_of`) instead of a numeric id;
+    passing more than one of snapshot/tag/branch/as_of_us is an
+    error."""
+    if sum(x is not None
+           for x in (snapshot, tag, branch, as_of_us)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot=, tag=, branch=, as_of_us=")
     if tag is not None:
         snapshot = resolve_tag(path, tag)
     if branch is not None:
         snapshot = resolve_branch(path, branch)
+    if as_of_us is not None:
+        snapshot = snapshot_as_of(path, as_of_us)
     sid = current_snapshot(path) if snapshot is None else int(snapshot)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -845,7 +919,8 @@ def snapshot_delete(path: str, key_col: str, keys: list,
 
 def snapshot_metadata_agg(spark: SparkSession, path: str,
                           cols: list | None = None,
-                          snapshot: int | None = None) -> DataFrame:
+                          snapshot: int | None = None,
+                          null_cols: list | None = None) -> DataFrame:
     """Metadata-only aggregation: per-partition COUNT(*) / MIN / MAX
     answered from the MANIFEST alone — zero data files opened
     (Iceberg's ``SELECT count(*)`` metadata shortcut / metadata
@@ -861,7 +936,9 @@ def snapshot_metadata_agg(spark: SparkSession, path: str,
     Exactness contract: raises ``ValueError`` if ANY file lacks stats
     for a requested column — stats absence means "cannot answer",
     never "empty" (the same rule that keeps pruning lossless). Row
-    counts need no stats and are always answerable. Time travel via
+    counts need no stats and are always answerable. ``null_cols`` adds
+    exact per-partition ``nulls_<c>`` columns from the footer null
+    counts (same every-file-or-raise contract). Time travel via
     ``snapshot`` composes: each manifest is immutable."""
     sid = current_snapshot(path) if snapshot is None else int(snapshot)
     if sid is None:
@@ -879,10 +956,13 @@ def snapshot_metadata_agg(spark: SparkSession, path: str,
             "— run snapshot_rewrite_partitions first"
         )
     cols = list(cols or [])
+    null_cols = list(null_cols or [])
     acc: dict = {}
     for f in man["files"]:
         pv = f["partition"]
-        a = acc.setdefault(pv, [0, 0, {c: None for c in cols}])
+        a = acc.setdefault(
+            pv, [0, 0, {c: None for c in cols},
+                 {c: 0 for c in null_cols}])
         a[0] += 1
         a[1] += int(f["rows"])
         for c in cols:
@@ -897,6 +977,14 @@ def snapshot_metadata_agg(spark: SparkSession, path: str,
                 [st[0], st[1]] if cur is None
                 else [min(cur[0], st[0]), max(cur[1], st[1])]
             )
+        for c in null_cols:
+            nu = (f.get("nulls") or {}).get(c)
+            if nu is None:
+                raise ValueError(
+                    f"file {f['name']} has no null count for column "
+                    f"{c!r}: metadata aggregation cannot answer exactly"
+                )
+            a[3][c] += int(nu)
     from pyspark.sql import types as T
 
     def _stat_type(c):
@@ -917,13 +1005,17 @@ def snapshot_metadata_agg(spark: SparkSession, path: str,
         t = _stat_type(c)
         fields += [T.StructField(f"min_{c}", t),
                    T.StructField(f"max_{c}", t)]
+    for c in null_cols:
+        fields += [T.StructField(f"nulls_{c}", T.LongType())]
     rows = []
     for pv in sorted(acc, key=lambda v: (v is None, v)):
-        n_files, n_rows, stats = acc[pv]
+        n_files, n_rows, stats, nulls = acc[pv]
         row = [pv, n_files, n_rows]
         for c in cols:
             st = stats[c]
             row += [st[0], st[1]]
+        for c in null_cols:
+            row += [nulls[c]]
         rows.append(tuple(row))
     return spark.createDataFrame(rows, T.StructType(fields))
 

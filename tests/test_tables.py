@@ -892,3 +892,53 @@ def test_partition_evolution_with_pending_deletes(spark, tmp_path):
     T.snapshot_rewrite_partitions(spark, path)
     got = sorted(r.k for r in T.read_snapshot(spark, path).collect())
     assert got == [k for k in range(60) if k not in (7, 44)]
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """R136: commit stamps are strictly increasing; as-of resolution
+    picks the newest snapshot at-or-before the timestamp, raises
+    before the first commit, and read_snapshot(as_of_us=...) rejects
+    combination with snapshot=."""
+    path = str(tmp_path / "t")
+    s0 = T.snapshot_create(_mk(spark, 10), path)
+    s1 = T.snapshot_append(_mk(spark, 10), path)
+    s2 = T.snapshot_append(_mk(spark, 10), path)
+    ts = {s: T._load_manifest(path, s)["committed_at_us"]
+          for s in (s0, s1, s2)}
+    assert ts[s0] < ts[s1] < ts[s2]
+    assert T.snapshot_as_of(path, ts[s0]) == s0
+    assert T.snapshot_as_of(path, ts[s1] - 1) == s0
+    assert T.snapshot_as_of(path, ts[s2] + 10**9) == s2
+    with pytest.raises(ValueError):
+        T.snapshot_as_of(path, ts[s0] - 1)
+    assert T.read_snapshot(spark, path, as_of_us=ts[s1]).count() == 20
+    with pytest.raises(ValueError):
+        T.read_snapshot(spark, path, snapshot=s0, as_of_us=ts[s1])
+
+
+def test_all_null_file_pruning_and_null_metadata(spark, tmp_path):
+    """R136: a file whose predicate column is NULL in every row is
+    pruned by its footer null count (lossless — a range predicate
+    never matches NULL) even though it has no min/max stats; the
+    filtered read equals the plain filter; metadata_agg(null_cols=)
+    answers exact per-partition null counts and raises for columns
+    without footer null counts."""
+    path = str(tmp_path / "t")
+    withnull = spark.range(0, 50).selectExpr(
+        "id AS k", "id * 10 AS v", "CAST(NULL AS BIGINT) AS v2")
+    withval = spark.range(50, 100).selectExpr(
+        "id AS k", "id * 10 AS v", "id * 2 AS v2")
+    T.snapshot_create(withnull.coalesce(1), path)
+    T.snapshot_append(withval.coalesce(1), path)
+    files = T.snapshot_files(path)
+    assert len(files) == 2
+    pruned = T.snapshot_files(path, where=[("v2", 0, None)])
+    assert len(pruned) == 1
+    got = sorted(r.k for r in
+                 T.read_snapshot(spark, path, where=[("v2", 100, 120)])
+                 .where("v2 BETWEEN 100 AND 120").collect())
+    assert got == list(range(50, 61))
+    agg = T.snapshot_metadata_agg(spark, path, null_cols=["v2"])
+    assert [tuple(r) for r in agg.collect()] == [(None, 2, 100, 50)]
+    with pytest.raises(ValueError):
+        T.snapshot_metadata_agg(spark, path, null_cols=["nope"])
