@@ -9450,6 +9450,50 @@ FROM folds
 """
 
 
+# --------------------------------------------------------------- q166
+
+def _q166_edits_sql(dialect: str) -> str:
+    """Derived object edit history, identical in both dialects: events
+    fold onto 101 objects (prime — ~10 edits per object even at
+    sf0.001) with a 3-value state, so toggles and genuine reverts
+    occur at every SF (191 at sf0.001, 2137 at sf0.01)."""
+    return (
+        "SELECT event_id, ts, user_id, event_id % 101 AS object_id, "
+        "CAST(round(value * 100) AS BIGINT) % 3 AS state FROM events"
+    )
+
+
+def q166_revert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revert / edit-war detection (operators/events.py:revert_events):
+    over the derived object edit history (shared verbatim), an edit is
+    a revert iff the object's state returns to what it was two edits
+    ago while the intervening edit changed it — the corpus-level
+    vandalism signal the reference's per-changeset rules cannot see.
+    The oracle mirrors the double-lag window WINDOW-for-WINDOW with
+    the (ts, event_id) tiebreak (the q144 rule)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import revert_events
+
+    edits = spark.sql(_q166_edits_sql(synth.SPARK))
+    return revert_events(edits)
+
+
+def _q166_oracle() -> str:
+    return f"""
+WITH edits AS ({_q166_edits_sql(D)}),
+l AS (
+  SELECT object_id, event_id, epoch_us(ts) AS ts_us, user_id, state,
+         lag(state, 1) OVER w AS s1,
+         lag(state, 2) OVER w AS s2,
+         lag(user_id, 1) OVER w AS prev_user
+  FROM edits
+  WINDOW w AS (PARTITION BY object_id ORDER BY epoch_us(ts), event_id))
+SELECT object_id AS object, event_id, ts_us, user_id AS reverter,
+       prev_user AS reverted_user, state
+FROM l WHERE state = s2 AND s1 <> state
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9680,6 +9724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_stream_sliding": q163_stream_sliding,
         "q164_radius_of_gyration": q164_radius_of_gyration,
         "q165_mobility_entropy": q165_mobility_entropy,
+        "q166_revert_events": q166_revert_events,
     }
 
 
@@ -9774,6 +9819,7 @@ def oracle_sql() -> dict[str, str]:
         "q163_stream_sliding": _Q163_ORACLE,
         "q164_radius_of_gyration": _q164_oracle(),
         "q165_mobility_entropy": _q165_oracle(),
+        "q166_revert_events": _q166_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -494,3 +494,59 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
         .cast("long")
         .alias("twap_cents"),
     )
+
+
+def revert_events(
+    edits: DataFrame,
+    object_col: str = "object_id",
+    state_col: str = "state",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Revert (edit-war) detection over an object edit history — the
+    vandalism signal at the heart of the reference's mission
+    (osmcha/changeset.py flags SUSPICIOUS changesets from per-changeset
+    heuristics; reverts are the corpus-level cross-changeset signal its
+    row-at-a-time architecture cannot see: an object restored to a
+    previous state right after someone changed it).
+
+    An edit is a REVERT iff, in the object's (ts, tiebreak)-ordered
+    history,
+
+        state_i == state_{i-2}  AND  state_{i-1} != state_i
+
+    — the object came BACK to what it was before the intervening edit.
+    Output: one row per revert — ``(object, event_id, ts_us, reverter,
+    reverted_user, state)`` where ``reverted_user`` authored the
+    intervening (undone) edit. Self-reverts (same user undoing
+    themselves) are included; filter ``reverter != reverted_user``
+    for the edit-WAR subset.
+
+    Scale shape: both lags and the user lag share ONE window
+    partitioning (object hash) and one sort — a single Exchange, state
+    per task bounded by one object's history (the q144
+    gaps-and-islands discipline); no join, no second pass."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = edits.select(
+        F.col(object_col).alias("object"),
+        F.col(tiebreak_col).alias("event_id"),
+        us.alias("ts_us"),
+        F.col(user_col).alias("reverter"),
+        F.col(state_col).alias("state"),
+    )
+    w = Window.partitionBy("object").orderBy("ts_us", "event_id")
+    lagged = ev.select(
+        "object", "event_id", "ts_us", "reverter", "state",
+        F.lag("state", 1).over(w).alias("__s1"),
+        F.lag("state", 2).over(w).alias("__s2"),
+        F.lag("reverter", 1).over(w).alias("reverted_user"),
+    )
+    return (
+        lagged.where(
+            (F.col("state") == F.col("__s2"))
+            & (F.col("__s1") != F.col("state"))
+        )
+        .select("object", "event_id", "ts_us", "reverter",
+                "reverted_user", "state")
+    )

@@ -2935,3 +2935,44 @@ def test_mobility_entropy_quantized(spark):
     assert (got[2].ent_num, got[2].n_cells) == (16, 4)
     # n=4: 4*flog2(4) - (3*flog2(3) + 1*flog2(1)) = 8 - 3 = 5
     assert (got[3].ent_num, got[3].n_cells) == (5, 2)
+
+
+def test_revert_events_planted_history(spark):
+    """revert_events (q166): A->B->A flags the third edit (reverter /
+    reverted_user attributed); A->A->A (no intervening change) and
+    A->B->C (no return) don't; a second revert in the same history
+    flags independently; self-reverts are included; ts ties break on
+    event_id."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.events import revert_events
+
+    t0 = datetime(2024, 1, 1)
+
+    def e(eid, obj, sec, user, state):
+        return (eid, obj, datetime(2024, 1, 1, 0, 0, sec), user, state)
+
+    rows = [
+        # obj 1: A B A  -> revert at eid 3; then B again, A -> revert at 5
+        e(1, 1, 1, 10, 0), e(2, 1, 2, 11, 1), e(3, 1, 3, 12, 0),
+        e(4, 1, 4, 13, 1), e(5, 1, 5, 10, 0),
+        # obj 2: A A A -> never (s1 == state)
+        e(6, 2, 1, 20, 7), e(7, 2, 2, 21, 7), e(8, 2, 3, 22, 7),
+        # obj 3: A B C -> never; obj 4: self-revert A B A same user
+        e(9, 3, 1, 30, 0), e(10, 3, 2, 30, 1), e(11, 3, 3, 30, 2),
+        e(12, 4, 1, 40, 5), e(13, 4, 2, 40, 6), e(14, 4, 3, 40, 5),
+        # obj 5: tie timestamps — order by event_id: A(15) B(16) A(17)
+        (15, 5, t0, 50, 0), (16, 5, t0, 51, 1), (17, 5, t0, 52, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, object_id long, ts timestamp, "
+              "user_id long, state long")
+    got = {r.event_id: (r.reverter, r.reverted_user)
+           for r in revert_events(df).collect()}
+    assert got == {
+        # obj 1 is a full A-B-A-B-A edit war: every edit from the third
+        # on restores the state of two edits back, so 3, 4 AND 5 flag
+        3: (12, 11), 4: (13, 12), 5: (10, 13),
+        14: (40, 40),               # obj 4 self-revert included
+        17: (52, 51),               # obj 5 tie broken by event_id
+    }

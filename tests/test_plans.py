@@ -949,3 +949,22 @@ def test_lpa_step_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "partial" in plan, plan
+
+
+def test_revert_events_plan_shape(spark):
+    """revert_events (q166) plan contract: no join, no Python eval, and
+    all three lags share ONE window partitioning (a single hash
+    exchange over the object key)."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.events import revert_events
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), 1, 0)],
+        "event_id long, object_id long, ts timestamp, "
+        "user_id long, state long")
+    plan = _plan(revert_events(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") <= 2, plan
