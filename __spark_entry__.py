@@ -9494,6 +9494,57 @@ FROM l WHERE state = s2 AND s1 <> state
 """
 
 
+# --------------------------------------------------------------- q167
+
+def _q167_pois_sql(dialect: str) -> str:
+    """Derived POI set, identical in both dialects: one uniformly
+    hashed position per supplier (sparse — ~10 at sf0.001), so a
+    15-degree service radius both covers some points and leaves real
+    gaps at every SF (143/150 uncovered at sf0.001, 413/1500 at
+    sf0.01)."""
+    h1 = synth.hash_of("s_suppkey", "poi1", dialect)
+    h2 = synth.hash_of("s_suppkey", "poi2", dialect)
+    return f"""
+SELECT s_suppkey AS id,
+       cast((({h1}) % 340000001) - 170000000 as double) / 1000000.0
+         AS lon,
+       cast((({h2}) % 160000001) - 80000000 as double) / 1000000.0
+         AS lat
+FROM supplier
+"""
+
+
+def q167_radius_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius ANTI join / coverage-gap detection
+    (operators/knn.py:radius_anti_join): the synth points with NO
+    derived supplier POI within 15 degrees — radius_join's cell
+    machinery with a distinct-matched LeftAnti back to the left table,
+    EXACT by the same covering-cells completeness argument, so the
+    oracle is the definitional NOT EXISTS with the identical
+    squared-degree predicate (no sqrt on either side — float boundary
+    behavior agrees bit-for-bit)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.knn import radius_anti_join
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    pois = spark.sql(_q167_pois_sql(synth.SPARK))
+    return radius_anti_join(pts, pois, radius=15.0)
+
+
+def _q167_oracle() -> str:
+    return f"""
+WITH pts AS ({synth.points_sql(D)}),
+pois AS ({_q167_pois_sql(D)})
+SELECT p.id, p.lon, p.lat
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pois q
+  WHERE (p.lon - q.lon) * (p.lon - q.lon)
+      + (p.lat - q.lat) * (p.lat - q.lat) <= 225.0
+)
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9725,6 +9776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_radius_of_gyration": q164_radius_of_gyration,
         "q165_mobility_entropy": q165_mobility_entropy,
         "q166_revert_events": q166_revert_events,
+        "q167_radius_anti_join": q167_radius_anti_join,
     }
 
 
@@ -9820,6 +9872,7 @@ def oracle_sql() -> dict[str, str]:
         "q164_radius_of_gyration": _q164_oracle(),
         "q165_mobility_entropy": _q165_oracle(),
         "q166_revert_events": _q166_oracle(),
+        "q167_radius_anti_join": _q167_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -254,3 +254,70 @@ def radius_join(
         .select("left_id", "right_id", dist.alias("dist"))
         .where(F.col("dist") <= radius)
     )
+
+
+def radius_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int | None = None,
+) -> DataFrame:
+    """Coverage-gap detection: the LEFT rows with NO right point within
+    ``radius`` — the spatial ANTI join (changesets no imagery covers,
+    facilities beyond service range, sensors out of calibration reach).
+    :func:`radius_join` asks "who interacts"; this asks "who is alone",
+    and at 100 TB the anti form matters because the interaction join's
+    output can be huge while the gap set is small.
+
+    Same cell machinery and completeness argument as radius_join: the
+    left side explodes to the cells covering its radius-disc bbox, the
+    right side keys by its single containing cell, so every in-radius
+    (left, right) pair shares a join cell — a left row with no
+    candidate match provably has no partner (EXACT; the oracle is the
+    definitional NOT EXISTS). The distance gate compares squared
+    degrees (``dx²+dy² <= r²``) with no sqrt, and the oracle states the
+    identical predicate so float boundary behavior agrees bit-for-bit.
+
+    Scale shape: candidates are Θ(in-radius interaction degree), then
+    ONE distinct on matched left ids (map-side combined) feeds a
+    LeftAnti join back to the left table — the full anti-join never
+    materializes non-matches. Dense-hotspot skew mitigations are
+    radius_join's (AQE split / salting)."""
+    from osmcha_spark.geo.cells import covering_cells_col
+
+    level = level if level is not None else cell_level_for_radius(radius)
+    lc = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(lon_col).alias("lx"),
+        F.col(lat_col).alias("ly"),
+        F.explode(
+            covering_cells_col(
+                F.col(lon_col) - F.lit(radius),
+                F.col(lat_col) - F.lit(radius),
+                F.col(lon_col) + F.lit(radius),
+                F.col(lat_col) + F.lit(radius),
+                level,
+            )
+        ).alias("cell"),
+    )
+    rc = right.select(
+        F.col(lon_col).alias("rx"),
+        F.col(lat_col).alias("ry"),
+        cell_col(F.col(lon_col), F.col(lat_col), level).alias("cell"),
+    )
+    dx = F.col("lx") - F.col("rx")
+    dy = F.col("ly") - F.col("ry")
+    matched = (
+        lc.join(rc, "cell")
+        .where(dx * dx + dy * dy <= F.lit(float(radius) ** 2))
+        .select("left_id")
+        .distinct()
+    )
+    return left.join(
+        matched,
+        left[id_col] == matched["left_id"],
+        "left_anti",
+    )

@@ -2976,3 +2976,27 @@ def test_revert_events_planted_history(spark):
         14: (40, 40),               # obj 4 self-revert included
         17: (52, 51),               # obj 5 tie broken by event_id
     }
+
+
+def test_radius_anti_join_gap_detection(spark):
+    """radius_anti_join (q167): a point just inside the radius of a POI
+    is covered, just outside is a gap; a cell-boundary-straddling
+    cover still counts (covering-cells completeness); empty POI set ->
+    every point is a gap."""
+    from osmcha_spark.operators.knn import radius_anti_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.9, 0.0),      # 0.9 from the POI -> covered
+         (2, 1.1, 0.0),      # 1.1 from the POI -> gap
+         (3, 40.0, 40.0)],   # far -> gap
+        "id long, lon double, lat double")
+    pois = spark.createDataFrame([(100, 0.0, 0.0)],
+                                 "id long, lon double, lat double")
+    got = sorted(r.id for r in
+                 radius_anti_join(pts, pois, radius=1.0).collect())
+    assert got == [2, 3]
+
+    none = spark.createDataFrame([], "id long, lon double, lat double")
+    got2 = sorted(r.id for r in
+                  radius_anti_join(pts, none, radius=1.0).collect())
+    assert got2 == [1, 2, 3]

@@ -968,3 +968,22 @@ def test_revert_events_plan_shape(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") <= 2, plan
+
+
+def test_radius_anti_join_plan_shape(spark):
+    """radius_anti_join (q167) plan contract: the candidate join is an
+    equi-join on the cell key, the matched-id dedup runs as a two-
+    phase (map-side + final) HashAggregate, and the final step is a
+    LeftAnti — no cartesian, no Python eval."""
+    from osmcha_spark.operators.knn import radius_anti_join
+
+    pts = spark.createDataFrame([(1, 0.0, 0.0)],
+                                "id long, lon double, lat double")
+    pois = spark.createDataFrame([(2, 1.0, 1.0)],
+                                 "id long, lon double, lat double")
+    plan = _plan(radius_anti_join(pts, pois, radius=1.0))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
