@@ -9545,6 +9545,57 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------- q168
+
+def q168_flow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model OD flow anomalies (operators/tiles.py:
+    flow_anomalies) over q149's flow matrix at min_flow=1 (the q144
+    derivation shared verbatim): anomaly_num = n·T − R_o·C_d flags
+    corridors whose traffic beats the independence model's prediction
+    from the origin/destination marginals — the q152 integer-numerator
+    move applied to association. The oracle composes q149's transition
+    CTEs with the two marginal CTEs and the single-row total; every
+    term integer, bit-exact."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import flow_anomalies, od_flows
+
+    pings = spark.sql(_q144_pings_sql(synth.SPARK))
+    flows = od_flows(pings, level=12, min_flow=1) \
+        .select("from_cell", "to_cell", "n_trips")
+    return flow_anomalies(flows)
+
+
+def _q168_oracle() -> str:
+    cell = cell_sql("lon", "lat", 12)
+    return f"""
+WITH pings AS ({_q144_pings_sql(synth.DUCKDB)}),
+c AS (SELECT user_id, ts, event_id, {cell} AS cell FROM pings),
+t AS (
+  SELECT lag(cell) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS from_cell,
+         cell AS to_cell
+  FROM c),
+f AS (
+  SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n_trips
+  FROM t
+  WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+  GROUP BY from_cell, to_cell),
+r AS (SELECT from_cell, CAST(sum(n_trips) AS BIGINT) AS rr
+      FROM f GROUP BY 1),
+cc AS (SELECT to_cell, CAST(sum(n_trips) AS BIGINT) AS ccv
+       FROM f GROUP BY 1),
+g AS (SELECT CAST(sum(n_trips) AS BIGINT) AS t FROM f)
+SELECT f.from_cell, f.to_cell, f.n_trips,
+       CAST(f.n_trips * g.t - r.rr * cc.ccv AS BIGINT) AS anomaly_num,
+       CAST(CASE WHEN f.n_trips * g.t - r.rr * cc.ccv > 0 THEN 1
+                 WHEN f.n_trips * g.t - r.rr * cc.ccv < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS flag
+FROM f
+JOIN r ON r.from_cell = f.from_cell
+JOIN cc ON cc.to_cell = f.to_cell, g
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9777,6 +9828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_mobility_entropy": q165_mobility_entropy,
         "q166_revert_events": q166_revert_events,
         "q167_radius_anti_join": q167_radius_anti_join,
+        "q168_flow_anomalies": q168_flow_anomalies,
     }
 
 
@@ -9873,6 +9925,7 @@ def oracle_sql() -> dict[str, str]:
         "q165_mobility_entropy": _q165_oracle(),
         "q166_revert_events": _q166_oracle(),
         "q167_radius_anti_join": _q167_oracle(),
+        "q168_flow_anomalies": _q168_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -1174,3 +1174,58 @@ def mobility_entropy(
             .cast("long").alias("ent_num"),
         )
     )
+
+
+def flow_anomalies(
+    flows: DataFrame,
+    from_col: str = "from_cell",
+    to_col: str = "to_cell",
+    n_col: str = "n_trips",
+) -> DataFrame:
+    """Gravity-model flow anomalies over an origin-destination matrix
+    (the q149 od_flows output, or any ``(origin, dest, count)`` frame):
+    which FROM→TO pairs carry more (or less) traffic than their
+    origin's outflow and destination's inflow predict? The
+    independence-model residual of mobility analysis / chi-square
+    association, with the q152 integer-numerator move so engine and
+    oracle agree bit-for-bit:
+
+        anomaly_num = n·T − R_o·C_d      ( = T² · (p_od − p_o·p_d) )
+
+    with R_o the origin's row sum, C_d the destination's column sum, T
+    the grand total — positive where the pair is over-represented
+    (a corridor), negative where under-represented. ``flag`` = sign.
+    Overflow bound (synth.py rule): R·C ≤ T² needs T < 2^31 ≈ 2·10⁹
+    transitions per analyzed matrix — shard by time slice past that.
+
+    Scale shape: the input is already the aggregated flow matrix
+    (raster-scale, ≪ pings); two map-side-combined marginal groupBys,
+    each joined back onto the matrix (broadcast when small, AQE's call
+    otherwise), and ONE single-row grand total broadcast back — the
+    matrix is touched twice, points never."""
+    f = flows.select(
+        F.col(from_col).alias("o"),
+        F.col(to_col).alias("d"),
+        F.col(n_col).cast("long").alias("n"),
+    )
+    row = f.groupBy("o").agg(F.sum("n").alias("__r"))
+    col = f.groupBy("d").agg(F.sum("n").alias("__c"))
+    tot = f.agg(F.sum("n").alias("__t"))
+    out = (
+        f.join(row, "o")
+        .join(col, "d")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("o").alias(from_col),
+            F.col("d").alias(to_col),
+            F.col("n").alias(n_col),
+            (F.col("n") * F.col("__t") - F.col("__r") * F.col("__c"))
+            .cast("long").alias("anomaly_num"),
+        )
+    )
+    return out.withColumn(
+        "flag",
+        F.when(F.col("anomaly_num") > 0, F.lit(1))
+        .when(F.col("anomaly_num") < 0, F.lit(-1))
+        .otherwise(F.lit(0)).cast("long"),
+    )

@@ -3000,3 +3000,28 @@ def test_radius_anti_join_gap_detection(spark):
     got2 = sorted(r.id for r in
                   radius_anti_join(pts, none, radius=1.0).collect())
     assert got2 == [1, 2, 3]
+
+
+def test_flow_anomalies_independence_residual(spark):
+    """flow_anomalies (q168): on a perfectly independent 2x2 matrix
+    every residual is 0; boosting one corridor flips it positive and
+    its complements negative — hand-computed n*T - R*C."""
+    from osmcha_spark.operators.tiles import flow_anomalies
+
+    indep = spark.createDataFrame(
+        [(1, 10, 4), (1, 11, 8), (2, 10, 2), (2, 11, 4)],
+        "from_cell long, to_cell long, n_trips long")
+    got = {(r.from_cell, r.to_cell): (r.anomaly_num, r.flag)
+           for r in flow_anomalies(indep).collect()}
+    assert all(v == (0, 0) for v in got.values())
+
+    boosted = spark.createDataFrame(
+        [(1, 10, 10), (1, 11, 8), (2, 10, 2), (2, 11, 4)],
+        "from_cell long, to_cell long, n_trips long")
+    got2 = {(r.from_cell, r.to_cell): (r.anomaly_num, r.flag)
+            for r in flow_anomalies(boosted).collect()}
+    # T=24, R1=18, R2=6, C10=12, C11=12
+    assert got2[(1, 10)] == (10 * 24 - 18 * 12, 1)
+    assert got2[(1, 11)] == (8 * 24 - 18 * 12, -1)
+    assert got2[(2, 10)] == (2 * 24 - 6 * 12, -1)
+    assert got2[(2, 11)] == (4 * 24 - 6 * 12, 1)
