@@ -9596,6 +9596,63 @@ JOIN cc ON cc.to_cell = f.to_cell, g
 """
 
 
+# --------------------------------------------------------------- q169
+
+_Q169_TAU = 86_400_000_000            # 1 day
+_Q169_SPAN = 30 * 86_400_000_000      # events spread over 30 days
+
+
+def q169_knox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction statistic (operators/tiles.py:
+    knox_pairs) over the clustered synth points with a derived hashed
+    event time (pure function of id, shared both engines — the q153
+    bucket rule): pairs within 128 grid units, within 1 day, within
+    both, total pairs, and the integer independence residual knox_num =
+    n_both·n_pairs − n_space·n_time. The engine's three bucket
+    candidate joins are lossless (floor-div completeness in 2D and
+    1D), so the oracle is the definitional all-pairs conditional
+    count — affordable at one point per customer."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import knox_pairs
+
+    t = f"({synth.hash_of('id', 'kt', synth.SPARK)}) % {_Q169_SPAN}"
+    pts = spark.sql(
+        f"SELECT p.*, {t} AS t_us "
+        f"FROM ({synth.points_sql(synth.SPARK)}) p")
+    return knox_pairs(pts, r_space=128, t_window_us=_Q169_TAU)
+
+
+def _q169_oracle() -> str:
+    t = f"({synth.hash_of('id', 'kt', D)}) % {_Q169_SPAN}"
+    return f"""
+WITH pts AS (
+  SELECT p.*, {t} AS t_us FROM ({synth.points_sql(D)}) p),
+q AS (
+  SELECT id, t_us,
+         CAST(floor((lon + 180.0) * 2048.0) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) * 2048.0) AS BIGINT) AS iy
+  FROM pts),
+p AS (
+  SELECT (a.ix - b.ix) * (a.ix - b.ix)
+       + (a.iy - b.iy) * (a.iy - b.iy) AS ds2,
+         abs(a.t_us - b.t_us) AS dt
+  FROM q a JOIN q b ON a.id < b.id),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN ds2 <= {128 * 128} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_space,
+         CAST(sum(CASE WHEN dt <= {_Q169_TAU} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_time,
+         CAST(sum(CASE WHEN ds2 <= {128 * 128}
+                        AND dt <= {_Q169_TAU} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both
+  FROM p)
+SELECT n_pairs, n_space, n_time, n_both,
+       CAST(n_both * n_pairs - n_space * n_time AS BIGINT) AS knox_num
+FROM agg
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9829,6 +9886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_revert_events": q166_revert_events,
         "q167_radius_anti_join": q167_radius_anti_join,
         "q168_flow_anomalies": q168_flow_anomalies,
+        "q169_knox_pairs": q169_knox_pairs,
     }
 
 
@@ -9926,6 +9984,7 @@ def oracle_sql() -> dict[str, str]:
         "q166_revert_events": _q166_oracle(),
         "q167_radius_anti_join": _q167_oracle(),
         "q168_flow_anomalies": _q168_oracle(),
+        "q169_knox_pairs": _q169_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

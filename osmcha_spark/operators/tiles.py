@@ -1229,3 +1229,100 @@ def flow_anomalies(
         .when(F.col("anomaly_num") < 0, F.lit(-1))
         .otherwise(F.lit(0)).cast("long"),
     )
+
+
+def knox_pairs(
+    points: DataFrame,
+    r_space: int,
+    t_window_us: int,
+    scale: float = 2048.0,
+    id_col: str = "id",
+    ts_us_col: str = "t_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Knox space-time interaction statistic (Knox 1964 — the classic
+    epidemiology / crime-analysis test: do events cluster in space AND
+    time together, beyond what their separate spatial and temporal
+    clustering predicts?). Completes the point-pattern suite: Ripley's
+    K (q157) is its space-only marginal, and the independence residual
+    is the q152/q168 integer-numerator move applied to space-time:
+
+        knox_num = n_both · n_pairs − n_space · n_time
+
+    over unordered pairs — n_space = pairs within ``r_space`` grid
+    units, n_time = pairs within ``t_window_us``, n_both = pairs within
+    both, n_pairs = C(n, 2). Positive = interaction (outbreak /
+    spree), ~0 = the marginals explain everything. One output row,
+    every term integer (coordinates quantized at ``scale``), so engine
+    and oracle agree bit-for-bit. Overflow: n_space·n_time < 2^62
+    needs C(n,2) < 2^31 per analyzed slice (n ≲ 90k events — shard by
+    region/epoch past that, as real Knox analyses do).
+
+    Scale shape: THREE lossless bucket candidate joins, none corpus²:
+    the spatial pairs reuse _bucket_candidates (3×3 coarse cells of
+    side r_space; n_both falls out of the same join by also carrying
+    Δt), the temporal pairs bucket on floor(t/τ) and join the 3
+    adjacent offsets (the 1D version of the same floor-div
+    completeness argument), and n_pairs is pure arithmetic on one
+    count. Each candidate set aggregates to a single map-side-combined
+    row."""
+    r = int(r_space)
+    tau = int(t_window_us)
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(ts_us_col).cast("long").alias("t_us"),
+        F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"),
+    )
+    # spatial candidates (directed) with their time deltas riding along
+    cand = _bucket_candidates(
+        pts, r, scale, "pid", "lon", "lat"
+    )
+    ts = pts.select(F.col("pid"), F.col("t_us"))
+    ts2 = pts.select(F.col("pid").alias("pid2"),
+                     F.col("t_us").alias("t_us2"))
+    sp = (
+        cand.where(F.col("pid") < F.col("pid2"))
+        .join(ts, "pid")
+        .join(ts2, "pid2")
+        .select(
+            F.lit(1).alias("__s"),
+            (F.abs(F.col("t_us") - F.col("t_us2")) <= F.lit(tau))
+            .cast("long").alias("__b"),
+        )
+        .agg(F.coalesce(F.sum("__s"), F.lit(0)).cast("long")
+             .alias("n_space"),
+             F.coalesce(F.sum("__b"), F.lit(0)).cast("long")
+             .alias("n_both"))
+    )
+    # temporal candidates: 1D buckets of width tau, 3 offsets
+    tb = pts.select(
+        "pid", "t_us",
+        F.expr(f"CAST((t_us - ((t_us % {tau}) + {tau}) % {tau}) "
+               f"/ {tau} AS BIGINT)").alias("bk"),
+    )
+    off = F.array([F.lit(i) for i in (-1, 0, 1)])
+    tb2 = pts.select(
+        F.col("pid").alias("pid2"), F.col("t_us").alias("t_us2"),
+        F.expr(f"CAST((t_us - ((t_us % {tau}) + {tau}) % {tau}) "
+               f"/ {tau} AS BIGINT)").alias("bk0"),
+    ).select("pid2", "t_us2", "bk0", F.explode(off).alias("dk")) \
+     .select("pid2", "t_us2", (F.col("bk0") + F.col("dk")).alias("bk"))
+    tm = (
+        tb.join(tb2, "bk")
+        .where((F.col("pid") < F.col("pid2"))
+               & (F.abs(F.col("t_us") - F.col("t_us2")) <= F.lit(tau)))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_time"))
+    )
+    n1 = pts.agg(F.count(F.lit(1)).alias("__n")).select(
+        (F.col("__n") * (F.col("__n") - 1) / 2).cast("long")
+        .alias("n_pairs"))
+    # three single-row aggregates fold into one row: broadcast-hinted
+    # cross joins (BNLJ over 1-row sides — the q152 totals pattern)
+    out = sp.join(F.broadcast(tm)).join(F.broadcast(n1)).select(
+        "n_pairs", "n_space", "n_time", "n_both",
+        (F.col("n_both") * F.col("n_pairs")
+         - F.col("n_space") * F.col("n_time"))
+        .cast("long").alias("knox_num"),
+    )
+    return out

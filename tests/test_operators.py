@@ -3025,3 +3025,32 @@ def test_flow_anomalies_independence_residual(spark):
     assert got2[(1, 11)] == (8 * 24 - 18 * 12, -1)
     assert got2[(2, 10)] == (2 * 24 - 6 * 12, -1)
     assert got2[(2, 11)] == (4 * 24 - 6 * 12, 1)
+
+
+def test_knox_pairs_hand_computed(spark):
+    """knox_pairs (q169): three events — two close in space AND time,
+    one far in both — give hand-countable marginals; a time-bucket-
+    straddling pair (dt just under tau across the bucket edge) is
+    found by the 1D 3-offset emission."""
+    from osmcha_spark.operators.tiles import knox_pairs
+
+    def pt(pid, u, t_us):
+        return (pid, t_us,
+                -180.0 + (u + 0.5) / 2048.0, -90.0 + 0.5 / 2048.0)
+
+    tau = 1_000_000
+    rows = [
+        pt(1, 1000, 100),            # close to 2 in space and time
+        pt(2, 1010, 200),
+        pt(3, 9000, 50_000_000),     # far from both in space and time
+        # 4 and 5: same spot, dt = 0.9*tau straddling a bucket edge
+        pt(4, 20000, tau - 100),
+        pt(5, 20000, tau + 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, t_us long, lon double, lat double")
+    r = knox_pairs(df, r_space=32, t_window_us=tau).collect()[0]
+    # pairs: C(5,2)=10; space-close: (1,2), (4,5); time-close: (1,2),
+    # (4,5), (1,4), (1,5), (2,4), (2,5); both: (1,2), (4,5)
+    assert (r.n_pairs, r.n_space, r.n_time, r.n_both) == (10, 2, 6, 2)
+    assert r.knox_num == 2 * 10 - 2 * 6
