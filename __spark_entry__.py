@@ -9653,6 +9653,45 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------- q170
+
+def q170_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from snapshot
+    changelogs (operators/incremental.py:mv_sync): the q158 event
+    derivation lands in three append batches; the per-bucket
+    (count, sum) MV is built once and then synced twice, each sync
+    reading ONLY the appended rows (snapshot_changes) and rewriting
+    ONLY the touched bucket partitions. The oracle is the definitional
+    GROUP BY over all events — incremental maintenance must equal the
+    full recompute exactly (two-path identity; the bounded-read/
+    bounded-write mechanics and replay idempotence are pinned in
+    tests/test_tables.py)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.incremental import mv_sync
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q170")
+    base = os.path.join(work, "base")
+    mv = os.path.join(work, "mv")
+    src = spark.sql(_Q158_BASE)
+    T.snapshot_create(src.where("event_id % 3 = 0"), base,
+                      partition_col="b8")
+    mv_sync(spark, base, mv, "b8", "cents")
+    T.snapshot_append(src.where("event_id % 3 = 1"), base)
+    mv_sync(spark, base, mv, "b8", "cents")
+    T.snapshot_append(src.where("event_id % 3 = 2"), base)
+    mv_sync(spark, base, mv, "b8", "cents")
+    return T.read_snapshot(spark, mv).select("b8", "n_rows", "sum_cents")
+
+
+_Q170_ORACLE = f"""
+WITH t AS ({_Q158_BASE})
+SELECT b8, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY b8
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9887,6 +9926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_radius_anti_join": q167_radius_anti_join,
         "q168_flow_anomalies": q168_flow_anomalies,
         "q169_knox_pairs": q169_knox_pairs,
+        "q170_incremental_mv": q170_incremental_mv,
     }
 
 
@@ -9985,6 +10025,7 @@ def oracle_sql() -> dict[str, str]:
         "q167_radius_anti_join": _q167_oracle(),
         "q168_flow_anomalies": _q168_oracle(),
         "q169_knox_pairs": _q169_oracle(),
+        "q170_incremental_mv": _Q170_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -329,3 +329,88 @@ def apply_changes(
     keep = prior.join(changes.select(key), key, "left_anti")
     ups = changes.where(F.col(op_col) == "upsert").select(*data_cols)
     return keep.unionByName(ups)
+
+
+def mv_sync(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_col: str,
+    value_col: str = "cents",
+) -> int | None:
+    """Incrementally maintain a per-group (count, sum) MATERIALIZED
+    VIEW of a snapshot table from its changelog — the canonical
+    lakehouse incremental-ETL pattern (Iceberg incremental append scan
+    feeding a rollup): after the first full build, every sync reads
+    ONLY the rows appended since the last one (sources/tables.py:
+    snapshot_changes), folds them into the affected groups, and
+    rewrites only those groups' partitions in the MV (snapshot_upsert's
+    bounded copy-on-write). At 100 TB the steady-state cost is
+    O(appended bytes + touched groups), never a base rescan.
+
+    MV schema: ``(group_col, n_rows, sum_<value_col>)``, partitioned by
+    ``group_col``. The applied frontier (base snapshot id) is recorded
+    as an MV tag ``sync-<base_sid>`` and every incremental commit
+    carries ``commit_id="sync-<base_sid>"`` — replays repoint instead
+    of double-counting (exactly-once at the table level), and the
+    frontier survives expiry because tags pin manifests.
+
+    Returns the new MV snapshot id, or None when already up to date.
+    A rewrite/compaction/delete on the base inside the sync window
+    makes :func:`~osmcha_spark.sources.tables.snapshot_changes` RAISE
+    (append-only contract, q133) — the MV must then be rebuilt by
+    dropping it; silent double-counting is never possible."""
+    from osmcha_spark.sources import tables as T
+
+    sum_col = f"sum_{value_col}"
+    cur = T.current_snapshot(base_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {base_path}")
+
+    def _agg(df):
+        return df.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(value_col).cast("long").alias(sum_col),
+        )
+
+    if T.current_snapshot(mv_path) is None:
+        full = T.read_snapshot(spark, base_path, cur)
+        T.snapshot_create(_agg(full), mv_path, partition_col=group_col,
+                          commit_id=f"sync-{cur}")
+        T.snapshot_tag(mv_path, f"sync-{cur}")
+        return T.current_snapshot(mv_path)
+
+    frontier = max(
+        (int(n[5:]) for n in T.list_tags(mv_path)
+         if n.startswith("sync-")),
+        default=None,
+    )
+    if frontier is None:
+        raise ValueError(f"{mv_path} has no sync-* frontier tag: not a "
+                         "mv_sync-maintained view")
+    done = T._find_commit(mv_path, f"sync-{cur}")
+    if done is not None:
+        # this base snapshot was already folded in; heal a lost
+        # pointer (crash between commit and repoint) instead of
+        # silently staying stale
+        if T.current_snapshot(mv_path) != done:
+            T._point_current(mv_path, done)
+            return done
+        return None
+    if frontier == cur:
+        return None
+    delta = T.snapshot_changes(spark, base_path, frontier, cur)
+    delta_agg = _agg(delta)
+    mv = T.read_snapshot(spark, mv_path)
+    touched = delta_agg.select(group_col).distinct()
+    upd = (
+        mv.join(touched, group_col)          # bounded: affected groups
+        .unionByName(delta_agg)
+        .groupBy(group_col)
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+             F.sum(sum_col).cast("long").alias(sum_col))
+    )
+    sid = T.snapshot_upsert(upd, mv_path, key=group_col,
+                            commit_id=f"sync-{cur}")
+    T.snapshot_tag(mv_path, f"sync-{cur}")
+    return sid

@@ -942,3 +942,61 @@ def test_all_null_file_pruning_and_null_metadata(spark, tmp_path):
     assert [tuple(r) for r in agg.collect()] == [(None, 2, 100, 50)]
     with pytest.raises(ValueError):
         T.snapshot_metadata_agg(spark, path, null_cols=["nope"])
+
+
+def test_mv_sync_incremental_maintenance(spark, tmp_path):
+    """mv_sync (q170): the incremental path reads ONLY the appended
+    files (inputFiles of the changelog), rewrites only touched MV
+    partitions (untouched carried by NAME), equals a full recompute,
+    is a no-op when up to date, replays idempotently after a lost
+    pointer, and REFUSES (via snapshot_changes) after a base rewrite
+    in the sync window."""
+    from osmcha_spark.operators.incremental import mv_sync
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS k", "id % 4 AS g", "id * 3 AS cents")
+    T.snapshot_create(mk(0, 100), base, partition_col="g")
+    assert mv_sync(spark, base, mv, "g", "cents") is not None
+    # up to date -> None
+    assert mv_sync(spark, base, mv, "g", "cents") is None
+
+    # append rows touching ONLY groups 0 and 1 (ids ≡ 0,1 mod 4)
+    extra = spark.createDataFrame(
+        [(1000, 0, 7), (1001, 1, 9)], "k long, g long, cents long")
+    T.snapshot_append(extra, base)
+    mv_man0 = T._load_manifest(mv, T.current_snapshot(mv))
+    sid = mv_sync(spark, base, mv, "g", "cents")
+    assert sid is not None
+    mv_man1 = T._load_manifest(mv, sid)
+    untouched0 = {f["name"] for f in mv_man0["files"]
+                  if f["partition"] in ("2", "3")}
+    untouched1 = {f["name"] for f in mv_man1["files"]
+                  if f["partition"] in ("2", "3")}
+    assert untouched0 == untouched1 and untouched0
+
+    # equals the full recompute
+    want = {(r.g, r.n, r.s) for r in
+            T.read_snapshot(spark, base)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("s")).collect()}
+    got = {(r.g, r.n_rows, r.sum_cents) for r in
+           T.read_snapshot(spark, mv).collect()}
+    assert got == want
+
+    # replay after a lost pointer: repoints, never double-counts
+    T._point_current(mv, T.list_snapshots(mv)[0])
+    sid2 = mv_sync(spark, base, mv, "g", "cents")
+    assert sid2 == sid
+    got2 = {(r.g, r.n_rows, r.sum_cents) for r in
+            T.read_snapshot(spark, mv).collect()}
+    assert got2 == want
+
+    # a base rewrite inside the window refuses rather than miscount
+    T.snapshot_upsert(spark.createDataFrame([(0, 0, 999)],
+                                            "k long, g long, cents long"),
+                      base, "k")
+    with pytest.raises(ValueError, match="rewrite|append-only"):
+        mv_sync(spark, base, mv, "g", "cents")
