@@ -9692,6 +9692,70 @@ FROM t GROUP BY b8
 """
 
 
+# --------------------------------------------------------------- q171
+
+def q171_flow_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prevailing movement direction per origin cell (operators/
+    tiles.py:flow_directions) over the q144 derived trajectories
+    (shared derivation): 8-sector sign-rule direction histogram
+    collapsed to the modal sector with the (count DESC, sector ASC)
+    tiebreak. The oracle mirrors the lag WINDOW-for-WINDOW, the CASE
+    sector rule term-for-term, and the argmax via row_number — every
+    term integer, bit-exact."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import flow_directions
+
+    pings = spark.sql(_q144_pings_sql(synth.SPARK))
+    return flow_directions(pings, level=12, order_col="event_id")
+
+
+def _q171_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+
+    xs = _axis_sql("lon", 180.0, 360.0, 12)
+    ys = _axis_sql("lat", 90.0, 180.0, 12)
+    cell = f"(({_spread_sql('c.x')}) | (({_spread_sql('c.y')}) << 1) " \
+           f"| {12 << 56})"
+    return f"""
+WITH pings AS ({_q144_pings_sql(D)}),
+q AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         ({xs}) AS x, ({ys}) AS y
+  FROM pings),
+l AS (
+  SELECT lag(x) OVER w AS fx, lag(y) OVER w AS fy, x, y
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+t AS (
+  SELECT fx, fy, x - fx AS dx, y - fy AS dy FROM l
+  WHERE fx IS NOT NULL AND (fx <> x OR fy <> y)),
+d AS (
+  SELECT fx AS x, fy AS y,
+         CASE WHEN dx > 0 AND dy = 0 THEN 0
+              WHEN dx > 0 AND dy > 0 THEN 1
+              WHEN dx = 0 AND dy > 0 THEN 2
+              WHEN dx < 0 AND dy > 0 THEN 3
+              WHEN dx < 0 AND dy = 0 THEN 4
+              WHEN dx < 0 AND dy < 0 THEN 5
+              WHEN dx = 0 AND dy < 0 THEN 6
+              ELSE 7 END AS dir
+  FROM t),
+counts AS (
+  SELECT x, y, dir, count(*) AS n FROM d GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT x, y, dir, n,
+         row_number() OVER (PARTITION BY x, y
+                            ORDER BY n DESC, dir ASC) AS rn,
+         sum(n) OVER (PARTITION BY x, y) AS tot
+  FROM counts)
+SELECT c.x, c.y, {cell} AS cell,
+       CAST(c.tot AS BIGINT) AS n_trips,
+       CAST(c.dir AS BIGINT) AS modal_dir,
+       CAST(c.n AS BIGINT) AS modal_n
+FROM ranked c WHERE c.rn = 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9927,6 +9991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_flow_anomalies": q168_flow_anomalies,
         "q169_knox_pairs": q169_knox_pairs,
         "q170_incremental_mv": q170_incremental_mv,
+        "q171_flow_directions": q171_flow_directions,
     }
 
 
@@ -10026,6 +10091,7 @@ def oracle_sql() -> dict[str, str]:
         "q168_flow_anomalies": _q168_oracle(),
         "q169_knox_pairs": _q169_oracle(),
         "q170_incremental_mv": _Q170_ORACLE,
+        "q171_flow_directions": _q171_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -1326,3 +1326,87 @@ def knox_pairs(
         .cast("long").alias("knox_num"),
     )
     return out
+
+
+def flow_directions(
+    pings: DataFrame,
+    level: int = 12,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Prevailing movement direction per origin cell — the directional-
+    statistics rung of the trajectory family: per grid cell, an
+    8-sector histogram of outbound trip directions collapsed to the
+    MODAL sector (commuter corridors point somewhere; random walks
+    don't). Directions are assigned by integer SIGN rules on the cell-
+    grid deltas (E/NE/N/NW/W/SW/S/SE as 0..7 — sign(dx), sign(dy)
+    decide, no atan2, no floats), so engine and oracle agree
+    bit-for-bit; swap in true compass octants by adding |dx| vs |dy|
+    comparisons, nothing else changes.
+
+    Output: ``(x, y, cell, n_trips, modal_dir, modal_n)`` per origin
+    cell with at least one outbound trip; ties break toward the
+    SMALLEST sector id (the q151/q162 max-of-struct argmax).
+
+    Scale shape: ONE mover-hash window drives the lag (the q149
+    discipline), then two map-side-combined groupBys — (cell, dir)
+    counts, then the per-cell argmax + total — both raster-scale after
+    the first; no join, no per-cell sort."""
+    from osmcha_spark.geo.cells import _axis_col, _spread_col
+
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order2 = F.col(order_col) if order_col else F.lit(0)
+    q = pings.select(
+        F.col(id_col).alias("u"),
+        ts_us.alias("t"), order2.alias("o2"),
+        _axis_col(F.col(lon_col), 180.0, 360.0, level).alias("x"),
+        _axis_col(F.col(lat_col), 90.0, 180.0, level).alias("y"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "o2")
+    t = q.select(
+        F.lag("x").over(w).alias("fx"),
+        F.lag("y").over(w).alias("fy"),
+        "x", "y",
+    ).where(
+        F.col("fx").isNotNull()
+        & ((F.col("fx") != F.col("x")) | (F.col("fy") != F.col("y")))
+    )
+    dx = F.col("x") - F.col("fx")
+    dy = F.col("y") - F.col("fy")
+    d = (
+        F.when((dx > 0) & (dy == 0), 0)
+        .when((dx > 0) & (dy > 0), 1)
+        .when((dx == 0) & (dy > 0), 2)
+        .when((dx < 0) & (dy > 0), 3)
+        .when((dx < 0) & (dy == 0), 4)
+        .when((dx < 0) & (dy < 0), 5)
+        .when((dx == 0) & (dy < 0), 6)
+        .otherwise(7)
+    )
+    counts = (
+        t.select(F.col("fx").alias("x"), F.col("fy").alias("y"),
+                 d.cast("long").alias("dir"))
+        .groupBy("x", "y", "dir")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cell = (
+        _spread_col(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_col(F.col("y")), 1))
+        .bitwiseOR(F.lit(level << 56))
+    )
+    return (
+        counts.groupBy("x", "y")
+        .agg(
+            F.sum("n").cast("long").alias("n_trips"),
+            F.max(F.struct(F.col("n").alias("c"),
+                           (-F.col("dir")).alias("neg"))).alias("__b"),
+        )
+        .select(
+            "x", "y", cell.alias("cell"), "n_trips",
+            (-F.col("__b.neg")).cast("long").alias("modal_dir"),
+            F.col("__b.c").cast("long").alias("modal_n"),
+        )
+    )

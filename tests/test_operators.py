@@ -3054,3 +3054,42 @@ def test_knox_pairs_hand_computed(spark):
     # (4,5), (1,4), (1,5), (2,4), (2,5); both: (1,2), (4,5)
     assert (r.n_pairs, r.n_space, r.n_time, r.n_both) == (10, 2, 6, 2)
     assert r.knox_num == 2 * 10 - 2 * 6
+
+
+def test_flow_directions_sectors_and_modal_tiebreak(spark):
+    """flow_directions (q171): planted hops exercise the sign-rule
+    sectors (E=0, NE=1, N=2, W=4); a 1-1 tie between sectors breaks
+    toward the SMALLER id; dwell (same-cell) pings produce no trip."""
+    from datetime import datetime
+
+    from osmcha_spark.operators.tiles import flow_directions
+
+    span = 360.0 / 4096
+
+    def pt(uid, sec, u, v):
+        return (uid, datetime(2024, 1, 1, 0, 0, sec), sec,
+                -180.0 + (u + 0.5) * span,
+                -90.0 + (v + 0.5) * (180.0 / 4096))
+
+    rows = [
+        # mover 1 from (100,100): E hop, return W, E again -> modal E(0)
+        pt(1, 1, 100, 100), pt(1, 2, 101, 100), pt(1, 3, 100, 100),
+        pt(1, 4, 101, 100),
+        # mover 2 from (200,200): NE hop then (back) SW then N hop ->
+        # origin (200,200) has NE(1) and N(2) one each -> tie -> 1
+        pt(2, 1, 200, 200), pt(2, 2, 201, 201), pt(2, 3, 200, 200),
+        pt(2, 4, 200, 201),
+        # mover 3: dwell only -> no trips anywhere
+        pt(3, 1, 300, 300), pt(3, 2, 300, 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "lon double, lat double")
+    got = {(r.x, r.y): (r.n_trips, r.modal_dir, r.modal_n)
+           for r in flow_directions(df, level=12,
+                                    order_col="event_id").collect()}
+    assert got[(100, 100)] == (2, 0, 2)      # two E hops
+    assert got[(101, 100)] == (1, 4, 1)      # the W return
+    assert got[(200, 200)] == (2, 1, 1)      # NE/N tie -> NE (smaller)
+    assert got[(201, 201)] == (1, 5, 1)      # the SW return
+    assert (300, 300) not in got
