@@ -75,3 +75,39 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def deduped_stream_ttl(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    ttl: str = "1 hour",
+) -> DataFrame:
+    """Key-ONLY streaming dedup with TTL re-emission —
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+), the idempotency-key
+    shape this module's header contrasts with :func:`deduped_stream`:
+    identity is the key alone, so a retried request with a FRESH
+    timestamp still squashes, and a key seen again after its state is
+    evicted (watermark passed its last event time + ttl) legitimately
+    RE-EMITS — retention-bounded idempotency, not exactly-once replay.
+
+    Because re-emission depends on when the watermark crossed the
+    eviction boundary, the emitted set is a function of BATCH
+    BOUNDARIES, not of the data alone — so there is deliberately no
+    SQL oracle (the q24 rule); the deterministic four-batch harness in
+    tests/test_streaming.py pins the MEASURED semantics on this build:
+
+    - a duplicate inside the window drops even with a DIFFERENT ts
+      (key-only identity);
+    - eviction is END-of-batch: a key re-emits only in the batch AFTER
+      the watermark passed its expiry, never in the same batch;
+    - the operator does NOT late-filter — a sub-watermark FIRST
+      arrival still emits (it only manages dedup state; compose with
+      :func:`deduped_stream`'s (key, ts) identity when the q59 late
+      gate is required).
+
+    State: one entry per live key — bounded by keys-per-window, not
+    history."""
+    return events.withWatermark(ts_col, ttl).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

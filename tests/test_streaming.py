@@ -1042,3 +1042,71 @@ def test_sliding_agg_window_set_batch_semantics(spark):
     assert got == {
         us(2): (1, 5), us(4): (2, 12), us(6): (2, 12), us(8): (1, 7),
     }
+
+
+def test_dedup_ttl_key_only_reemission(spark, tmp_path):
+    """deduped_stream_ttl (dropDuplicatesWithinWatermark), measured on
+    this build: identity is the KEY alone — a retry with a DIFFERENT
+    timestamp inside the TTL window still drops; eviction is END-of-
+    batch, so a key re-emits only in the batch AFTER the watermark
+    passed its expiry; and the operator does NOT late-filter (a
+    sub-watermark FIRST arrival still emits)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.streaming.dedup import (deduped_stream_ttl,
+                                              run_dedup_stream)
+
+    T0 = 1_700_000_000_000_000
+    HOUR = 3600 * 1_000_000
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base = time.time()
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, ts_us long").select(
+            "k", F.timestamp_micros(F.col("ts_us")).alias("ts")
+        )
+
+    def one_file(df, name, bump):
+        tmp = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(in_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (base + bump, base + bump))
+
+    # b1: first arrival of key 1
+    one_file(mk([(1, T0)]), "b1.parquet", 0)
+    # b2: retry of key 1 with a DIFFERENT ts (live state -> drop);
+    # key 99 far ahead pushes the watermark to T0 + 2h for b3
+    one_file(mk([(1, T0 + 1800 * 1_000_000), (99, T0 + 3 * HOUR)]),
+             "b2.parquet", 10)
+    # b3: wm = T0+2h passed key 1's expiry, but eviction is END-of-
+    # batch: this arrival still drops; key 50 is below the watermark
+    # yet EMITS (no late filter); key 99 retry while live -> drop
+    one_file(mk([(1, T0 + 3 * HOUR), (50, T0), (99, T0 + 3 * HOUR)]),
+             "b3.parquet", 20)
+    # b4: key 1 NOW re-emits (state evicted at the end of b3)
+    one_file(mk([(1, T0 + 5 * HOUR)]), "b4.parquet", 30)
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = run_dedup_stream(
+        deduped_stream_ttl(stream, keys=("k",), ts_col="ts",
+                           ttl="1 hour"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.k, (int(r.ts.timestamp() * 1_000_000) - T0) // HOUR)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(1, 0), (1, 5), (50, 0), (99, 3)]
