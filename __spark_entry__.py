@@ -9756,6 +9756,58 @@ FROM ranked c WHERE c.rn = 1
 """
 
 
+# --------------------------------------------------------------- q172
+
+def q172_decayed_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed density per level-10 cell (operators/tiles.py:
+    decayed_density) over the clustered synth points with q169's
+    derived event time: weight = 2^(10 − age_halflives) as exact
+    integer shifts (2-day halflife, t_ref at the span end, 0 beyond 10
+    halflives). The oracle mirrors the floor-div age, the clamp, and
+    the shift term-for-term — bit-exact."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import decayed_density
+
+    t = f"({synth.hash_of('id', 'kt', synth.SPARK)}) % {_Q169_SPAN}"
+    pts = spark.sql(
+        f"SELECT p.*, {t} AS t_us "
+        f"FROM ({synth.points_sql(synth.SPARK)}) p")
+    return decayed_density(
+        pts, level=10, t_ref_us=_Q169_SPAN,
+        halflife_us=2 * 86_400_000_000, max_halflives=10)
+
+
+def _q172_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql, _spread_sql
+
+    xs = _axis_sql("lon", 180.0, 360.0, 10)
+    ys = _axis_sql("lat", 90.0, 180.0, 10)
+    cell = f"(({_spread_sql('g.x')}) | (({_spread_sql('g.y')}) << 1) " \
+           f"| {10 << 56})"
+    t = f"({synth.hash_of('id', 'kt', D)}) % {_Q169_SPAN}"
+    hl = 2 * 86_400_000_000
+    return f"""
+WITH pts AS (
+  SELECT p.*, {t} AS t_us FROM ({synth.points_sql(D)}) p),
+q AS (
+  SELECT ({xs}) AS x, ({ys}) AS y,
+         GREATEST(0, ({_Q169_SPAN} - t_us) // {hl}) AS age
+  FROM pts),
+w AS (
+  SELECT x, y,
+         CASE WHEN age <= 10
+              THEN CAST(1 AS BIGINT) << CAST(10 - age AS INTEGER)
+              ELSE CAST(0 AS BIGINT) END AS wt
+  FROM q),
+g AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(wt) AS BIGINT) AS decayed
+  FROM w GROUP BY 1, 2)
+SELECT g.x, g.y, {cell} AS cell, g.n, g.decayed
+FROM g WHERE g.decayed > 0
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9992,6 +10044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_knox_pairs": q169_knox_pairs,
         "q170_incremental_mv": q170_incremental_mv,
         "q171_flow_directions": q171_flow_directions,
+        "q172_decayed_density": q172_decayed_density,
     }
 
 
@@ -10092,6 +10145,7 @@ def oracle_sql() -> dict[str, str]:
         "q169_knox_pairs": _q169_oracle(),
         "q170_incremental_mv": _Q170_ORACLE,
         "q171_flow_directions": _q171_oracle(),
+        "q172_decayed_density": _q172_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

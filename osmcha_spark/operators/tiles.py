@@ -1410,3 +1410,71 @@ def flow_directions(
             F.col("__b.c").cast("long").alias("modal_n"),
         )
     )
+
+
+def decayed_density(
+    points: DataFrame,
+    level: int = 10,
+    t_ref_us: int = 0,
+    halflife_us: int = 86_400_000_000,
+    max_halflives: int = 20,
+    ts_us_col: str = "t_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Recency-decayed density per grid cell — the freshness-weighted
+    hotspot surface of monitoring dashboards ("where is activity NOW"):
+    each point contributes an exponentially decayed weight by its age
+    at ``t_ref_us``,
+
+        weight = 2^(max_halflives − age)   for age = floor((t_ref − t)
+                 / halflife) in [0, max_halflives], else 0
+
+    — exact powers of two via integer shifts (the flog2/q128 move run
+    in reverse), so engine and oracle agree bit-for-bit; the halflife
+    IS the decay rate (one halflife halves the weight, exactly).
+    Points newer than ``t_ref_us`` count at full weight (age clamps at
+    0 — monitoring reads "now or newer"); points older than
+    ``max_halflives`` contribute exactly 0 (the honest cutoff a float
+    exp() only approximates). Output: ``(x, y, cell, n, decayed)``
+    per cell with at least one in-window point.
+
+    Scale shape: ONE map-side-combined groupBy over the points — the
+    weight is computed inline at scan time (10 integer ops), no join,
+    no window, no second pass; compose with focal_sum/kernel_density
+    for a smoothed recency surface."""
+    from osmcha_spark.geo.cells import _axis_col, _spread_col
+
+    hl = int(halflife_us)
+    k = int(max_halflives)
+    age = F.greatest(
+        F.lit(0).cast("long"),
+        ((F.lit(int(t_ref_us)) - F.col(ts_us_col).cast("long"))
+         - F.pmod(F.lit(int(t_ref_us)) - F.col(ts_us_col).cast("long"),
+                  F.lit(hl))) / F.lit(hl),
+    ).cast("long")
+    x = _axis_col(F.col(lon_col), 180.0, 360.0, level)
+    y = _axis_col(F.col(lat_col), 90.0, 180.0, level)
+    # shiftleft's bit count is a column here, so the SQL form is needed
+    # (the PySpark wrapper only takes a Python int)
+    w = F.expr(
+        f"CASE WHEN __age <= {k} "
+        f"THEN shiftleft(CAST(1 AS BIGINT), CAST({k} - __age AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    g = (
+        points.select(x.alias("x"), y.alias("y"), age.alias("__age"))
+        .select("x", "y", w.alias("__w"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__w").cast("long").alias("decayed"),
+        )
+        .where(F.col("decayed") > 0)
+    )
+    cell = (
+        _spread_col(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread_col(F.col("y")), 1))
+        .bitwiseOR(F.lit(level << 56))
+    )
+    return g.select("x", "y", cell.alias("cell"), "n", "decayed")

@@ -3093,3 +3093,34 @@ def test_flow_directions_sectors_and_modal_tiebreak(spark):
     assert got[(200, 200)] == (2, 1, 1)      # NE/N tie -> NE (smaller)
     assert got[(201, 201)] == (1, 5, 1)      # the SW return
     assert (300, 300) not in got
+
+
+def test_decayed_density_halflife_shifts(spark):
+    """decayed_density (q172): ages 0/1/2 halflives weigh exactly
+    2^k/2^(k-1)/2^(k-2); a point beyond max_halflives contributes 0
+    (and an all-stale cell disappears); a future point clamps to full
+    weight."""
+    from osmcha_spark.operators.tiles import decayed_density
+
+    HL = 1_000_000
+    span = 360.0 / 1024
+
+    def pt(u, v, t):
+        return (t, -180.0 + (u + 0.5) * span,
+                -90.0 + (v + 0.5) * (180.0 / 1024))
+
+    rows = [
+        pt(5, 5, 10 * HL),       # age 0 -> 2^4
+        pt(5, 5, 9 * HL),        # age 1 -> 2^3
+        pt(5, 5, 8 * HL + 1),    # age 1 (floor) -> 2^3
+        pt(7, 7, 10 * HL - 5 * HL),  # age 5 > k=4 -> 0, cell drops
+        pt(9, 9, 11 * HL),       # future -> clamps to age 0 -> 2^4
+    ]
+    df = spark.createDataFrame(rows, "t_us long, lon double, lat double")
+    got = {(r.x, r.y): (r.n, r.decayed)
+           for r in decayed_density(df, level=10, t_ref_us=10 * HL,
+                                    halflife_us=HL,
+                                    max_halflives=4).collect()}
+    assert got[(5, 5)] == (3, 16 + 8 + 8)
+    assert (7, 7) not in got
+    assert got[(9, 9)] == (1, 16)
