@@ -9808,6 +9808,370 @@ FROM g WHERE g.decayed > 0
 """
 
 
+# --------------------------------------------------------------- q173
+
+_Q173_DX = 250_000
+_Q173_DY = 433_013
+
+
+def _q173_ipoints_sql(dialect: str) -> str:
+    """Derived INTEGER micro-degree points (one per customer, 70% in 6
+    tight clusters so multi-point hexes exist at every SF) — hexbin and
+    the other exact-integer spatial ops take integer coordinate
+    columns, never lon/lat doubles, so engine and oracle share a
+    float-free expression tree end-to-end."""
+    h1 = synth.hash_of("c_custkey", "hx", dialect)
+    h2 = synth.hash_of("c_custkey", "hy", dialect)
+    cx = f"((({h2}) % 6) * 5000000 - 12500000 + (({h1}) % 600001) - 300000)"
+    cy = (f"((({h2}) % 6) * 2400000 - 6000000"
+          f" + ({synth.idiv(h1, 7, dialect)} % 600001) - 300000)")
+    return f"""
+SELECT c_custkey AS id,
+       CASE WHEN (({h2}) % 10) < 7 THEN {cx}
+            ELSE (({h1}) % 32000001) - 16000000 END AS ix,
+       CASE WHEN (({h2}) % 10) < 7 THEN {cy}
+            ELSE ({synth.idiv(h1, 7, dialect)} % 16000001) - 8000000
+       END AS iy
+FROM customer
+"""
+
+
+def _fdiv_sql(x: str, d: int) -> str:
+    """FLOOR division as portable SQL — DuckDB ``//`` TRUNCATES toward
+    zero exactly like Spark ``div`` (synth.py rule), so every oracle
+    that buckets possibly-negative integers uses this idiom, mirroring
+    events.py:_floordiv."""
+    return f"((({x}) - ((({x}) % {d}) + {d}) % {d}) // {d})"
+
+
+def q173_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning (operators/tiles.py:hexbin — the two-offset-
+    lattice construction) over derived integer micro-degree points:
+    each point goes to the nearer of its lattice-A / lattice-B
+    candidate centers by exact integer squared distance, ties to A.
+    The oracle mirrors the floor-div nearest-multiple arithmetic, the
+    two squared distances, and the tiebreak term-for-term — bit-exact,
+    no floats anywhere (dy = 433013 ≈ √3·dx makes the hexes regular in
+    coordinate units). sf0.001: 78 hexes / 150 points (max 11 per
+    hex); sf0.01: 473 hexes / 1500 points (max 113) — both SFs
+    exercise real multi-point hexes."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import hexbin
+
+    pts = spark.sql(_q173_ipoints_sql(synth.SPARK))
+    return hexbin(pts, dx=_Q173_DX, dy=_Q173_DY)
+
+
+def _q173_oracle() -> str:
+    dx, dy = _Q173_DX, _Q173_DY
+    axc = f"({_fdiv_sql(f'ix + {dx}', 2 * dx)} * {2 * dx})"
+    ayc = f"({_fdiv_sql(f'iy + {dy}', 2 * dy)} * {2 * dy})"
+    bxc = f"({_fdiv_sql('ix', 2 * dx)} * {2 * dx} + {dx})"
+    byc = f"({_fdiv_sql('iy', 2 * dy)} * {2 * dy} + {dy})"
+    return f"""
+WITH pts AS ({_q173_ipoints_sql(D)}),
+cand AS (
+  SELECT ix, iy,
+         {axc} AS axc, {ayc} AS ayc, {bxc} AS bxc, {byc} AS byc
+  FROM pts),
+pick AS (
+  SELECT CASE WHEN (ix-axc)*(ix-axc) + (iy-ayc)*(iy-ayc)
+                <= (ix-bxc)*(ix-bxc) + (iy-byc)*(iy-byc)
+              THEN axc ELSE bxc END AS hx,
+         CASE WHEN (ix-axc)*(ix-axc) + (iy-ayc)*(iy-ayc)
+                <= (ix-bxc)*(ix-bxc) + (iy-byc)*(iy-byc)
+              THEN ayc ELSE byc END AS hy
+  FROM cand)
+SELECT hx, hy, CAST(count(*) AS BIGINT) AS n
+FROM pick GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- q174
+
+def q174_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (operators/tiles.py:
+    morans_i) over the clustered synth points' level-10 cell counts —
+    the global companion to q152's local Getis-Ord flags, as ONE row
+    of exact int64 rational parts (n_cells, w_pairs, num, den) with
+    dev_i = N·n_i − S so no division ever happens (I = N·num/(W·den),
+    left to the caller). The oracle mirrors the cell counts, the
+    1-row stats join, the 4-offset rook adjacency UNION, and both
+    sums term-for-term. sf0.001: 87 cells / 26 adjacent pairs;
+    sf0.01: 635 cells / 48 pairs — positive autocorrelation (the
+    clusters) at both SFs, num > 0."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import morans_i
+
+    pts = spark.sql(synth.points_sql(synth.SPARK))
+    return morans_i(pts, level=10)
+
+
+def _q174_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql
+
+    xs = _axis_sql("lon", 180.0, 360.0, 10)
+    ys = _axis_sql("lat", 90.0, 180.0, 10)
+    return f"""
+WITH pts AS ({synth.points_sql(D)}),
+cells AS (
+  SELECT ({xs}) AS x, ({ys}) AS y, CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS s
+  FROM cells),
+dev AS (
+  SELECT c.x, c.y, st.n_cells, st.n_cells * c.n - st.s AS dev
+  FROM cells c CROSS JOIN stats st),
+nbr AS (
+  SELECT x + o.ox AS x, y + o.oy AS y, dev AS dev_j
+  FROM dev CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+       AS o(ox, oy)),
+num AS (
+  SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+         CAST(COALESCE(sum(d.dev * n.dev_j), 0) AS BIGINT) AS num
+  FROM dev d JOIN nbr n ON n.x = d.x AND n.y = d.y),
+den AS (
+  SELECT CAST(max(n_cells) AS BIGINT) AS n_cells,
+         CAST(sum(dev * dev) AS BIGINT) AS den
+  FROM dev)
+SELECT den.n_cells, num.w_pairs, num.num, den.den
+FROM den CROSS JOIN num
+"""
+
+
+# --------------------------------------------------------------- q175
+
+_Q175_BUCKET = 50
+
+
+def q175_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve / Heaps'-law evidence (operators/
+    text.py:vocab_growth) over the documents table in doc-id order,
+    bucket = 50 docs: per bucket, first-seen token types, cumulative
+    types, token occurrences, cumulative tokens — the corpus statistic
+    a data-mixing decision reads before adding a source. Types are
+    adjacent-pair BIGRAMS (the q128 construction): the fixture corpus
+    has only 31 unigram types, which all land in bucket 0 — the
+    bigram space (~31²) gives a real Heaps curve with new types in
+    every bucket. Tokenizer is the q128 ``\\s+`` one (NOT q66's
+    single-space split — stage mirrors never unify, q130 rule). The
+    oracle mirrors the subscript self-join bigram build (q128 oracle
+    pattern), first_seen = min(doc_id) per type, the two groupBys,
+    and the running sums window-for-window."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import vocab_growth
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return vocab_growth(docs, bucket=_Q175_BUCKET, ngram=2)
+
+
+_Q175_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+flat AS (SELECT doc_id, unnest(ts) AS t1,
+                generate_subscripts(ts, 1) AS i
+         FROM toks),
+tk AS (
+  SELECT a.doc_id, a.t1 || ' ' || b.t1 AS tok
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+f AS (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY tok),
+nt AS (
+  SELECT fd // {_Q175_BUCKET} AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM f GROUP BY 1),
+occ AS (
+  SELECT doc_id // {_Q175_BUCKET} AS bucket,
+         CAST(count(*) AS BIGINT) AS toks
+  FROM tk GROUP BY 1)
+SELECT o.bucket,
+       CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(COALESCE(nt.new_types, 0)) OVER w AS BIGINT)
+         AS cum_types,
+       o.toks,
+       CAST(sum(o.toks) OVER w AS BIGINT) AS cum_toks
+FROM occ o LEFT JOIN nt ON nt.bucket = o.bucket
+WINDOW w AS (ORDER BY o.bucket ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# --------------------------------------------------------------- q176
+
+_Q176_BUCKET = 500_000
+
+
+def _q176_pings_sql(dialect: str) -> str:
+    """Derived integer-coordinate trajectory pings for the crossing
+    join: each user jitters around a hashed home in a 5×5 offset box
+    (±180k µdeg lon, ±140k lat — max segment extent 360k < the 500k
+    bucket), homes packed into ±1.6°×±0.8° so overlapping-box user
+    pairs exist at every SF."""
+    hx = synth.hash_of("user_id", "cbx", dialect)
+    hy = synth.hash_of("user_id", "cby", dialect)
+    wx = synth.hash_of("event_id", "wx", dialect)
+    wy = synth.hash_of("event_id", "wy", dialect)
+    return f"""
+SELECT user_id, ts, event_id,
+       ((({hx}) % 3200001) - 1600000 + ((({wx}) % 5) - 2) * 90000)
+         AS ix,
+       ((({hy}) % 1600001) - 800000 + ((({wy}) % 5) - 2) * 70000)
+         AS iy
+FROM events
+"""
+
+
+def q176_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trajectory segment-crossing counts per mover pair
+    (operators/tiles.py:segment_crossings): proper segment
+    intersections between DISTINCT movers via integer orientation-sign
+    tests — sign COMPARISONS, never sign products, which would
+    overflow int64 at µdeg scale. Candidates come from the floor-div
+    min-corner bucket join with a 3×3 neighbor probe — LOSSLESS
+    because the bucket (500k) exceeds the max segment extent (360k),
+    the q157 discipline. The oracle mirrors the derivation, the lag
+    window, the bucket arithmetic, the 9-offset probe, and all four
+    orientation predicates term-for-term. sf0.001: 7 crossing pairs /
+    2418 crossings; sf0.01: 763 pairs / 220709 — both SFs exercise
+    crossing and non-crossing candidate pairs."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import segment_crossings
+
+    pings = spark.sql(_q176_pings_sql(synth.SPARK))
+    x = segment_crossings(pings, bucket=_Q176_BUCKET,
+                          order_col="event_id")
+    return x.groupBy("u1", "u2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_crossings"))
+
+
+def _q176_oracle() -> str:
+    b = _Q176_BUCKET
+    side = (lambda px1, py1, px2, py2, qx, qy:
+            f"(({px2}-{px1})*({qy}-{py1}) - ({py2}-{py1})*({qx}-{px1}))")
+    c1 = side("a.x1", "a.y1", "a.x2", "a.y2", "r.x1", "r.y1")
+    c2 = side("a.x1", "a.y1", "a.x2", "a.y2", "r.x2", "r.y2")
+    c3 = side("r.x1", "r.y1", "r.x2", "r.y2", "a.x1", "a.y1")
+    c4 = side("r.x1", "r.y1", "r.x2", "r.y2", "a.x2", "a.y2")
+    opp = (lambda ca, cb:
+           f"((({ca}) > 0 AND ({cb}) < 0) OR (({ca}) < 0 AND ({cb}) > 0))")
+    return f"""
+WITH pings AS ({_q176_pings_sql(D)}),
+q AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS o2, ix, iy
+  FROM pings),
+l AS (
+  SELECT u,
+         lag(ix) OVER w AS x1, lag(iy) OVER w AS y1,
+         lag(o2) OVER w AS o, ix AS x2, iy AS y2
+  FROM q WINDOW w AS (PARTITION BY u ORDER BY t, o2)),
+segs AS (
+  SELECT u, o, x1, y1, x2, y2,
+         {_fdiv_sql('LEAST(x1, x2)', b)} AS bx,
+         {_fdiv_sql('LEAST(y1, y2)', b)} AS by
+  FROM l
+  WHERE x1 IS NOT NULL AND (x1 <> x2 OR y1 <> y2)),
+cand AS (
+  SELECT a.u AS u1, a.o AS o1, r.u AS u2, r.o AS o2,
+         a.x1, a.y1, a.x2, a.y2, r.x1 AS rx1, r.y1 AS ry1,
+         r.x2 AS rx2, r.y2 AS ry2
+  FROM segs a
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) AS f(ox, oy)
+  JOIN segs r ON r.bx = a.bx + f.ox AND r.by = a.by + f.oy
+  WHERE a.u < r.u)
+SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_crossings
+FROM cand a
+WHERE {opp(c1.replace('r.x1','a.rx1').replace('r.y1','a.ry1')
+            .replace('r.x2','a.rx2').replace('r.y2','a.ry2')
+            .replace('a.x1','a.x1').replace('a.y1','a.y1'),
+           c2.replace('r.x1','a.rx1').replace('r.y1','a.ry1')
+            .replace('r.x2','a.rx2').replace('r.y2','a.ry2'))}
+  AND {opp(c3.replace('r.x1','a.rx1').replace('r.y1','a.ry1')
+            .replace('r.x2','a.rx2').replace('r.y2','a.ry2'),
+           c4.replace('r.x1','a.rx1').replace('r.y1','a.ry1')
+            .replace('r.x2','a.rx2').replace('r.y2','a.ry2'))}
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- q177
+
+_Q177_R = 1500
+
+
+def q177_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial interpolation surface (operators/tiles.py:idw_surface):
+    modified-Shepard weighting with the exact-integer polynomial
+    kernel w = (R²−d²)² over derived milli-degree stations (one per
+    customer, value = hash % 1000) probed from a 32×16 grid lattice —
+    output (qx, qy, n, wsum, wvsum) as exact int64s; the interpolated
+    value is wvsum/wsum, left to the caller so engine and oracle
+    compare integers. Candidates via floor-div buckets at R units +
+    3×3 probe (lossless for d ≤ R, the q157/q176 discipline); the
+    oracle mirrors bucket arithmetic, probe offsets, the d² ≤ R²
+    filter, and both integer sums term-for-term."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import idw_surface
+
+    h1 = synth.hash_of("c_custkey", "ix", synth.SPARK)
+    h2 = synth.hash_of("c_custkey", "iy", synth.SPARK)
+    h3 = synth.hash_of("c_custkey", "iv", synth.SPARK)
+    st = spark.sql(f"""
+SELECT (({h1}) % 32001) - 16000 AS sx,
+       (({h2}) % 16001) - 8000 AS sy,
+       ({h3}) % 1000 AS v
+FROM customer
+""")
+    grid = spark.range(512).selectExpr(
+        "-16000 + (id % 32) * 1000 AS qx",
+        "-8000 + (id div 32) * 1000 AS qy",
+    )
+    return idw_surface(st, grid, radius=_Q177_R)
+
+
+def _q177_oracle() -> str:
+    r = _Q177_R
+    h1 = synth.hash_of("c_custkey", "ix", D)
+    h2 = synth.hash_of("c_custkey", "iy", D)
+    h3 = synth.hash_of("c_custkey", "iv", D)
+    return f"""
+WITH st AS (
+  SELECT (({h1}) % 32001) - 16000 AS sx,
+         (({h2}) % 16001) - 8000 AS sy,
+         ({h3}) % 1000 AS v
+  FROM customer),
+sb AS (
+  SELECT sx, sy, v,
+         {_fdiv_sql('sx', r)} AS jx, {_fdiv_sql('sy', r)} AS jy
+  FROM st),
+grid AS (
+  SELECT -16000 + (range % 32) * 1000 AS qx,
+         -8000 + (range // 32) * 1000 AS qy
+  FROM range(0, 512)),
+probe AS (
+  SELECT qx, qy,
+         {_fdiv_sql('qx', r)} + f.ox AS jx,
+         {_fdiv_sql('qy', r)} + f.oy AS jy
+  FROM grid
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) AS f(ox, oy)),
+hits AS (
+  SELECT p.qx, p.qy, s.v,
+         ({r * r} - ((s.sx-p.qx)*(s.sx-p.qx) + (s.sy-p.qy)*(s.sy-p.qy)))
+           AS km
+  FROM probe p JOIN sb s ON s.jx = p.jx AND s.jy = p.jy
+  WHERE (s.sx-p.qx)*(s.sx-p.qx) + (s.sy-p.qy)*(s.sy-p.qy) <= {r * r})
+SELECT qx, qy, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(km * km) AS BIGINT) AS wsum,
+       CAST(sum(km * km * v) AS BIGINT) AS wvsum
+FROM hits GROUP BY 1, 2
+"""
+
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10045,6 +10409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_incremental_mv": q170_incremental_mv,
         "q171_flow_directions": q171_flow_directions,
         "q172_decayed_density": q172_decayed_density,
+        "q173_hexbin": q173_hexbin,
+        "q174_morans_i": q174_morans_i,
+        "q175_vocab_growth": q175_vocab_growth,
+        "q176_segment_crossings": q176_segment_crossings,
+        "q177_idw_surface": q177_idw_surface,
     }
 
 
@@ -10146,6 +10515,11 @@ def oracle_sql() -> dict[str, str]:
         "q170_incremental_mv": _Q170_ORACLE,
         "q171_flow_directions": _q171_oracle(),
         "q172_decayed_density": _q172_oracle(),
+        "q173_hexbin": _q173_oracle(),
+        "q174_morans_i": _q174_oracle(),
+        "q175_vocab_growth": _Q175_ORACLE,
+        "q176_segment_crossings": _q176_oracle(),
+        "q177_idw_surface": _q177_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -754,3 +754,82 @@ def perceptron_step(
             F.coalesce(F.col("__g"), F.lit(0).cast("long")).alias("grad"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps'-law evidence) over a corpus in
+    doc-id order: per bucket of ``bucket`` consecutive doc ids, how
+    many token TYPES appear for the first time, the cumulative type
+    count, the bucket's token occurrences, and the cumulative token
+    count. The corpus-statistics rung of the text family — the curve a
+    data-mixing decision reads before adding a source (slope ≈ Heaps
+    β; a flattening curve means the source stops contributing new
+    vocabulary).
+
+    Tokenizer: :func:`tokens_col` (lowercased ``\\s+`` split — the
+    q128 tokenizer, NOT q66's single-space split; the oracles mirror
+    whichever their stage uses, never unify). ``ngram=2`` counts
+    space-joined adjacent-pair bigram TYPES instead (the q128 bigram
+    construction) — the right unit when the unigram vocabulary is tiny
+    relative to the corpus and the unigram curve saturates in the
+    first bucket.
+
+    first_seen(type) = min doc_id containing it — an exact, order-
+    free definition, so the whole curve is two map-side-combined
+    groupBys (token → first bucket; bucket → counts) plus one
+    raster-scale window for the running sums. No window ever touches
+    token-occurrence rows.
+
+    Output: ``(bucket, new_types, cum_types, toks, cum_toks)`` per
+    non-empty bucket, bucket = floor(doc_id / bucket) (ids are
+    nonnegative in every fixture; floor == truncate here)."""
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
+    ts = tokens_col(F.col(text_col))
+    if ngram == 2:
+        n = F.size(ts)
+        ts = F.zip_with(
+            F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ts).alias("tok"),
+    )
+    b = (F.col("doc_id") / F.lit(bucket)).cast("long")
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .select(((F.col("fd") / F.lit(bucket)).cast("long")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    occ = (
+        toks.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("toks"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        occ.join(first, ["bucket"], "left")
+        .select(
+            "bucket",
+            F.coalesce("new_types", F.lit(0)).cast("long")
+            .alias("new_types"),
+            "toks",
+        )
+        .select(
+            "bucket", "new_types",
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+            "toks",
+            F.sum("toks").over(w).cast("long").alias("cum_toks"),
+        )
+    )

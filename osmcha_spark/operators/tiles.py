@@ -1478,3 +1478,306 @@ def decayed_density(
         .bitwiseOR(F.lit(level << 56))
     )
     return g.select("x", "y", cell.alias("cell"), "n", "decayed")
+
+
+def hexbin(
+    points: DataFrame,
+    dx: int,
+    dy: int,
+    x_col: str = "ix",
+    y_col: str = "iy",
+) -> DataFrame:
+    """Hexagonal binning on an INTEGER coordinate plane — the classic
+    two-offset-lattice construction (matplotlib's hexbin, public
+    folklore): lattice A centers at (2i·dx, 2j·dy), lattice B at
+    ((2i+1)·dx, (2j+1)·dy); each point goes to the NEARER of its two
+    candidate centers by exact integer squared distance, ties to A.
+    The Voronoi diagram of the two interleaved lattices is a hexagonal
+    tessellation whenever dy/dx ∈ (1/√3, √3)·√3 around regular — with
+    dy ≈ √3·dx the hexagons are regular in coordinate units.
+
+    Everything is int64 arithmetic (floor-div nearest-multiple, two
+    squared distances, one comparison), so the DuckDB oracle mirrors it
+    bit-for-bit — no float rounding anywhere (the reason this takes
+    integer micro-degree columns rather than lon/lat doubles).
+
+    Output: ``(hx, hy, n)`` — hex center coordinates and point count,
+    occupied hexes only.
+
+    Scale shape: pure projection + ONE map-side-combined groupBy on
+    (hx, hy); no join, no window, no shuffle beyond the final agg.
+    Overflow bound: |coord| ≤ ~2·10⁸ µdeg and dx,dy ≤ 10⁶ keep every
+    intermediate ≤ ~(2dx)² + (2dy)² « 2⁶²."""
+    x = F.col(x_col)
+    y = F.col(y_col)
+
+    def _near_even(v: Column, d: int) -> Column:
+        # nearest multiple of 2d: 2d * floor((v + d) / 2d), half up
+        s = v + F.lit(d)
+        fd = (s - F.pmod(s, F.lit(2 * d))) / F.lit(2 * d)
+        return fd.cast("long") * F.lit(2 * d)
+
+    def _near_odd(v: Column, d: int) -> Column:
+        # nearest ODD multiple of d: 2d * floor(v / 2d) + d
+        fd = (v - F.pmod(v, F.lit(2 * d))) / F.lit(2 * d)
+        return fd.cast("long") * F.lit(2 * d) + F.lit(d)
+
+    axc, ayc = _near_even(x, dx), _near_even(y, dy)
+    bxc, byc = _near_odd(x, dx), _near_odd(y, dy)
+    da = (x - axc) * (x - axc) + (y - ayc) * (y - ayc)
+    db = (x - bxc) * (x - bxc) + (y - byc) * (y - byc)
+    pick_a = da <= db
+    return (
+        points.select(
+            F.when(pick_a, axc).otherwise(bxc).alias("hx"),
+            F.when(pick_a, ayc).otherwise(byc).alias("hy"),
+        )
+        .groupBy("hx", "hy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def morans_i(
+    points: DataFrame,
+    level: int = 10,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the level-L cell
+    counts of a point set, as EXACT integer rational parts — the
+    global companion to the local Getis-Ord flags (hot_cold_cells):
+    one number saying whether occupied cells with similar counts are
+    grid-adjacent more than chance.
+
+    Moran's I = (N/W) · Σ_adj dev_i·dev_j / Σ dev_i² over the N
+    OCCUPIED cells, rook (4-neighbor) adjacency among occupied cells,
+    W = ordered adjacent pair count. With dev_i ≡ N·n_i − S (S = Σn)
+    every term is int64: I = N·num / (W·den) where
+    num = Σ_adj dev_i·dev_j and den = Σ dev_i² (the N² scale factor
+    cancels). Output is ONE row ``(n_cells, w_pairs, num, den)`` — the
+    caller divides; engine and oracle agree bit-for-bit.
+
+    Scale shape: one groupBy to cell counts (raster-scale after it),
+    a 1-row stats broadcast back onto the cells, a 4-offset self
+    equi-join on (x, y) for adjacency (broadcast — the cell table is
+    raster-scale), and two map-side-combined sums. The fact table
+    shuffles ONCE. Overflow: N·n_i ≤ points², so keep points·√cells
+    under ~2³¹ per run (documented, not guarded)."""
+    from osmcha_spark.geo.cells import _axis_col
+
+    cells = (
+        points.select(
+            _axis_col(F.col(lon_col), 180.0, 360.0, level).alias("x"),
+            _axis_col(F.col(lat_col), 90.0, 180.0, level).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("s"),
+    )
+    dev = (
+        cells.crossJoin(F.broadcast(stats))
+        .select(
+            "x", "y", "n_cells",
+            (F.col("n_cells") * F.col("n") - F.col("s")).alias("dev"),
+        )
+    )
+    offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    nbr = None
+    for ox, oy in offs:
+        part = dev.select(
+            (F.col("x") + F.lit(ox)).alias("x"),
+            (F.col("y") + F.lit(oy)).alias("y"),
+            F.col("dev").alias("dev_j"),
+        )
+        nbr = part if nbr is None else nbr.unionByName(part)
+    pairs = dev.join(F.broadcast(nbr), ["x", "y"], "inner")
+    num = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.coalesce(F.sum(F.col("dev") * F.col("dev_j")), F.lit(0))
+        .cast("long").alias("num"),
+    )
+    den = dev.agg(
+        F.max("n_cells").cast("long").alias("n_cells"),
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den"),
+    )
+    return den.crossJoin(F.broadcast(num)).select(
+        "n_cells", "w_pairs", "num", "den"
+    )
+
+
+def segment_crossings(
+    pings: DataFrame,
+    bucket: int,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "ix",
+    y_col: str = "iy",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Exact segment-intersection join between trajectories — find
+    every PROPER crossing (strict interior intersection, integer
+    orientation tests, zero floats) between movement segments of
+    DISTINCT movers. The computational-geometry rung of the trajectory
+    family: co-location (colocation_pairs) says "same place, same
+    time"; this says "their paths physically crossed".
+
+    Candidates: each segment is bucketed by the floor-div cell of its
+    bbox MIN corner at ``bucket`` coordinate units; ``bucket`` must be
+    ≥ the max segment extent per axis, which makes the 3×3 neighbor-
+    offset equi-join LOSSLESS (two intersecting segments have
+    overlapping bboxes, so their min corners differ by < 2 buckets) —
+    the q157 discipline: approximate-shaped plan, exact semantics.
+    Each unordered pair meets in EXACTLY one offset combination (its
+    bucket delta), so no post-dedup is needed.
+
+    Exact predicate: orientation signs o(p1,p2,q) = sign of the cross
+    product; proper crossing iff the q endpoints are strictly on
+    opposite sides of p AND vice versa (sign comparisons, never sign
+    PRODUCTS — c1·c2 would overflow int64 at µdeg scale). Collinear
+    touches and shared endpoints are NOT crossings (documented).
+
+    Output: ``(u1, o1, u2, o2)`` — mover ids and the order-col id of
+    each segment's START ping, u1 < u2.
+
+    Scale shape: one mover-hash window builds segments (the q149
+    discipline), one equi-join on (bx, by) — broadcast-eligible when
+    one side is small, shuffle-partitioned otherwise; the 9× offset
+    explode replicates only (bucket-key, id) pairs, not payloads."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order2 = F.col(order_col) if order_col else F.lit(0)
+    w = Window.partitionBy("u").orderBy("t", "o2")
+    segs = (
+        pings.select(
+            F.col(id_col).alias("u"), ts_us.alias("t"),
+            order2.alias("o2"),
+            F.col(x_col).alias("x2"), F.col(y_col).alias("y2"),
+        )
+        .select(
+            "u",
+            F.lag("x2").over(w).alias("x1"),
+            F.lag("y2").over(w).alias("y1"),
+            F.lag("o2").over(w).alias("o"),
+            "x2", "y2",
+        )
+        .where(F.col("x1").isNotNull())
+        .where((F.col("x1") != F.col("x2")) | (F.col("y1") != F.col("y2")))
+    )
+    bd = F.lit(bucket)
+    bx = ((F.least("x1", "x2") - F.pmod(F.least("x1", "x2"), bd)) / bd)
+    by = ((F.least("y1", "y2") - F.pmod(F.least("y1", "y2"), bd)) / bd)
+    segs = segs.withColumn("bx", bx.cast("long")).withColumn(
+        "by", by.cast("long"))
+
+    left = segs.select(
+        F.col("u").alias("u1"), F.col("o").alias("o1"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("bx") + F.lit(ox)).alias("jx"),
+                    (F.col("by") + F.lit(oy)).alias("jy"),
+                )
+                for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+            ])
+        ).alias("j"),
+    ).select("u1", "o1", "ax1", "ay1", "ax2", "ay2",
+             F.col("j.jx").alias("jx"), F.col("j.jy").alias("jy"))
+    right = segs.select(
+        F.col("u").alias("u2"), F.col("o").alias("o2x"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+        F.col("bx").alias("jx"), F.col("by").alias("jy"),
+    )
+
+    def _side(px1, py1, px2, py2, qx, qy):
+        return (
+            (F.col(px2) - F.col(px1)) * (F.col(qy) - F.col(py1))
+            - (F.col(py2) - F.col(py1)) * (F.col(qx) - F.col(px1))
+        )
+
+    c1 = _side("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    c2 = _side("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    c3 = _side("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    c4 = _side("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    opp = lambda a, b: ((a > 0) & (b < 0)) | ((a < 0) & (b > 0))  # noqa: E731
+    return (
+        left.join(right, ["jx", "jy"], "inner")
+        .where(F.col("u1") < F.col("u2"))
+        .where(opp(c1, c2) & opp(c3, c4))
+        .select("u1", "o1", "u2", F.col("o2x").alias("o2"))
+    )
+
+
+def idw_surface(
+    stations: DataFrame,
+    grid: DataFrame,
+    radius: int,
+    x_col: str = "sx",
+    y_col: str = "sy",
+    val_col: str = "v",
+    gx_col: str = "qx",
+    gy_col: str = "qy",
+) -> DataFrame:
+    """Spatial interpolation surface — modified-Shepard weighting with
+    the POLYNOMIAL kernel w = (R² − d²)² so every weight is an exact
+    int64 (classic inverse-distance weights 1/d² would force float
+    division and order-dependent float sums; this kernel is the
+    standard exact-arithmetic substitute and vanishes smoothly at the
+    radius). Coordinates are integers (milli-degrees in the fixtures —
+    R ≤ ~10³ keeps w ≤ R⁴ ≤ 10¹² and w·v well under 2⁶²).
+
+    Candidates: stations bucketed by floor-div cell at R units; each
+    grid point probes its 3×3 neighborhood — lossless for d ≤ R (the
+    q157/q176 discipline). Exact filter d² ≤ R² then exact integer
+    sums.
+
+    Output: one row per grid point with ≥1 station in radius:
+    ``(qx, qy, n, wsum, wvsum)`` — the interpolated value is
+    wvsum/wsum, left to the caller so engine and oracle compare exact
+    integers.
+
+    Scale shape: stations shuffle ONCE into buckets; the grid side
+    (usually raster-scale) explodes 9 probe keys and broadcast-joins;
+    one map-side-combined groupBy per grid point."""
+    rd = F.lit(radius)
+    sbx = ((F.col(x_col) - F.pmod(F.col(x_col), rd)) / rd).cast("long")
+    sby = ((F.col(y_col) - F.pmod(F.col(y_col), rd)) / rd).cast("long")
+    st = stations.select(
+        F.col(x_col).alias("sx"), F.col(y_col).alias("sy"),
+        F.col(val_col).alias("v"),
+        sbx.alias("jx"), sby.alias("jy"),
+    )
+    gbx = ((F.col(gx_col) - F.pmod(F.col(gx_col), rd)) / rd).cast("long")
+    gby = ((F.col(gy_col) - F.pmod(F.col(gy_col), rd)) / rd).cast("long")
+    g = grid.select(
+        F.col(gx_col).alias("qx"), F.col(gy_col).alias("qy"),
+        F.explode(
+            F.array(*[
+                F.struct((gbx + F.lit(ox)).alias("jx"),
+                         (gby + F.lit(oy)).alias("jy"))
+                for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+            ])
+        ).alias("j"),
+    ).select("qx", "qy", F.col("j.jx").alias("jx"),
+             F.col("j.jy").alias("jy"))
+    d2 = (
+        (F.col("sx") - F.col("qx")) * (F.col("sx") - F.col("qx"))
+        + (F.col("sy") - F.col("qy")) * (F.col("sy") - F.col("qy"))
+    )
+    r2 = F.lit(radius * radius)
+    wgt = (r2 - d2) * (r2 - d2)
+    return (
+        F.broadcast(g).join(st, ["jx", "jy"], "inner")
+        .where(d2 <= r2)
+        .select("qx", "qy", wgt.alias("w"), (wgt * F.col("v")).alias("wv"))
+        .groupBy("qx", "qy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w").cast("long").alias("wsum"),
+            F.sum("wv").cast("long").alias("wvsum"),
+        )
+    )

@@ -3124,3 +3124,162 @@ def test_decayed_density_halflife_shifts(spark):
     assert got[(5, 5)] == (3, 16 + 8 + 8)
     assert (7, 7) not in got
     assert got[(9, 9)] == (1, 16)
+
+
+def test_hexbin_nearest_center_and_tie(spark):
+    from osmcha_spark.operators.tiles import hexbin
+
+    dx, dy = 100, 173
+    # A-centers: (0,0), (200,0), (0,346)...; B-centers: (100,173), ...
+    pts = [
+        (10, 10),      # near A (0, 0)
+        (-10, -10),    # near A (0, 0) — negative floor-div side
+        (95, 160),     # near B (100, 173)
+        (210, 5),      # near A (200, 0)
+        (105, 180),    # near B (100, 173)
+    ]
+    df = spark.createDataFrame(pts, "ix: long, iy: long")
+    got = {(r.hx, r.hy): r.n for r in hexbin(df, dx, dy).collect()}
+    assert got == {(0, 0): 2, (100, 173): 2, (200, 0): 1}
+
+    # exact tie: (50, 0) is 50 from A(0,0)? no — A candidates are the
+    # nearest multiples: x=50 → A x-center 2*100*round(...)=100? use
+    # the algebra: equidistant point between A(0,0) and B(100,173) on
+    # the segment midpoint (50, 86.5) is not integer; use symmetric
+    # construction (50, 87) vs (50, 86): brute-check against numpy.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(-700, 700, 300)
+    ys = rng.randint(-700, 700, 300)
+    df2 = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "ix: long, iy: long")
+    got2 = {(r.hx, r.hy): r.n for r in hexbin(df2, dx, dy).collect()}
+
+    def brute(x, y):
+        axc = 2 * dx * ((x + dx) // (2 * dx))
+        ayc = 2 * dy * ((y + dy) // (2 * dy))
+        bxc = 2 * dx * (x // (2 * dx)) + dx
+        byc = 2 * dy * (y // (2 * dy)) + dy
+        da = (x - axc) ** 2 + (y - ayc) ** 2
+        db = (x - bxc) ** 2 + (y - byc) ** 2
+        return (axc, ayc) if da <= db else (bxc, byc)
+
+    exp = {}
+    for x, y in zip(xs, ys):
+        k = brute(int(x), int(y))
+        exp[k] = exp.get(k, 0) + 1
+    assert got2 == exp
+
+
+def test_morans_i_blob_vs_checkerboard(spark):
+    from osmcha_spark.operators.tiles import morans_i
+
+    # level-10 lon cell width = 360/1024 ≈ 0.3516°; build points by
+    # picking cell centers directly. Blob: a 2×2 block of cells with
+    # counts [4,4,4,4] plus two far singletons → positive I.
+    def pt(cx, cy):
+        lon = -180.0 + (cx + 0.5) * 360.0 / 1024
+        lat = -90.0 + (cy + 0.5) * 180.0 / 1024
+        return (lon, lat)
+
+    rows = []
+    for cx, cy in [(100, 100), (101, 100), (100, 101), (101, 101)]:
+        rows += [pt(cx, cy)] * 4
+    rows += [pt(400, 400), pt(700, 200)]
+    df = spark.createDataFrame(rows, "lon: double, lat: double")
+    out = morans_i(df, level=10).collect()[0]
+    # N=6 cells, S=18; dev: blob cells 6*4-18=6 (×4), singles 6*1-18=-12
+    # adjacency: the 2×2 block has 8 ordered adjacent pairs, each 6*6
+    assert out.n_cells == 6 and out.w_pairs == 8
+    assert out.num == 8 * 36
+    assert out.den == 4 * 36 + 2 * 144
+    # checkerboard: alternating occupied cells — NO rook-adjacent
+    # occupied pairs at all → w_pairs = 0 (I undefined; caller's guard)
+    rows2 = [pt(10 + i, 10 + j) for i in range(0, 6, 2)
+             for j in range(0, 6, 2)]
+    out2 = morans_i(
+        spark.createDataFrame(rows2, "lon: double, lat: double"),
+        level=10).collect()[0]
+    assert out2.w_pairs == 0 and out2.num == 0
+
+
+def test_segment_crossings_planted_geometry(spark):
+    from osmcha_spark.operators.tiles import segment_crossings
+
+    # users walk one segment each; ts in seconds epoch
+    rows = [
+        # u1: X-crossing diagonal (0,0)->(100,100)
+        (1, 0, 1, 0, 0), (1, 10, 2, 100, 100),
+        # u2: crossing anti-diagonal (0,100)->(100,0) — crosses u1
+        (2, 0, 3, 0, 100), (2, 10, 4, 100, 0),
+        # u3: T-touch — endpoint ON u1's interior (50,50)->(150,-50):
+        # starts exactly on u1 (collinear sign 0) → NOT proper
+        (3, 0, 5, 50, 50), (3, 10, 6, 150, -50),
+        # u4: shares endpoint (0,0) with u1, heads away → NOT proper
+        (4, 0, 7, 0, 0), (4, 10, 8, -100, 50),
+        # u5: parallel to u1, offset → never crosses u1 (but DOES
+        # properly cross u2's anti-diagonal at (45, 55))
+        (5, 0, 9, 0, 10), (5, 10, 10, 100, 110),
+        # u6/u7: crossing pair straddling a bucket boundary (bucket=200)
+        (6, 0, 11, 150, 150), (6, 10, 12, 250, 250),
+        (7, 0, 13, 150, 250), (7, 10, 14, 250, 150),
+        # u8: far away — no candidates
+        (8, 0, 15, 5000, 5000), (8, 10, 16, 5100, 5100),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: long, event_id: long, ix: long, iy: long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r.u1, r.o1, r.u2, r.o2)
+           for r in segment_crossings(df, bucket=200,
+                                      order_col="event_id").collect()}
+    assert got == {(1, 1, 2, 3), (2, 3, 5, 9), (6, 11, 7, 13)}
+
+
+def test_idw_surface_exact_weights(spark):
+    from osmcha_spark.operators.tiles import idw_surface
+
+    r = 100
+    st = spark.createDataFrame(
+        [
+            (10, 0, 7),     # d²=100,  w=(10000-100)²=98010000? no: 9900²
+            (0, 50, 3),     # d²=2500, w=7500²
+            (0, 100, 5),    # d²=R² exactly → w=0, still counted in n
+            (0, 101, 9),    # outside — excluded
+            (-80, -60, 2),  # d²=10000 = R² exactly → w=0
+        ],
+        "sx: long, sy: long, v: long",
+    )
+    grid = spark.createDataFrame([(0, 0)], "qx: long, qy: long")
+    out = idw_surface(st, grid, radius=r).collect()
+    assert len(out) == 1
+    row = out[0]
+    w1, w2 = 9900 ** 2, 7500 ** 2
+    assert row.n == 4
+    assert row.wsum == w1 + w2
+    assert row.wvsum == w1 * 7 + w2 * 3
+
+
+def test_vocab_growth_unigram_and_bigram(spark):
+    from osmcha_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a"),
+            (1, "b c"),
+            (2, "c a b"),
+            (3, ""),
+            (4, "d"),
+        ],
+        "doc_id: long, text: string",
+    )
+    uni = {r.bucket: (r.new_types, r.cum_types, r.toks, r.cum_toks)
+           for r in vocab_growth(docs, bucket=2).collect()}
+    # bucket 0: docs 0-1 → toks 5, new {a,b,c}=3; bucket 1: docs 2-3 →
+    # toks 3, new 0; bucket 2: doc 4 → toks 1, new {d}=1
+    assert uni == {0: (3, 3, 5, 5), 1: (0, 3, 3, 8), 2: (1, 4, 1, 9)}
+    bi = {r.bucket: (r.new_types, r.cum_types, r.toks, r.cum_toks)
+          for r in vocab_growth(docs, bucket=2, ngram=2).collect()}
+    # bigrams: doc0 {a b, b a}, doc1 {b c}, doc2 {c a, a b}, doc4 none
+    # (single token), doc3 none → bucket2 has no occurrences: absent
+    assert bi == {0: (3, 3, 3, 3), 1: (1, 4, 2, 5)}
