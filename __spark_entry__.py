@@ -10172,6 +10172,69 @@ FROM hits GROUP BY 1, 2
 
 
 
+# --------------------------------------------------------------- q178
+
+def q178_snapshot_pos_delete(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION deletes (sources/tables.py:
+    snapshot_delete_positions — Iceberg v2's second delete flavor,
+    complementing q143's equality deletes): events land in a
+    partitioned snapshot table; `read_snapshot(with_pos=True)` exposes
+    each row's honest (file, ordinal) via the parquet reader's
+    _metadata.row_index; rows matching a CONTENT predicate
+    (cents % 10 = 3) are deleted by position (no data file rewritten —
+    pinned by pytest on the unchanged file set); a later append
+    re-inserts the even-event_id half of them, and FILE-IDENTITY
+    scoping (fresh file names) keeps the resurrected rows out of the
+    delete's reach with zero sequence arithmetic. The two-state output
+    (s0 = time travel before the delete, cur = after delete + append)
+    matches a declarative oracle because positions were CHOSEN by the
+    content predicate — the oracle never sees a file name."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q178")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            (F.col("event_id") % 4).alias("p"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    s0 = T.snapshot_create(ev, path, partition_col="p")
+    pos = T.read_snapshot(spark, path, with_pos=True)
+    tgt = [(r._file, r._pos)
+           for r in pos.where("cents % 10 = 3").collect()]
+    T.snapshot_delete_positions(path, tgt)
+    T.snapshot_append(
+        ev.where((F.col("cents") % 10 == 3) & (F.col("event_id") % 2 == 0)),
+        path,
+    )
+    pre = T.read_snapshot(spark, path, snapshot=s0) \
+        .select(F.lit("s0").alias("state"), "event_id", "p", "cents")
+    cur = T.read_snapshot(spark, path) \
+        .select(F.lit("cur").alias("state"), "event_id", "p", "cents")
+    return pre.unionByName(cur)
+
+
+_Q178_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_id % 4 AS p,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT 's0' AS state, event_id, p, cents FROM base
+UNION ALL
+SELECT 'cur' AS state, event_id, p, cents FROM base
+WHERE NOT (cents % 10 = 3)
+UNION ALL
+SELECT 'cur' AS state, event_id, p, cents FROM base
+WHERE cents % 10 = 3 AND event_id % 2 = 0
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10414,6 +10477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_vocab_growth": q175_vocab_growth,
         "q176_segment_crossings": q176_segment_crossings,
         "q177_idw_surface": q177_idw_surface,
+        "q178_snapshot_pos_delete": q178_snapshot_pos_delete,
     }
 
 
@@ -10520,6 +10584,7 @@ def oracle_sql() -> dict[str, str]:
         "q175_vocab_growth": _Q175_ORACLE,
         "q176_segment_crossings": _q176_oracle(),
         "q177_idw_surface": _q177_oracle(),
+        "q178_snapshot_pos_delete": _Q178_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

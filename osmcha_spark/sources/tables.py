@@ -601,10 +601,13 @@ def _merged_schema(old: dict | None, df: DataFrame) -> dict:
     return {"type": "struct", "fields": merged}
 
 
-def _align(df: DataFrame, schema: dict | None) -> DataFrame:
+def _align(df: DataFrame, schema: dict | None,
+           extras: tuple = ()) -> DataFrame:
     """Project df to the manifest schema: null-fill absent columns,
     fix the column order. Extra df columns are dropped (they belong to
-    a NEWER schema than the snapshot being read)."""
+    a NEWER schema than the snapshot being read) — except the ones
+    named in ``extras`` (the with_pos introspection columns), which
+    are appended after the schema columns."""
     if schema is None:
         return df
     from pyspark.sql import functions as F
@@ -618,6 +621,8 @@ def _align(df: DataFrame, schema: dict | None) -> DataFrame:
         else:
             dt = StructField.fromJson(f).dataType
             cols.append(F.lit(None).cast(dt).alias(f["name"]))
+    for name in extras:
+        cols.append(F.col(name))
     return df.select(*cols)
 
 
@@ -741,7 +746,8 @@ def read_snapshot(spark: SparkSession, path: str,
                   where_any: tuple | None = None,
                   tag: str | None = None,
                   branch: str | None = None,
-                  as_of_us: int | None = None) -> DataFrame:
+                  as_of_us: int | None = None,
+                  with_pos: bool = False) -> DataFrame:
     """Read a snapshot — the CURRENT one by default, or any committed id
     (time travel: snapshots are immutable, so s_n reads the same bytes
     forever). ``partitions`` (values of partition_col) and ``where``
@@ -754,7 +760,15 @@ def read_snapshot(spark: SparkSession, path: str,
     :func:`snapshot_branch`) and ``as_of_us`` resolves by commit
     timestamp (:func:`snapshot_as_of`) instead of a numeric id;
     passing more than one of snapshot/tag/branch/as_of_us is an
-    error."""
+    error.
+
+    ``with_pos=True`` appends ``_file`` (the manifest data-file name)
+    and ``_pos`` (the row's ordinal within that file, from the parquet
+    reader's honest ``_metadata.row_index``) — the introspection read
+    that feeds :func:`snapshot_delete_positions`. It is the SLOW path
+    (per-row filename extraction, the thing the seq-literal MoR design
+    deliberately avoids — BENCH/table_mor.json) and exists for
+    targeted position selection, not hot scans."""
     if sum(x is not None
            for x in (snapshot, tag, branch, as_of_us)) > 1:
         raise ValueError(
@@ -776,25 +790,37 @@ def read_snapshot(spark: SparkSession, path: str,
         # predicate pruning emptied the candidate set: stats pruning is
         # lossless, so zero surviving files PROVES the result is empty
         if (where or where_eq or where_any) and man.get("schema"):
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
-            return spark.createDataFrame(
-                [], StructType.fromJson(man["schema"]))
+            st = StructType.fromJson(man["schema"])
+            if with_pos:
+                from pyspark.sql.types import LongType, StringType
+
+                st = StructType(
+                    list(st.fields)
+                    + [StructField("_file", StringType()),
+                       StructField("_pos", LongType())])
+            return spark.createDataFrame([], st)
         raise ValueError(f"snapshot {sid} has no files for {partitions}")
     dels = man.get("deletes") or []
-    if dels:
-        df = _apply_deletes(spark, path, files, dels)
+    if dels or with_pos:
+        df = _apply_deletes(spark, path, files, dels, with_pos=with_pos)
     else:
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    return _align(df, man.get("schema"))
+    extras = ("_file", "_pos") if with_pos else ()
+    return _align(df, man.get("schema"), extras=extras)
 
 
 def _apply_deletes(spark: SparkSession, path: str,
-                   entries: list[dict], dels: list[dict]) -> DataFrame:
-    """Merge-on-read scan of ``entries`` with the manifest's equality-
-    delete files applied. A delete applies to a row iff the row's FILE
-    sequence number is older than the delete's (``file.seq <
-    delete.seq``) — so rows re-appended after a delete survive it.
+                   entries: list[dict], dels: list[dict],
+                   with_pos: bool = False) -> DataFrame:
+    """Merge-on-read scan of ``entries`` with the manifest's row-level
+    delete files applied. An EQUALITY delete applies to a row iff the
+    row's FILE sequence number is older than the delete's (``file.seq
+    < delete.seq``) — so rows re-appended after a delete survive it. A
+    POSITION delete applies iff the row's (file, ordinal) is listed —
+    file identity is the scope, so rewrites (fresh file names) end it
+    with no seq arithmetic at all (Iceberg v2's two delete flavors).
 
     The per-row seq is a LITERAL: files are grouped by their seq
     (O(commits) groups) and each group scans with ``lit(seq)`` — zero
@@ -805,11 +831,36 @@ def _apply_deletes(spark: SparkSession, path: str,
     deletes) and broadcast; each distinct key column costs ONE
     broadcast left-anti join over the affected sub-union. A key column
     null-filled by schema evolution never matches (NULL ≠ key),
-    matching Iceberg."""
+    matching Iceberg.
+
+    Position deletes (and ``with_pos`` reads) DO pay the per-row
+    ``_metadata`` attachment across the scan while one is PENDING
+    (driver-known from the manifest entry's ``files`` list ∩ this
+    read's candidate files — a pos delete whose targets were all
+    rewritten costs nothing). Compaction / upsert materialize pos
+    deletes exactly like equality ones, which retires the cost —
+    position deletes are targeted and short-lived by contract."""
     from pyspark.sql import functions as F
 
     ddir = _data_dir(path)
-    max_dseq = max(int(d["seq"]) for d in dels)
+    have_names = {e["name"] for e in entries}
+    eq_dels = [d for d in dels if d.get("kind") != "pos"]
+    pos_dels = [
+        d for d in dels
+        if d.get("kind") == "pos" and have_names & set(d.get("files", []))
+    ]
+    pos_targets = set()
+    for d in pos_dels:
+        pos_targets |= set(d.get("files", [])) & have_names
+
+    def _attach(df: DataFrame) -> DataFrame:
+        return df.withColumns({
+            "__file": F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1),
+            "__pos": F.col("_metadata.row_index"),
+        })
+
+    max_dseq = max((int(d["seq"]) for d in eq_dels), default=0)
     by_seq: dict = {}
     for e in entries:
         by_seq.setdefault(int(e.get("seq", 0)), []).append(
@@ -819,10 +870,11 @@ def _apply_deletes(spark: SparkSession, path: str,
     def _scan_union(groups: list) -> DataFrame | None:
         out = None
         for seq, paths in groups:
-            part = (
-                spark.read.option("mergeSchema", "true").parquet(*paths)
-                .withColumn("__seq", F.lit(int(seq)).cast("long"))
-            )
+            part = spark.read.option("mergeSchema", "true").parquet(*paths)
+            if with_pos or pos_targets:
+                part = _attach(part)
+            part = part.withColumn(
+                "__seq", F.lit(int(seq)).cast("long"))
             out = part if out is None else out.unionByName(
                 part, allowMissingColumns=True)
         return out
@@ -830,9 +882,9 @@ def _apply_deletes(spark: SparkSession, path: str,
     groups = sorted(by_seq.items())
     affected = _scan_union([g for g in groups if g[0] < max_dseq])
     clean = _scan_union([g for g in groups if g[0] >= max_dseq])
-    if affected is not None:
+    if affected is not None and eq_dels:
         by_col: dict = {}
-        for d in dels:
+        for d in eq_dels:
             by_col.setdefault(d["key_col"], []).append(d)
         for col, group in by_col.items():
             keys = None
@@ -862,7 +914,28 @@ def _apply_deletes(spark: SparkSession, path: str,
         df = affected
     else:
         df = affected.unionByName(clean, allowMissingColumns=True)
-    return df.drop("__seq")
+    if pos_dels:
+        keys = None
+        for d in pos_dels:
+            k = spark.read.parquet(
+                os.path.join(ddir, d["name"])
+            ).select(F.col("file").alias("__dfile"),
+                     F.col("pos").alias("__dpos"))
+            keys = k if keys is None else keys.unionByName(k)
+        if sum(int(d.get("n_keys", 0)) for d in pos_dels) <= 2_000_000:
+            keys = F.broadcast(keys)
+        df = df.join(
+            keys,
+            on=(F.col("__file") == F.col("__dfile"))
+            & (F.col("__pos") == F.col("__dpos")),
+            how="left_anti",
+        )
+    df = df.drop("__seq")
+    if with_pos:
+        df = df.withColumnsRenamed({"__file": "_file", "__pos": "_pos"})
+    elif pos_targets:
+        df = df.drop("__file", "__pos")
+    return df
 
 
 def snapshot_delete(path: str, key_col: str, keys: list,
@@ -917,6 +990,69 @@ def snapshot_delete(path: str, key_col: str, keys: list,
                    deletes=list(man.get("deletes") or []) + [entry])
 
 
+def snapshot_delete_positions(path: str, positions: list,
+                              commit_id: str | None = None) -> int:
+    """Row-level DELETE by POSITION — Iceberg v2's second merge-on-read
+    delete flavor: the commit writes only ``(file, pos)`` pairs
+    (``pos`` = the row's ordinal within the named data file, as
+    reported by ``read_snapshot(with_pos=True)``), never a data-file
+    rewrite. Scope is FILE IDENTITY, not sequence numbers: a rewrite
+    (upsert/compact/rewrite_sorted) reads through
+    :func:`_apply_deletes`, so its output materializes the delete, and
+    its fresh file names end the delete's applicability — re-appended
+    rows can never be retro-deleted because they live in new files.
+
+    ``positions`` is a list of ``(file_name, pos)`` tuples (targeted
+    deletes, O(deleted rows) driver-side — same contract as
+    :func:`snapshot_delete`'s key list). File names must belong to the
+    current snapshot; unknown names raise rather than silently no-op.
+    ``commit_id`` makes replays repoint instead of re-committing."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _papq
+
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    positions = [(str(f), int(p)) for f, p in positions]
+    if not positions:
+        return cur
+    have = {f["name"] for f in man["files"]}
+    unknown = {f for f, _ in positions} - have
+    if unknown:
+        raise ValueError(
+            f"position delete targets files not in snapshot {cur}: "
+            f"{sorted(unknown)[:3]}"
+        )
+    name = f"posdelete-{_uuid.uuid4().hex[:12]}.parquet"
+    os.makedirs(_data_dir(path), exist_ok=True)
+    dest = os.path.join(_data_dir(path), name)
+    _papq.write_table(
+        _pa.table({
+            "file": [f for f, _ in positions],
+            "pos": [p for _, p in positions],
+        }),
+        dest,
+    )
+    entry = {
+        "name": name,
+        "kind": "pos",
+        "files": sorted({f for f, _ in positions}),
+        "n_keys": len(positions),
+        "bytes": os.path.getsize(dest),
+    }
+    return _commit(path, man["files"], man["partition_col"], cur,
+                   commit_id, schema=man.get("schema"),
+                   bloom_cols=man.get("bloom_cols"),
+                   deletes=list(man.get("deletes") or []) + [entry])
+
+
 def snapshot_metadata_agg(spark: SparkSession, path: str,
                           cols: list | None = None,
                           snapshot: int | None = None,
@@ -946,7 +1082,7 @@ def snapshot_metadata_agg(spark: SparkSession, path: str,
     man = _load_manifest(path, sid)
     if man.get("deletes"):
         raise ValueError(
-            "snapshot has equality deletes pending: manifest counts "
+            "snapshot has row-level deletes pending: manifest counts "
             "would overcount deleted rows — compact/rewrite first"
         )
     if _mixed_spec(man):

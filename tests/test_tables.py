@@ -1000,3 +1000,63 @@ def test_mv_sync_incremental_maintenance(spark, tmp_path):
                       base, "k")
     with pytest.raises(ValueError, match="rewrite|append-only"):
         mv_sync(spark, base, mv, "g", "cents")
+
+
+def test_position_deletes_scope_and_materialization(spark, tmp_path):
+    p = str(tmp_path / "pos")
+    df = spark.range(20).selectExpr("id", "id % 3 as g", "id * 10 as v")
+    s0 = T.snapshot_create(df, p, partition_col="g")
+    r = T.read_snapshot(spark, p, with_pos=True)
+    assert r.columns[-2:] == ["_file", "_pos"]
+    tgt = [(row._file, row._pos) for row in r.where("v % 40 = 0").collect()]
+    s1 = T.snapshot_delete_positions(p, tgt, commit_id="pd-1")
+    # no data-file rewrite: the file set is carried by reference
+    assert sorted(f["name"] for f in T.snapshot_files(p, s0)) == \
+        sorted(f["name"] for f in T.snapshot_files(p, s1))
+    exp = sorted(i for i in range(20) if (i * 10) % 40 != 0)
+    assert sorted(
+        x.id for x in T.read_snapshot(spark, p).collect()) == exp
+    # replay repoints, never re-commits
+    assert T.snapshot_delete_positions(p, tgt, commit_id="pd-1") == s1
+    # file-identity scope: re-appended ids live in NEW files -> visible
+    T.snapshot_append(
+        spark.range(4).selectExpr("id", "id % 3 as g", "id * 10 as v"), p)
+    assert sorted(
+        x.id for x in T.read_snapshot(spark, p).collect()
+    ) == sorted(exp + [0, 1, 2, 3])
+    # time travel composes: s0 still reads the pre-delete rows
+    assert T.read_snapshot(spark, p, snapshot=s0).count() == 20
+    # metadata agg / incremental reads refuse while a delete is pending
+    with pytest.raises(ValueError, match="delete"):
+        T.snapshot_metadata_agg(spark, p, ["v"])
+    with pytest.raises(ValueError, match="delete"):
+        T.snapshot_changes(spark, p, s0)
+    # compaction materializes: read identical, and a fresh pos read
+    # shows the deleted ordinals are GONE from the new files
+    before = sorted((x.id, x.v) for x in T.read_snapshot(spark, p).collect())
+    T.snapshot_compact(spark, p)
+    after = sorted((x.id, x.v) for x in T.read_snapshot(spark, p).collect())
+    assert before == after
+
+
+def test_position_delete_validation_and_composition(spark, tmp_path):
+    p = str(tmp_path / "posv")
+    df = spark.range(12).selectExpr("id", "id % 2 as g", "id * 10 as v")
+    T.snapshot_create(df, p, partition_col="g")
+    with pytest.raises(ValueError, match="not in snapshot"):
+        T.snapshot_delete_positions(p, [("nope.parquet", 0)])
+    cur = T.current_snapshot(p)
+    assert T.snapshot_delete_positions(p, []) == cur
+    r = T.read_snapshot(spark, p, with_pos=True)
+    tgt = [(row._file, row._pos) for row in r.where("id < 3").collect()]
+    T.snapshot_delete_positions(p, tgt)
+    # with_pos read composes with a pending pos delete: survivors only,
+    # and their (file, pos) stay valid for a SECOND position delete
+    r2 = T.read_snapshot(spark, p, with_pos=True)
+    assert r2.where("id < 3").count() == 0
+    tgt2 = [(row._file, row._pos) for row in r2.where("id = 5").collect()]
+    T.snapshot_delete_positions(p, tgt2)
+    # equality + position deletes apply together
+    T.snapshot_delete(p, "id", [7])
+    assert sorted(x.id for x in T.read_snapshot(spark, p).collect()) == \
+        [3, 4, 6, 8, 9, 10, 11]
