@@ -10235,6 +10235,258 @@ WHERE cents % 10 = 3 AND event_id % 2 = 0
 """
 
 
+# --------------------------------------------------------------- q179
+
+def _q179_pings_sql(dialect: str) -> str:
+    """Derived route pings: homes sit ON a 90000x70000 microdeg lattice
+    (24 lon slots x 3 lat rows) and the per-event jitter moves in
+    whole lattice steps, so movers with overlapping boxes visit
+    IDENTICAL absolute cells and shared directed transitions exist at
+    every SF (the q176 free-position derivation gives 0 shared
+    transitions at sf0.001 - measured, hence this dedicated one)."""
+    hx = synth.hash_of("user_id", "rsx", dialect)
+    hy = synth.hash_of("user_id", "rsy", dialect)
+    wx = synth.hash_of("event_id", "wx", dialect)
+    wy = synth.hash_of("event_id", "wy", dialect)
+    return f"""
+SELECT user_id, ts, event_id,
+       (((({hx}) % 24) + ((({wx}) % 5) - 2)) * 90000) AS ix,
+       (((({hy}) % 3) + ((({wy}) % 3) - 1)) * 70000) AS iy
+FROM events
+"""
+
+
+def q179_route_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-similarity join (operators/tiles.py:route_similarity — the
+    third trajectory relation: q145 = same place same TIME, q176 =
+    paths CROSS, this = same route SHAPE regardless of when): movers
+    reduce to their distinct directed level-12 cell-transition SETS;
+    pairs sharing >= 2 transitions return exact (inter, na, nb) —
+    Jaccard's rational parts. Pings are the q176 derivation scaled to
+    degrees (shared-derivation rule), so overlapping home boxes make
+    shared corridors exist at every SF. The oracle mirrors the lag
+    window, the distinct-transition projection, the transition-keyed
+    self-join (candidates ONLY via shared keys — the q36/q38 mirrored
+    rule with an exact candidate space), and both size rollups.
+    sf0.001: 18 pairs; sf0.01: 1746 — sub-threshold (inter < 2) and
+    unpaired movers exist at both SFs."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import route_similarity
+
+    pings = spark.sql(
+        "SELECT user_id, ts, event_id, "
+        "cast(ix as double) / 1000000.0 AS lon, "
+        "cast(iy as double) / 1000000.0 AS lat "
+        f"FROM ({_q179_pings_sql(synth.SPARK)})"
+    )
+    return route_similarity(pings, level=12, min_shared=2,
+                            order_col="event_id")
+
+
+def _q179_oracle() -> str:
+    cell = cell_sql("lon", "lat", 12)
+    return f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         CAST(ix AS DOUBLE) / 1000000.0 AS lon,
+         CAST(iy AS DOUBLE) / 1000000.0 AS lat
+  FROM ({_q179_pings_sql(D)})),
+q AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS o2,
+         {cell} AS c2
+  FROM pings),
+l AS (
+  SELECT u, lag(c2) OVER (PARTITION BY u ORDER BY t, o2) AS c1, c2
+  FROM q),
+trans AS (
+  SELECT DISTINCT u, c1, c2 FROM l
+  WHERE c1 IS NOT NULL AND c1 <> c2),
+sizes AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS nt FROM trans GROUP BY u),
+pairs AS (
+  SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS inter
+  FROM trans a JOIN trans b ON b.c1 = a.c1 AND b.c2 = a.c2
+  WHERE a.u < b.u
+  GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT p.u1, p.u2, p.inter, sa.nt AS na, sb.nt AS nb
+FROM pairs p
+JOIN sizes sa ON sa.u = p.u1
+JOIN sizes sb ON sb.u = p.u2
+"""
+
+
+# --------------------------------------------------------------- q180
+
+def q180_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT ANTI interval join (streaming/joins.py:
+    anti_stream_join — "views with NO purchase within 1h", the
+    abandonment/alerting shape Spark's streaming joiner cannot express
+    directly: leftOuter and leftSemi exist, leftAnti does not, so the
+    operator is the left-outer join + stateless IS NULL filter
+    composition). Harness is q125's: two TIME-split real batches per
+    side (cross-batch suppression exercised — a purchase in batch 2
+    must still suppress its batch-1 view), then two far-future
+    sentinel batches because outer/anti emission trails the watermark
+    by one batch. The drained set equals the batch NOT EXISTS, which
+    the oracle states."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import run_stream_join
+    from osmcha_spark.streaming.joins import anti_stream_join
+
+    work = _work_dir("q180")
+    in_l = os.path.join(work, "in_l")
+    in_r = os.path.join(work, "in_r")
+    os.makedirs(in_l)
+    os.makedirs(in_r)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    views = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("view_event_id"), "ts", "user_id"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "ts", "user_id"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+
+    def _one_file(df, dest_dir, name, bump):
+        tmp = os.path.join(work, f"_stage_{os.path.basename(dest_dir)}_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.move(part, dest)
+        now = os.path.getmtime(dest)
+        os.utime(dest, (now + bump, now + bump))
+
+    def _sentinel(idcol, us):
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias(idcol),
+            F.timestamp_micros(F.lit(us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+        )
+
+    day_us = 86400_000_000
+    _one_file(views.where(F.unix_micros("ts") <= mid), in_l, "b1.parquet", 0)
+    _one_file(buys.where(F.unix_micros("ts") <= mid), in_r, "b1.parquet", 0)
+    _one_file(views.where(F.unix_micros("ts") > mid), in_l, "b2.parquet", 10)
+    _one_file(buys.where(F.unix_micros("ts") > mid), in_r, "b2.parquet", 10)
+    _one_file(_sentinel("view_event_id", hi + 2 * day_us),
+              in_l, "b3.parquet", 20)
+    _one_file(_sentinel("purchase_event_id", hi + 2 * day_us),
+              in_r, "b3.parquet", 20)
+    _one_file(_sentinel("view_event_id", hi + 4 * day_us),
+              in_l, "b4.parquet", 30)
+    _one_file(_sentinel("purchase_event_id", hi + 4 * day_us),
+              in_r, "b4.parquet", 30)
+
+    ls = spark.readStream.schema(
+        "view_event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", "1").parquet(in_l)
+    rs = spark.readStream.schema(
+        "purchase_event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", "1").parquet(in_r)
+    anti = anti_stream_join(
+        ls, rs, key="user_id", left_ts="ts", right_ts="ts", upper="1 hour",
+    )
+    out_dir = os.path.join(work, "out")
+    q = run_stream_join(anti, out_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
+    return out.select(
+        "view_event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("v_us"),
+    )
+
+
+_Q180_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type <> 'purchase'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.view_event_id, v.user_id, v.v_us
+FROM v
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = v.user_id
+    AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000
+)
+"""
+
+
+# --------------------------------------------------------------- q181
+
+def q181_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot HISTORY as a queryable metadata table (sources/
+    tables.py:snapshot_history — Iceberg's snapshots/history tables):
+    a create → equality-delete → append commit series over the q143
+    event derivation, answered entirely from manifests (no data file
+    opened — the snapshot_metadata_agg discipline). The oracle states
+    each row declaratively from the base events: n_rows is MANIFEST
+    semantics (a MoR delete commit does not shrink it), added_rows is
+    the seq-scoped file sum (0 for the delete commit — it carries every
+    data file by reference), n_partitions stays 4 because the appended
+    partitions are a subset. Non-deterministic columns (bytes, file
+    counts per partition, timestamps, commit ids) exist in the API but
+    are projected out here."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q181")
+    path = os.path.join(work, "table")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            (F.col("event_id") % 4).alias("p"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    T.snapshot_create(ev, path, partition_col="p")
+    T.snapshot_delete(path, "event_id", list(range(3, 5000, 7)))
+    T.snapshot_append(
+        ev.where((F.col("event_id") % 14 == 3) & (F.col("event_id") < 5000)),
+        path,
+    )
+    return T.snapshot_history(spark, path).select(
+        "snapshot", "parent", "n_partitions", "n_rows", "added_rows",
+        "n_deletes",
+    )
+
+
+_Q181_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_id % 4 AS p FROM events
+),
+app AS (
+  SELECT * FROM base WHERE event_id % 14 = 3 AND event_id < 5000
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+             CAST(count(DISTINCT p) AS BIGINT) AS np FROM base),
+m AS (SELECT CAST(count(*) AS BIGINT) AS na FROM app)
+SELECT CAST(0 AS BIGINT) AS snapshot, CAST(NULL AS BIGINT) AS parent,
+       n.np AS n_partitions, n.nb AS n_rows, n.nb AS added_rows,
+       CAST(0 AS BIGINT) AS n_deletes
+FROM n
+UNION ALL
+SELECT 1, 0, n.np, n.nb, 0, 1 FROM n
+UNION ALL
+SELECT 2, 1, n.np, n.nb + m.na, m.na, 1 FROM n CROSS JOIN m
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10478,6 +10730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_segment_crossings": q176_segment_crossings,
         "q177_idw_surface": q177_idw_surface,
         "q178_snapshot_pos_delete": q178_snapshot_pos_delete,
+        "q179_route_similarity": q179_route_similarity,
+        "q180_stream_anti_join": q180_stream_anti_join,
+        "q181_snapshot_history": q181_snapshot_history,
     }
 
 
@@ -10585,6 +10840,9 @@ def oracle_sql() -> dict[str, str]:
         "q176_segment_crossings": _q176_oracle(),
         "q177_idw_surface": _q177_oracle(),
         "q178_snapshot_pos_delete": _Q178_ORACLE,
+        "q179_route_similarity": _q179_oracle(),
+        "q180_stream_anti_join": _Q180_ORACLE,
+        "q181_snapshot_history": _Q181_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -1781,3 +1781,71 @@ def idw_surface(
             F.sum("wv").cast("long").alias("wvsum"),
         )
     )
+
+
+def route_similarity(
+    pings: DataFrame,
+    level: int = 12,
+    min_shared: int = 2,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Route-similarity join between movers — the third relation of the
+    trajectory family (colocation_pairs = same place same TIME;
+    segment_crossings = paths physically cross; this = same route
+    SHAPE regardless of when): movers are reduced to their SET of
+    distinct directed cell TRANSITIONS (consecutive distinct level-L
+    cells), and pairs sharing ≥ ``min_shared`` transitions come back
+    with exact intersection and set sizes — Jaccard = inter/(na+nb−
+    inter), left to the caller as integer rational parts.
+
+    Candidates are generated by the transition-key equi-join itself
+    (movers sharing zero transitions never meet — no all-pairs
+    anywhere); a popular corridor key fans out as (movers on it)², the
+    usual hot-cell caveat — salt via salted_join if a corridor carries
+    thousands of movers.
+
+    Scale shape: one mover-hash window (the q149 discipline) → one
+    distinct over (u, c1, c2) → the self equi-join on (c1, c2) → one
+    map-side-combined pair count; the sizes dim broadcasts back onto
+    the (much smaller) pair table."""
+    from osmcha_spark.geo.cells import cell_col
+
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order2 = F.col(order_col) if order_col else F.lit(0)
+    w = Window.partitionBy("u").orderBy("t", "o2")
+    trans = (
+        pings.select(
+            F.col(id_col).alias("u"), ts_us.alias("t"),
+            order2.alias("o2"),
+            cell_col(F.col(lon_col), F.col(lat_col), level).alias("c2"),
+        )
+        .select("u", F.lag("c2").over(w).alias("c1"), "c2")
+        .where(F.col("c1").isNotNull() & (F.col("c1") != F.col("c2")))
+        .select("u", "c1", "c2")
+        .distinct()
+    )
+    sizes = trans.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"))
+    a = trans.select(F.col("u").alias("u1"), "c1", "c2")
+    b = trans.select(F.col("u").alias("u2"), "c1", "c2")
+    pairs = (
+        a.join(b, ["c1", "c2"], "inner")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .where(F.col("inter") >= F.lit(int(min_shared)))
+    )
+    return (
+        pairs
+        .join(F.broadcast(sizes.withColumnsRenamed({"u": "u1",
+                                                    "nt": "na"})),
+              ["u1"], "inner")
+        .join(F.broadcast(sizes.withColumnsRenamed({"u": "u2",
+                                                    "nt": "nb"})),
+              ["u2"], "inner")
+        .select("u1", "u2", "inter", "na", "nb")
+    )

@@ -990,6 +990,72 @@ def snapshot_delete(path: str, key_col: str, keys: list,
                    deletes=list(man.get("deletes") or []) + [entry])
 
 
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's HISTORY as a queryable DataFrame — Iceberg's
+    ``snapshots``/``history`` metadata tables in one: one row per
+    committed snapshot with its parent, commit_id, file/partition/row/
+    byte totals, the rows ADDED by that commit (files whose seq == the
+    snapshot id), pending row-level delete count, and the commit
+    timestamp. Built entirely from manifests (driver-side,
+    O(snapshots·files) metadata — no data file is opened, the
+    :func:`snapshot_metadata_agg` discipline). Row counts are MANIFEST
+    semantics: a merge-on-read delete commit does NOT decrease
+    ``n_rows`` (the files still hold the rows; readers subtract) —
+    that's the honest Iceberg reading of a v2 table."""
+    rows = []
+    for sid in list_snapshots(path):
+        man = _load_manifest(path, sid)
+        files = man.get("files") or []
+        rows.append((
+            sid,
+            man.get("parent"),
+            man.get("commit_id"),
+            len(files),
+            len({f.get("partition") for f in files}),
+            sum(int(f.get("rows", 0)) for f in files),
+            sum(int(f.get("bytes", 0)) for f in files),
+            sum(int(f.get("rows", 0)) for f in files
+                if int(f.get("seq", 0)) == sid),
+            len(man.get("deletes") or []),
+            man.get("committed_at_us"),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "snapshot long, parent long, commit_id string, n_files long, "
+        "n_partitions long, n_rows long, n_bytes long, added_rows long, "
+        "n_deletes long, committed_at_us long",
+    )
+
+
+def snapshot_files_df(spark: SparkSession, path: str,
+                      snapshot: int | None = None) -> DataFrame:
+    """One snapshot's FILE manifest as a queryable DataFrame —
+    Iceberg's ``files`` metadata table: name, partition value, bytes,
+    rows, the sequence number that introduced the file, and the
+    partition-spec column it was written under. Driver-side metadata
+    only (the manifest IS the answer)."""
+    sid = current_snapshot(path) if snapshot is None else int(snapshot)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, sid)
+    rows = [
+        (
+            f["name"],
+            None if f.get("partition") is None else str(f["partition"]),
+            int(f.get("bytes", 0)),
+            int(f.get("rows", 0)),
+            int(f.get("seq", 0)),
+            f.get("spec_col"),
+        )
+        for f in (man.get("files") or [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, partition string, n_bytes long, n_rows long, "
+        "seq long, spec_col string",
+    )
+
+
 def snapshot_delete_positions(path: str, positions: list,
                               commit_id: str | None = None) -> int:
     """Row-level DELETE by POSITION — Iceberg v2's second merge-on-read

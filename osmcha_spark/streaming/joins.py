@@ -124,3 +124,35 @@ def enrich_stream(
         F.broadcast(dim.select(key, *payload_cols)), key, how
     )
 
+
+
+def anti_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    left_delay: str = "0 seconds",
+    right_delay: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream LEFT ANTI interval join — "views with NO purchase
+    within ``upper``", the alerting/abandonment production shape.
+    Spark's streaming joiner supports leftOuter and leftSemi but NOT
+    leftAnti, so this is the standard composition: the left-outer
+    interval join (:func:`interval_stream_join`) followed by a
+    stateless IS NULL filter on the right key, projecting back to the
+    left columns. Emission timing is inherited from the outer join —
+    an unmatched left row appears exactly when the watermark passes
+    ``left_ts + upper`` (the instant a match becomes impossible), so
+    the anti result is never retracted; a matched row simply never
+    appears. Same bounded state as the inner join; the filter adds
+    none."""
+    out = interval_stream_join(
+        left, right, key=key, left_ts=left_ts, right_ts=right_ts,
+        upper=upper, left_delay=left_delay, right_delay=right_delay,
+        how="left_outer",
+    )
+    return out.where(F.col(f"{key}_r").isNull()).select(
+        *[F.col(c) for c in left.columns]
+    )

@@ -3283,3 +3283,30 @@ def test_vocab_growth_unigram_and_bigram(spark):
     # bigrams: doc0 {a b, b a}, doc1 {b c}, doc2 {c a, a b}, doc4 none
     # (single token), doc3 none → bucket2 has no occurrences: absent
     assert bi == {0: (3, 3, 3, 3), 1: (1, 4, 2, 5)}
+
+
+def test_route_similarity_sets_and_threshold(spark):
+    from osmcha_spark.operators.tiles import route_similarity
+
+    # level-12 lon cell ~0.0879°: place cells by centers; users 1 and 2
+    # share the directed hops A->B and B->C (inter=2); user 3 shares
+    # only A->B with them (inter=1 -> below min_shared=2); user 1
+    # REVISITS A->B (set semantics: still counts once)
+    def c(i):  # centers of consecutive level-12 lon cells at lat 0
+        return (-180.0 + (i + 0.5) * 360.0 / 4096, 0.01)
+
+    A, B, Cc = c(100), c(101), c(102)
+    rows = []
+    for u, path in [(1, [A, B, Cc, A, B]), (2, [A, B, Cc]),
+                    (3, [A, B])]:
+        for i, (lon, lat) in enumerate(path):
+            rows.append((u, i, i, lon, lat))
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: long, event_id: long, "
+              "lon: double, lat: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.u1, r.u2): (r.inter, r.na, r.nb)
+           for r in route_similarity(df, level=12, min_shared=2,
+                                     order_col="event_id").collect()}
+    # user 1 transitions: {A->B, B->C, C->A} (revisit deduped) na=3
+    assert out == {(1, 2): (2, 3, 2)}

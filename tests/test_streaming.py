@@ -1110,3 +1110,76 @@ def test_dedup_ttl_key_only_reemission(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == [(1, 0), (1, 5), (50, 0), (99, 3)]
+
+
+def test_stream_anti_join_suppression_and_drain(spark, tmp_path):
+    """Stream-stream LEFT ANTI interval join (the leftOuter + IS NULL
+    composition — Spark has no native streaming leftAnti): a purchase
+    in a LATER batch still suppresses its earlier view (cross-batch
+    suppression); an in-window match never appears; an out-of-window
+    purchase does NOT suppress; unmatched views flush only after
+    sentinel batches move the watermark (anti emission inherits the
+    outer join's timing), and the drained set equals the batch NOT
+    EXISTS."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.streaming import run_stream_join
+    from osmcha_spark.streaming.joins import anti_stream_join
+
+    T0 = 1_700_000_000_000_000
+    MIN = 60 * 1_000_000
+    DAY = 86_400 * 1_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts_us long, k long"
+        ).select("id", F.timestamp_micros("ts_us").alias("ts"), "k")
+
+    base = time.time()
+
+    def stage(rows, dest_dir, name, bump):
+        df = mk(rows)
+        tmp = str(tmp_path / f"_s_{os.path.basename(dest_dir)}_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (base + bump, base + bump))
+
+    in_l = str(tmp_path / "l"); os.makedirs(in_l)
+    in_r = str(tmp_path / "r"); os.makedirs(in_r)
+    # views: v1 matched in-batch; v2 never matched; v3 matched only by a
+    # LATER batch's purchase; v4's only purchase is OUTSIDE the window
+    stage([(1, T0, 1), (2, T0 + MIN, 2), (3, T0 + 5 * MIN, 3),
+           (4, T0 + MIN, 4)],
+          in_l, "b1.parquet", 0)
+    stage([(101, T0 + 30 * MIN, 1)], in_r, "b1.parquet", 0)
+    stage([(102, T0 + 40 * MIN, 3), (103, T0 + 50 * MIN, 4)],
+          in_r, "b2.parquet", 10)
+    stage([(-1, T0 + 2 * DAY, -1)], in_l, "b3.parquet", 20)
+    stage([(-1, T0 + 2 * DAY, -1)], in_r, "b3.parquet", 20)
+    stage([(-2, T0 + 4 * DAY, -2)], in_l, "b4.parquet", 30)
+    stage([(-2, T0 + 4 * DAY, -2)], in_r, "b4.parquet", 30)
+
+    ls = spark.readStream.schema("id long, ts timestamp, k long") \
+        .option("maxFilesPerTrigger", "1").parquet(in_l)
+    rs = spark.readStream.schema("id long, ts timestamp, k long") \
+        .option("maxFilesPerTrigger", "1").parquet(in_r) \
+        .withColumnRenamed("id", "rid")
+    a = anti_stream_join(
+        ls, rs, key="k", left_ts="ts", right_ts="ts",
+        upper="45 minutes",
+    )
+    # anti output keeps ONLY left columns
+    assert set(a.columns) == {"id", "ts", "k"}
+    q = run_stream_join(a, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {r.id for r in spark.read.parquet(str(tmp_path / "out"))
+           .where("k >= 0").collect()}
+    # v4's purchase arrived at +49 min > 45-min window: NOT suppressed
+    assert got == {2, 4}

@@ -1060,3 +1060,35 @@ def test_position_delete_validation_and_composition(spark, tmp_path):
     T.snapshot_delete(p, "id", [7])
     assert sorted(x.id for x in T.read_snapshot(spark, p).collect()) == \
         [3, 4, 6, 8, 9, 10, 11]
+
+
+def test_snapshot_history_and_files_metadata_tables(spark, tmp_path):
+    p = str(tmp_path / "hist")
+    df = spark.range(30).selectExpr("id", "id % 3 as g", "id * 2 as v")
+    s0 = T.snapshot_create(df, p, partition_col="g", commit_id="c0")
+    T.snapshot_delete(p, "id", [1, 2])
+    T.snapshot_append(
+        spark.range(5).selectExpr("id + 100 as id", "id % 3 as g",
+                                  "id as v"), p)
+    # metadata-only: answers survive an unreadable data dir
+    dd = os.path.join(p, "data")
+    os.chmod(dd, 0)
+    try:
+        h = {r.snapshot: r for r in T.snapshot_history(spark, p).collect()}
+        f = T.snapshot_files_df(spark, p).collect()
+    finally:
+        os.chmod(dd, 0o755)
+    assert [h[s].parent for s in sorted(h)] == [None, 0, 1]
+    assert h[s0].commit_id == "c0"
+    assert (h[0].n_rows, h[0].added_rows, h[0].n_deletes) == (30, 30, 0)
+    # MoR delete commit: manifest rows unchanged, nothing added
+    assert (h[1].n_rows, h[1].added_rows, h[1].n_deletes) == (30, 0, 1)
+    assert (h[2].n_rows, h[2].added_rows) == (35, 5)
+    # commit stamps strictly increase
+    ts = [h[s].committed_at_us for s in sorted(h)]
+    assert ts == sorted(ts) and len(set(ts)) == 3
+    # files table mirrors the manifest entries exactly
+    man = [e["name"] for e in T.snapshot_files(p)]
+    assert sorted(r.name for r in f) == sorted(man)
+    assert sum(r.n_rows for r in f) == 35
+    assert {r.seq for r in f} == {0, 2}
