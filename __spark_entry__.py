@@ -10487,6 +10487,124 @@ SELECT 2, 1, n.np, n.nb + m.na, m.na, 1 FROM n CROSS JOIN m
 """
 
 
+# --------------------------------------------------------------- q182
+
+def q182_stream_full_outer_join(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (streaming/joins.py:
+    interval_stream_join(how='full_outer') — both unmatched regimes at
+    once: views with no purchase AND purchases with no preceding view,
+    the reconciliation shape batch full joins express trivially but
+    streams need watermark-timed null emission on BOTH sides for).
+    Each side's null rows drain at its OWN eviction watermark — a right
+    row's window closes at right_ts, one `upper` earlier than the left's
+    left_ts + upper — so the q125/q180 harness (two time-split real
+    batches per side + two far-future sentinel batches on BOTH inputs)
+    drains both tails. The drained set equals the batch FULL OUTER
+    interval join, which the oracle states. Timing pinned by
+    tests/test_streaming.py::test_stream_full_outer_join_drains_both_null_sides.
+    At sf0.001: 14 matched + 784 view-null + 189 purchase-null rows —
+    all three regimes exercised at the gate SF (the fixture-tuning
+    rule)."""
+    _ensure(spark, sf_dir)
+    import glob as _glob
+    import shutil
+
+    from osmcha_spark.streaming import run_stream_join
+    from osmcha_spark.streaming.joins import interval_stream_join
+
+    work = _work_dir("q182")
+    in_l = os.path.join(work, "in_l")
+    in_r = os.path.join(work, "in_r")
+    os.makedirs(in_l)
+    os.makedirs(in_r)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    views = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("view_event_id"), "ts", "user_id"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "ts", "user_id"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+
+    def _one_file(df, dest_dir, name, bump):
+        tmp = os.path.join(work, f"_stage_{os.path.basename(dest_dir)}_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.move(part, dest)
+        now = os.path.getmtime(dest)
+        os.utime(dest, (now + bump, now + bump))
+
+    def _sentinel(idcol, us):
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias(idcol),
+            F.timestamp_micros(F.lit(us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+        )
+
+    day_us = 86400_000_000
+    _one_file(views.where(F.unix_micros("ts") <= mid), in_l, "b1.parquet", 0)
+    _one_file(buys.where(F.unix_micros("ts") <= mid), in_r, "b1.parquet", 0)
+    _one_file(views.where(F.unix_micros("ts") > mid), in_l, "b2.parquet", 10)
+    _one_file(buys.where(F.unix_micros("ts") > mid), in_r, "b2.parquet", 10)
+    _one_file(_sentinel("view_event_id", hi + 2 * day_us),
+              in_l, "b3.parquet", 20)
+    _one_file(_sentinel("purchase_event_id", hi + 2 * day_us),
+              in_r, "b3.parquet", 20)
+    _one_file(_sentinel("view_event_id", hi + 4 * day_us),
+              in_l, "b4.parquet", 30)
+    _one_file(_sentinel("purchase_event_id", hi + 4 * day_us),
+              in_r, "b4.parquet", 30)
+
+    ls = spark.readStream.schema(
+        "view_event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", "1").parquet(in_l)
+    rs = spark.readStream.schema(
+        "purchase_event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", "1").parquet(in_r)
+    joined = interval_stream_join(
+        ls, rs, key="user_id", left_ts="ts", right_ts="ts",
+        upper="1 hour", how="full_outer",
+    )
+    out_dir = os.path.join(work, "out")
+    q = run_stream_join(joined, out_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).where(
+        F.coalesce(F.col("user_id"), F.col("user_id_r")) >= 0
+    )
+    return out.select(
+        "view_event_id", "purchase_event_id",
+        F.coalesce(F.col("user_id"), F.col("user_id_r")).alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("v_us"),
+        F.unix_micros(F.col("ts_r")).alias("p_us"),
+    )
+
+
+_Q182_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type <> 'purchase'
+),
+p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.view_event_id, p.purchase_event_id,
+       COALESCE(v.user_id, p.user_id) AS user_id, v.v_us, p.p_us
+FROM v FULL JOIN p
+  ON p.user_id = v.user_id
+ AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10733,6 +10851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_route_similarity": q179_route_similarity,
         "q180_stream_anti_join": q180_stream_anti_join,
         "q181_snapshot_history": q181_snapshot_history,
+        "q182_stream_full_outer_join": q182_stream_full_outer_join,
     }
 
 
@@ -10843,6 +10962,7 @@ def oracle_sql() -> dict[str, str]:
         "q179_route_similarity": _q179_oracle(),
         "q180_stream_anti_join": _Q180_ORACLE,
         "q181_snapshot_history": _Q181_ORACLE,
+        "q182_stream_full_outer_join": _Q182_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -64,6 +64,16 @@ def interval_stream_join(
     q125 / tests/test_streaming.py pin the timing). State stays exactly
     as finite as the inner join's: the null emission happens at the same
     instant eviction does.
+
+    ``how='full_outer'`` adds the symmetric regime (q182): an unmatched
+    RIGHT row emits WITH NULL left columns once the watermark passes its
+    own eviction point — the interval implies ``left_ts`` within
+    ``[right_ts - upper, right_ts]``, so a right row's future-match
+    window closes when the watermark passes ``right_ts`` (one ``upper``
+    EARLIER than the left side's ``left_ts + upper`` release: the two
+    null streams drain at different watermarks, which is why drain
+    harnesses push sentinels on BOTH inputs). Drained set equals the
+    batch FULL OUTER interval join; the state bound is unchanged.
     """
     l = left.withWatermark(left_ts, left_delay)
     r = right.withWatermark(right_ts, right_delay)

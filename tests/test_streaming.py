@@ -900,6 +900,87 @@ def test_stream_left_outer_join_null_timing_and_drain(spark, tmp_path):
     assert got2 == {(1, 101), (4, 102), (2, None)}
 
 
+def test_stream_full_outer_join_drains_both_null_sides(spark, tmp_path):
+    """Full-outer stream-stream join (q182): BOTH unmatched sides emit
+    NULL rows, each timed by its own eviction watermark — an unmatched
+    right row's window closes at right_ts (one ``upper`` earlier than
+    the left's left_ts + upper release). Held mid-stream, flushed by
+    sentinel pushes on both inputs; drained set == batch FULL OUTER
+    interval join, matches emit exactly once, no sentinel leak."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.streaming import interval_stream_join, run_stream_join
+
+    T0 = 1_700_000_000_000_000
+    MIN = 60 * 1_000_000
+    DAY = 86_400 * 1_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts_us long, k long"
+        ).select("id", F.timestamp_micros("ts_us").alias("ts"), "k")
+
+    base = time.time()
+
+    def stage(rows, dest_dir, name, bump):
+        df = mk(rows)
+        tmp = str(tmp_path / f"_s_{os.path.basename(dest_dir)}_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (base + bump, base + bump))
+
+    in_l = str(tmp_path / "l"); os.makedirs(in_l)
+    in_r = str(tmp_path / "r"); os.makedirs(in_r)
+    # left b1: v1 matched in-batch; v2 never matched; v4 matched
+    # cross-batch by a batch-2 purchase
+    stage([(1, T0, 1), (2, T0 + MIN, 2), (4, T0 + 5 * MIN, 3)],
+          in_l, "b1.parquet", 0)
+    # right b1: p101 matches v1; p103 has no left with its key — the
+    # right-null regime under test
+    stage([(101, T0 + 30 * MIN, 1), (103, T0 + 10 * MIN, 9)],
+          in_r, "b1.parquet", 0)
+    # right b2: p102 matches v4 cross-batch
+    stage([(102, T0 + 40 * MIN, 3)], in_r, "b2.parquet", 10)
+
+    def run():
+        ls = spark.readStream.schema("id long, ts timestamp, k long") \
+            .option("maxFilesPerTrigger", "1").parquet(in_l)
+        rs = spark.readStream.schema("id long, ts timestamp, k long") \
+            .option("maxFilesPerTrigger", "1").parquet(in_r) \
+            .withColumnRenamed("id", "rid")
+        j = interval_stream_join(
+            ls, rs, key="k", left_ts="ts", right_ts="ts",
+            upper="45 minutes", how="full_outer",
+        )
+        q = run_stream_join(j, str(tmp_path / "out"), str(tmp_path / "ck"))
+        q.awaitTermination()
+        return {(r.id, r.rid)
+                for r in spark.read.parquet(str(tmp_path / "out"))
+                .where(F.coalesce("k", "k_r") >= 0).collect()}
+
+    got1 = run()
+    # matches emit when both rows land; both null regimes are HELD —
+    # the global watermark is still behind every eviction point
+    assert (1, 101) in got1 and (4, 102) in got1
+    assert (2, None) not in got1 and (None, 103) not in got1
+
+    # sentinels on BOTH inputs push the watermark past every row's
+    # reach; the second batch drains what the first's watermark released
+    stage([(-1, T0 + 2 * DAY, -1)], in_l, "b3.parquet", 20)
+    stage([(-1, T0 + 2 * DAY, -1)], in_r, "b3.parquet", 20)
+    stage([(-2, T0 + 4 * DAY, -2)], in_l, "b4.parquet", 30)
+    stage([(-2, T0 + 4 * DAY, -2)], in_r, "b4.parquet", 30)
+    got2 = run()
+    assert got2 == {(1, 101), (4, 102), (2, None), (None, 103)}
+
+
 def test_stream_snapshot_append_exactly_once_and_incremental(
         spark, stream_dirs, tmp_path):
     """Kappa wiring: a file stream appends into the snapshot table via
