@@ -10605,6 +10605,91 @@ FROM v FULL JOIN p
 """
 
 
+# --------------------------------------------------------------- q183
+
+def q183_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partition transforms on the snapshot table format
+    (sources/tables.py:snapshot_create(partition_transform=…) —
+    Iceberg-spec bucket[N] and truncate[W]): the table partitions on a
+    value DERIVED from a source column, writers compute it, and reads
+    prune files from predicates on the SOURCE column — the caller never
+    names a partition. Two tables over the events facts:
+
+    - bucket(8, user_id): point lookups on three users — the layout
+      min/max stats can never prune (every bucket file's user_id range
+      spans the table; the TRANSFORM prunes to 1 bucket in 8).
+    - truncate(100, event_id): a range probe — truncate is monotone on
+      ints, so [lo, hi] maps to the partition interval
+      [trunc(lo), trunc(hi)] driver-side.
+
+    Both tables take a create + append (the append INHERITS the
+    transform — partition specs are table properties). Pruning is
+    lossless, so the oracle states the plain predicates over events;
+    file-skip counts are pinned by tests/test_tables.py, not asserted
+    here (the snapshot_files discipline). Bucket hash = md5-prefix
+    int64 mod N (synth.py's portable hash; Iceberg specifies murmur3 —
+    an implementation detail swapped for the one hash engine, oracle
+    and driver all mirror)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q183")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+
+    pa = os.path.join(work, "by_user_bucket")
+    T.snapshot_create(even, pa, partition_transform=("bucket", 8, "user_id"))
+    T.snapshot_append(odd, pa)
+    pb = os.path.join(work, "by_id_trunc")
+    T.snapshot_create(even, pb, partition_transform=("truncate", 100,
+                                                     "event_id"))
+    T.snapshot_append(odd, pb)
+
+    out = None
+    for u in (3, 7, 11):
+        part = (
+            T.read_snapshot(spark, pa, where_eq=[("user_id", u)])
+            .where(F.col("user_id") == u)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("cents").alias("s"))
+            .select(F.lit(f"bucket_u{u}").alias("regime"), "n", "s")
+        )
+        out = part if out is None else out.unionByName(part)
+    rng = (
+        T.read_snapshot(spark, pb, where=[("event_id", 250, 649)])
+        .where(F.col("event_id").between(250, 649))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("cents").alias("s"))
+        .select(F.lit("trunc_range").alias("regime"), "n", "s")
+    )
+    return out.unionByName(rng)
+
+
+_Q183_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT 'bucket_u3' AS regime, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS s
+FROM e WHERE user_id = 3
+UNION ALL
+SELECT 'bucket_u7', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM e WHERE user_id = 7
+UNION ALL
+SELECT 'bucket_u11', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM e WHERE user_id = 11
+UNION ALL
+SELECT 'trunc_range', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+FROM e WHERE event_id BETWEEN 250 AND 649
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10852,6 +10937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_stream_anti_join": q180_stream_anti_join,
         "q181_snapshot_history": q181_snapshot_history,
         "q182_stream_full_outer_join": q182_stream_full_outer_join,
+        "q183_hidden_partitioning": q183_hidden_partitioning,
     }
 
 
@@ -10963,6 +11049,7 @@ def oracle_sql() -> dict[str, str]:
         "q180_stream_anti_join": _Q180_ORACLE,
         "q181_snapshot_history": _Q181_ORACLE,
         "q182_stream_full_outer_join": _Q182_ORACLE,
+        "q183_hidden_partitioning": _Q183_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -423,7 +423,8 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
             schema: dict | None = None,
             bloom_cols: list[str] | None = None,
             deletes: list[dict] | None = None,
-            publish: bool = True) -> int:
+            publish: bool = True,
+            transform: dict | None = None) -> int:
     """Steps (2)+(3) of the protocol: atomic manifest, then repoint.
 
     Every entry (data file or equality-delete file) is stamped with the
@@ -461,6 +462,7 @@ def _commit(path: str, files: list[dict], partition_col: str | None,
         "committed_at_us": max(int(_time.time() * 1_000_000),
                                prev_ts + 1),
         "partition_col": partition_col,
+        "partition_transform": transform,
         "commit_id": commit_id,
         "schema": schema,
         "bloom_cols": bloom_cols,
@@ -508,6 +510,91 @@ def _require_single_spec(man: dict, op: str) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# hidden partition transforms (Iceberg spec "Partition Transforms":
+# bucket[N] and truncate[W]) — the table partitions on a value DERIVED
+# from a source column; writers compute it automatically and readers
+# prune files from predicates on the SOURCE column, never naming the
+# partition (the "hidden" in hidden partitioning). V1 scope: transforms
+# are declared at snapshot_create and supported by append / read /
+# prune / compact / row-level deletes; partition-bounded rewrites
+# (upsert, merge, evolution, rewrite_*) REFUSE — they reason in terms
+# of caller-supplied partition columns, which a transformed table
+# deliberately hides.
+
+
+def _parse_transform(spec) -> dict:
+    """Validate a ``(kind, n, source)`` transform spec tuple."""
+    try:
+        kind, n, source = spec
+    except (TypeError, ValueError):
+        raise ValueError(
+            "partition_transform must be a (kind, n, source_col) tuple, "
+            "e.g. ('bucket', 8, 'user_id') or ('truncate', 1000, 'id')"
+        ) from None
+    if kind not in ("bucket", "truncate"):
+        raise ValueError(f"unknown partition transform kind {kind!r} "
+                         "(supported: bucket, truncate)")
+    n = int(n)
+    if n <= 0:
+        raise ValueError(f"partition transform width/count must be "
+                         f"positive, got {n}")
+    return {"kind": kind, "n": n, "source": str(source)}
+
+
+def _transform_name(tr: dict) -> str:
+    """The derived partition-spec name recorded as partition_col —
+    never a real column name, so spec_col identity keeps working."""
+    return f"{tr['kind']}({tr['n']},{tr['source']})"
+
+
+def _transform_expr(tr: dict, src_type: str):
+    """Column computing each row's partition value under the transform.
+
+    bucket: md5-hex-prefix int64 of the string form, mod N — the one
+    portable string hash (synth.py's rule; Iceberg specifies murmur3,
+    an implementation detail this local format swaps for the hash both
+    engines and the driver can mirror). truncate: ints floor to a
+    multiple of W (toward -inf, Iceberg's contract — NOT Spark `div`);
+    strings keep the leading W characters."""
+    from pyspark.sql import functions as F
+
+    src = F.col(tr["source"])
+    n = int(tr["n"])
+    if tr["kind"] == "bucket":
+        h = F.conv(
+            F.substring(F.md5(src.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(n))
+    if src_type == "string":
+        return F.substring(src, 1, n)
+    return (src - F.pmod(src, F.lit(n))).cast("long")
+
+
+def _transform_value(tr: dict, v):
+    """Driver-side mirror of :func:`_transform_expr` for manifest
+    pruning — must agree with the executor expression bit-for-bit."""
+    n = int(tr["n"])
+    if tr["kind"] == "bucket":
+        import hashlib
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        return h % n
+    if isinstance(v, str):
+        return v[:n]
+    return int(v) - (int(v) % n)  # Python % floors, matching pmod
+
+
+def _require_no_transform(man: dict, op: str) -> None:
+    if man.get("partition_transform"):
+        raise ValueError(
+            f"{op} is not supported on a hidden-partition-transform "
+            "table (bucket/truncate spec): partition-bounded rewrites "
+            "reason in caller-visible partition columns, which the "
+            "transform hides; supported verbs are append, read, prune, "
+            "compact and row-level deletes"
+        )
+
+
 def _find_commit(path: str, commit_id: str) -> int | None:
     """Snapshot id already committed under commit_id, if any (replay)."""
     for sid in list_snapshots(path):
@@ -518,18 +605,29 @@ def _find_commit(path: str, commit_id: str) -> int | None:
 
 def _write_files(df: DataFrame, path: str,
                  partition_col: str | None,
-                 bloom_cols: list[str] | None = None) -> list[dict]:
+                 bloom_cols: list[str] | None = None,
+                 transform: dict | None = None) -> list[dict]:
     """Step (1): write df as immutable files under data/, grouped by
     partition value, and return their manifest entries. ONE Spark job:
     partitionBy on a DUPLICATE column so the partition column stays a
     real column inside every file (Iceberg-style — the manifest carries
-    the value for pruning, the file carries it for the scan)."""
+    the value for pruning, the file carries it for the scan). With a
+    hidden-partition ``transform`` the ``__pv`` column is DERIVED from
+    the transform's source column instead (and only the source column
+    lands in the data files — the derived value lives in the manifest
+    alone, Iceberg's hidden-partitioning contract)."""
     import pyarrow.parquet as _pq
     from urllib.parse import unquote as _unquote
 
     token = _uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging_{token}")
-    if partition_col is not None:
+    if transform is not None:
+        src_type = dict(df.dtypes)[transform["source"]]
+        (
+            df.withColumn("__pv", _transform_expr(transform, src_type))
+            .write.mode("overwrite").partitionBy("__pv").parquet(staging)
+        )
+    elif partition_col is not None:
         (
             df.withColumn("__pv", df[partition_col])
             .write.mode("overwrite").partitionBy("__pv").parquet(staging)
@@ -629,14 +727,28 @@ def _align(df: DataFrame, schema: dict | None,
 def snapshot_create(df: DataFrame, path: str,
                     partition_col: str | None = None,
                     commit_id: str | None = None,
-                    bloom_cols: list[str] | None = None) -> int:
+                    bloom_cols: list[str] | None = None,
+                    partition_transform: tuple | None = None) -> int:
     """Create the table: snapshot 0 holds df's rows. ``partition_col``
     (optional) sets the copy-on-write granularity for later upserts and
     the manifest's file-pruning key. ``bloom_cols`` (optional, a TABLE
     property inherited by every later commit) adds a per-file Bloom
     filter on each named int/string column — the point-lookup
     complement of the min/max stats: an equality predicate skips files
-    even when the table isn't clustered on the column."""
+    even when the table isn't clustered on the column.
+
+    ``partition_transform=(kind, n, source_col)`` declares HIDDEN
+    partitioning (Iceberg's bucket[N] / truncate[W] transforms,
+    mutually exclusive with ``partition_col``): writes derive each
+    row's partition from ``source_col`` automatically, and reads prune
+    files from ``where``/``where_eq`` predicates on the SOURCE column —
+    callers never name a partition value. ``('bucket', 8, 'user_id')``
+    hash-buckets point lookups (min/max stats can't prune a hash
+    layout; the transform can); ``('truncate', 1000, 'id')`` gives
+    range-prunable coarse bins (ints floor toward -inf, strings keep
+    the leading W chars). Source column must be integer or string. V1
+    verbs: append/read/prune/compact/deletes; upsert/merge/evolution/
+    rewrites refuse (q183; tests/test_tables.py)."""
     os.makedirs(path, exist_ok=True)
     if commit_id is not None:
         done = _find_commit(path, commit_id)
@@ -644,9 +756,31 @@ def snapshot_create(df: DataFrame, path: str,
             if current_snapshot(path) != done:
                 _point_current(path, done)
             return done
-    files = _write_files(df, path, partition_col, bloom_cols)
+    tr = None
+    if partition_transform is not None:
+        if partition_col is not None:
+            raise ValueError(
+                "partition_col and partition_transform are mutually "
+                "exclusive (the transform derives the partition)")
+        tr = _parse_transform(partition_transform)
+        dtypes = dict(df.dtypes)
+        if tr["source"] not in dtypes:
+            raise ValueError(
+                f"transform source column {tr['source']!r} is not in "
+                f"the DataFrame ({sorted(dtypes)})")
+        src_type = dtypes[tr["source"]]
+        if src_type != "string" and not src_type.startswith(
+                ("tinyint", "smallint", "int", "bigint")):
+            raise ValueError(
+                f"transform source column must be integer or string, "
+                f"got {src_type!r} (float partition values are not "
+                "engine-stable)")
+        partition_col = _transform_name(tr)
+    files = _write_files(df, path, partition_col, bloom_cols,
+                         transform=tr)
     return _commit(path, files, partition_col, None, commit_id,
-                   schema=_schema_dict(df), bloom_cols=bloom_cols)
+                   schema=_schema_dict(df), bloom_cols=bloom_cols,
+                   transform=tr)
 
 
 def snapshot_files(path: str, snapshot: int | None = None,
@@ -673,6 +807,45 @@ def snapshot_files(path: str, snapshot: int | None = None,
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, sid)
     files = man["files"]
+    tr = man.get("partition_transform")
+    if tr is not None:
+        # hidden-partition pruning: predicates on the transform's
+        # SOURCE column map through the transform driver-side. This is
+        # what stats can't do on a bucket layout (each bucket file's
+        # min/max spans the whole key range) and stays LOSSLESS: the
+        # transform is total, so every row matching the predicate lives
+        # in a kept partition. Old-spec files (none in V1 — transforms
+        # are create-only — but spec identity is cheap to honor) always
+        # survive. `where` ranges map only through truncate on
+        # NON-string sources (truncate is monotone on ints; a hash
+        # bucket has no order to exploit, and string prefix-ranges fall
+        # back to the per-file min/max stats below).
+        pcol = man["partition_col"]
+        for col, val in (where_eq or []):
+            if col != tr["source"]:
+                continue
+            want = str(_transform_value(tr, val))
+            files = [f for f in files
+                     if f.get("spec_col", pcol) != pcol
+                     or f["partition"] == want]
+        if tr["kind"] == "truncate":
+            for col, lo, hi in (where or []):
+                if col != tr["source"] or isinstance(lo, str) \
+                        or isinstance(hi, str):
+                    continue
+                lo_t = None if lo is None else _transform_value(tr, lo)
+                hi_t = None if hi is None else _transform_value(tr, hi)
+                kept = []
+                for f in files:
+                    if (f.get("spec_col", pcol) != pcol
+                            or f["partition"] is None):
+                        kept.append(f)
+                        continue
+                    p = int(f["partition"])
+                    if (lo_t is None or p >= lo_t) and \
+                            (hi_t is None or p <= hi_t):
+                        kept.append(f)
+                files = kept
     if partitions is not None:
         want = {str(v) for v in partitions}
         pcol = man["partition_col"]
@@ -987,7 +1160,8 @@ def snapshot_delete(path: str, key_col: str, keys: list,
     return _commit(path, man["files"], man["partition_col"], cur,
                    commit_id, schema=schema,
                    bloom_cols=man.get("bloom_cols"),
-                   deletes=list(man.get("deletes") or []) + [entry])
+                   deletes=list(man.get("deletes") or []) + [entry],
+                   transform=man.get("partition_transform"))
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
@@ -1116,7 +1290,8 @@ def snapshot_delete_positions(path: str, positions: list,
     return _commit(path, man["files"], man["partition_col"], cur,
                    commit_id, schema=man.get("schema"),
                    bloom_cols=man.get("bloom_cols"),
-                   deletes=list(man.get("deletes") or []) + [entry])
+                   deletes=list(man.get("deletes") or []) + [entry],
+                   transform=man.get("partition_transform"))
 
 
 def snapshot_metadata_agg(spark: SparkSession, path: str,
@@ -1309,11 +1484,13 @@ def snapshot_append(df: DataFrame, path: str,
         schema = _merged_schema(man.get("schema"), df)
         bloom_cols = man.get("bloom_cols")
         new_files = _write_files(df, path, man["partition_col"],
-                                 bloom_cols)
+                                 bloom_cols,
+                                 transform=man.get("partition_transform"))
         sid = _commit(path, man["files"] + new_files,
                       man["partition_col"], base, commit_id,
                       schema=schema, bloom_cols=bloom_cols,
-                      deletes=man.get("deletes"), publish=False)
+                      deletes=man.get("deletes"), publish=False,
+                      transform=man.get("partition_transform"))
         _point_branch(path, branch, sid)
         return sid
     if commit_id is not None:
@@ -1328,10 +1505,12 @@ def snapshot_append(df: DataFrame, path: str,
     man = _load_manifest(path, cur)
     schema = _merged_schema(man.get("schema"), df)
     bloom_cols = man.get("bloom_cols")
-    new_files = _write_files(df, path, man["partition_col"], bloom_cols)
+    new_files = _write_files(df, path, man["partition_col"], bloom_cols,
+                             transform=man.get("partition_transform"))
     return _commit(path, man["files"] + new_files, man["partition_col"],
                    cur, commit_id, schema=schema, bloom_cols=bloom_cols,
-                   deletes=man.get("deletes"), publish=publish)
+                   deletes=man.get("deletes"), publish=publish,
+                   transform=man.get("partition_transform"))
 
 
 def snapshot_upsert(updates: DataFrame, path: str, key: str,
@@ -1361,6 +1540,7 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    _require_no_transform(man, "snapshot_upsert")
     pcol = man["partition_col"]
     bloom_cols = man.get("bloom_cols")
     schema = _merged_schema(man.get("schema"), updates)
@@ -1442,6 +1622,7 @@ def snapshot_merge_into(source: DataFrame, path: str, key: str,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    _require_no_transform(man, "snapshot_merge_into")
     pcol = man["partition_col"]
     bloom_cols = man.get("bloom_cols")
     schema = _merged_schema(man.get("schema"), source)
@@ -1559,7 +1740,8 @@ def snapshot_compact(spark: SparkSession, path: str,
     return _commit(path, carried + new_files, man["partition_col"],
                    cur, None, schema=man.get("schema"),
                    bloom_cols=man.get("bloom_cols"),
-                   deletes=man.get("deletes"))
+                   deletes=man.get("deletes"),
+                   transform=man.get("partition_transform"))
 
 
 def snapshot_rollback(path: str, snapshot: int) -> int:
@@ -1613,6 +1795,7 @@ def snapshot_evolve_partition(path: str, new_col: str | None,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    _require_no_transform(man, "snapshot_evolve_partition")
     schema = man.get("schema")
     if new_col is not None and schema is not None:
         names = [f["name"] for f in schema.get("fields", [])]
@@ -1655,6 +1838,7 @@ def snapshot_rewrite_partitions(spark: SparkSession, path: str,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    _require_no_transform(man, "snapshot_rewrite_partitions")
     pcol = man["partition_col"]
     stale = [f for f in man["files"] if f.get("spec_col", pcol) != pcol]
     if not stale:
@@ -1707,6 +1891,7 @@ def snapshot_rewrite_sorted(spark: SparkSession, path: str,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    _require_no_transform(man, "snapshot_rewrite_sorted")
     total = sum(f["bytes"] for f in man["files"])
     n_files = max(1, math.ceil(total / target_bytes))
     from pyspark.sql import functions as F

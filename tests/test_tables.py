@@ -1092,3 +1092,94 @@ def test_snapshot_history_and_files_metadata_tables(spark, tmp_path):
     assert sorted(r.name for r in f) == sorted(man)
     assert sum(r.n_rows for r in f) == 35
     assert {r.seq for r in f} == {0, 2}
+
+
+def test_hidden_partition_transforms(spark, tmp_path):
+    """Iceberg-spec hidden partitioning (bucket[N] / truncate[W]):
+    writers derive the partition, reads prune from SOURCE-column
+    predicates (pinned skip counts), pruning is lossless, appends
+    inherit the transform, compaction works, and partition-bounded
+    rewrites refuse."""
+    import pytest
+
+    # bucket(4, k): point lookups prune to one bucket in four
+    pb = str(tmp_path / "bucket")
+    df = spark.range(0, 200).selectExpr("id", "id % 37 AS k", "id * 2 AS v")
+    T.snapshot_create(df.coalesce(1), pb,
+                      partition_transform=("bucket", 4, "k"))
+    T.snapshot_append(
+        spark.range(200, 300).selectExpr("id", "id % 37 AS k", "id * 2 AS v")
+        .coalesce(1), pb)
+    allf = T.snapshot_files(pb)
+    assert sorted({f["partition"] for f in allf}) == ["0", "1", "2", "3"]
+    assert len(allf) == 8  # 4 buckets x 2 commits (coalesced writes)
+    pruned = T.snapshot_files(pb, where_eq=[("k", 5)])
+    import hashlib
+    want = str(int(hashlib.md5(b"5").hexdigest()[:15], 16) % 4)
+    assert {f["partition"] for f in pruned} == {want} and len(pruned) == 2
+    got = (T.read_snapshot(spark, pb, where_eq=[("k", 5)])
+           .where("k = 5").count())
+    assert got == sum(1 for i in range(300) if i % 37 == 5)
+    # an eq predicate on a NON-source column does not transform-prune
+    assert len(T.snapshot_files(pb, where_eq=[("v", 10)])) == 8
+    # bucket hash destroys order: a RANGE on the source must not prune
+    assert len(T.snapshot_files(pb, where=[("k", 5, 6)])) == 8
+
+    # truncate(100, id) on ints: floor toward -inf (negative ids), and
+    # ranges map to the partition interval [trunc(lo), trunc(hi)]
+    pt = str(tmp_path / "trunc")
+    T.snapshot_create(
+        spark.range(-250, 250).selectExpr("id", "id * 3 AS v").coalesce(1),
+        pt, partition_transform=("truncate", 100, "id"))
+    assert sorted({f["partition"] for f in T.snapshot_files(pt)},
+                  key=int) == ["-300", "-200", "-100", "0", "100", "200"]
+    pr = T.snapshot_files(pt, where=[("id", -150, -20)])
+    assert sorted({f["partition"] for f in pr}, key=int) == ["-200", "-100"]
+    got = (T.read_snapshot(spark, pt, where=[("id", -150, -20)])
+           .where("id BETWEEN -150 AND -20").count())
+    assert got == 131
+    # open-ended range: only the bounded side prunes
+    assert sorted({f["partition"]
+                   for f in T.snapshot_files(pt, where=[("id", 120, None)])},
+                  key=int) == ["100", "200"]
+
+    # truncate on strings: leading-W-chars prefix partitions
+    ps = str(tmp_path / "strtrunc")
+    sdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["apple", "apric", "banan", "bandy",
+                                       "cherr"] * 4)],
+        "id long, s string")
+    T.snapshot_create(sdf.coalesce(1), ps,
+                      partition_transform=("truncate", 2, "s"))
+    pr = T.snapshot_files(ps, where_eq=[("s", "banan")])
+    assert {f["partition"] for f in pr} == {"ba"}
+    assert (T.read_snapshot(spark, ps, where_eq=[("s", "banan")])
+            .where("s = 'banan'").count()) == 4
+
+    # partition-bounded rewrites refuse on a transformed table
+    one = df.limit(1)
+    for op in (lambda: T.snapshot_upsert(one, pb, "id"),
+               lambda: T.snapshot_merge_into(one, pb, "id"),
+               lambda: T.snapshot_evolve_partition(pb, "v"),
+               lambda: T.snapshot_rewrite_sorted(spark, pb, "id"),
+               lambda: T.snapshot_rewrite_partitions(spark, pb)):
+        with pytest.raises(ValueError, match="hidden-partition-transform"):
+            op()
+
+    # compaction bin-packs within derived partitions and keeps pruning
+    for i in range(3):
+        T.snapshot_append(
+            spark.range(300 + i, 301 + i)
+            .selectExpr("id", "id % 37 AS k", "id * 2 AS v"), pb)
+    T.snapshot_compact(spark, pb, target_bytes=1 << 20)
+    assert T.read_snapshot(spark, pb).count() == 303
+    pruned = T.snapshot_files(pb, where_eq=[("k", 5)])
+    assert {f["partition"] for f in pruned} == {want} and len(pruned) == 1
+    # transforms are declared at create, not alongside partition_col
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        T.snapshot_create(df, str(tmp_path / "x"), partition_col="k",
+                          partition_transform=("bucket", 4, "k"))
+    with pytest.raises(ValueError, match="integer or string"):
+        T.snapshot_create(df.selectExpr("id", "id * 0.5 AS f"),
+                          str(tmp_path / "y"),
+                          partition_transform=("bucket", 4, "f"))
