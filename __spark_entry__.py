@@ -10690,6 +10690,56 @@ FROM e WHERE event_id BETWEEN 250 AND 649
 """
 
 
+# --------------------------------------------------------------- q184
+
+def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by quantized PMI (operators/text.py:
+    pmi_collocations — Church & Hanks 1990): adjacent-token pairs
+    scored by how far their co-occurrence exceeds the unigram
+    marginals. The oracle mirrors the tokenizer (q128 \\s+ split — the
+    tokenizer-per-stage rule), the adjacency pair extraction (the q93
+    subscript self-join restatement of the engine's array zip), the
+    min_pair=2 hapax prune, the two marginal joins, and the factored
+    integer score flog2(n_pair) + flog2(total) − flog2(n1) − flog2(n2)
+    term-for-term via the format('{:b}') bit-length idiom — every
+    column a pure integer function of counts, bit-exact both engines.
+    At sf0.001: 907 pairs, qpmi spread 0..8 (both prune paths
+    exercised)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.text import pmi_collocations
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pmi_collocations(docs, min_pair=2)
+
+
+_Q184_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+pairs AS (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM flat GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM flat)
+SELECT p.w1, p.w2, p.n_pair, u1.n AS n1, u2.n AS n2, t.total,
+       CAST((length(format('{:b}', p.n_pair)) - 1)
+          + (length(format('{:b}', t.total)) - 1)
+          - (length(format('{:b}', u1.n)) - 1)
+          - (length(format('{:b}', u2.n)) - 1) AS BIGINT) AS qpmi
+FROM pairs p
+JOIN uni u1 ON u1.tok = p.w1
+JOIN uni u2 ON u2.tok = p.w2
+CROSS JOIN tot t
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10938,6 +10988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_snapshot_history": q181_snapshot_history,
         "q182_stream_full_outer_join": q182_stream_full_outer_join,
         "q183_hidden_partitioning": q183_hidden_partitioning,
+        "q184_pmi_collocations": q184_pmi_collocations,
     }
 
 
@@ -11050,6 +11101,7 @@ def oracle_sql() -> dict[str, str]:
         "q181_snapshot_history": _Q181_ORACLE,
         "q182_stream_full_outer_join": _Q182_ORACLE,
         "q183_hidden_partitioning": _Q183_ORACLE,
+        "q184_pmi_collocations": _Q184_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

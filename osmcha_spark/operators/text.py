@@ -833,3 +833,75 @@ def vocab_growth(
             F.sum("toks").over(w).cast("long").alias("cum_toks"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_pair: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    adjacent token pairs (Church & Hanks 1990) — the phrase-mining
+    rung of the text family: which word pairs co-occur far more often
+    than their marginals predict ("new york", "machine learning"),
+    feeding tokenizer vocab curation and boilerplate phrase lists.
+
+    Tokenizer: :func:`tokens_col` (the q128 lowercased ``\\s+`` split).
+    Counts are corpus-wide token OCCURRENCES (not doc-distinct —
+    PMI's probability model wants occurrence frequencies):
+    ``n_pair`` = times (w1, w2) appear adjacent, ``n1``/``n2`` = the
+    words' unigram counts, ``total`` = corpus token count. The exact
+    rational parts ship in the output (callers divide at the edge,
+    the q174/q177 pattern) plus the integer-quantized score
+
+        qpmi = flog2(n_pair) + flog2(total) - flog2(n1) - flog2(n2)
+
+    — floor-log2 of each FACTOR separately, never of a product, so
+    there is NO overflow at any corpus size (n_pair·total would pass
+    2^62 near 2^31 tokens; the factored form never multiplies). It is
+    within 2 of floor(log2 PMI) and a pure integer function of
+    counts, so engine and oracle agree bit-for-bit (the q128/q140
+    integer-quantization move; rank ties broken by the exact
+    rationals when callers need them).
+
+    ``min_pair`` prunes hapax pairs BEFORE the marginal joins — the
+    Zipf tail is most of the pair vocabulary, and dropping it early is
+    what keeps the joins pair-VOCABULARY-scale.
+
+    Scale shape: one pass over token occurrences builds pairs (array
+    zip JVM-side, explode, map-side-combined groupBy) and one builds
+    unigrams; the two marginal equi-joins run on the pruned pair
+    vocabulary (≪ occurrences); ``total`` is a one-row broadcast. No
+    UDF, no all-pairs, nothing quadratic anywhere.
+    """
+    ts = tokens_col(F.col(text_col))
+    n = F.size(ts)
+    pair_arr = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        docs.select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_pair))
+    )
+    uni = (
+        docs.select(F.explode(ts).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        pairs.join(uni.withColumnsRenamed({"tok": "w1", "n": "n1"}), "w1")
+        .join(uni.withColumnsRenamed({"tok": "w2", "n": "n2"}), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n_pair", "n1", "n2", "total",
+            (flog2_col(F.col("n_pair")) + flog2_col(F.col("total"))
+             - flog2_col(F.col("n1")) - flog2_col(F.col("n2")))
+            .cast("long").alias("qpmi"),
+        )
+    )

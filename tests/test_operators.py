@@ -3310,3 +3310,26 @@ def test_route_similarity_sets_and_threshold(spark):
                                      order_col="event_id").collect()}
     # user 1 transitions: {A->B, B->C, C->A} (revisit deduped) na=3
     assert out == {(1, 2): (2, 3, 2)}
+
+
+def test_pmi_collocations_hand_counts(spark):
+    """Hand corpus: occurrence counting (not doc-distinct), the hapax
+    prune, and the factored flog2 score term-for-term."""
+    from osmcha_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y z w"), (1, "x y z x q w")],
+        "doc_id long, text string")
+    out = {(r.w1, r.w2): (r.n_pair, r.n1, r.n2, r.total, r.qpmi)
+           for r in pmi_collocations(docs, min_pair=2).collect()}
+    # "x y" adjacent 3x; x occurs 4, y occurs 3, 12 tokens total:
+    # qpmi = flog2(3)+flog2(12)-flog2(4)-flog2(3) = 1+3-2-1 = 1
+    assert out == {
+        ("x", "y"): (3, 4, 3, 12, 1),
+        ("y", "z"): (2, 3, 2, 12, 2),
+    }
+    # hapax pairs ("y x", "z w", "z x", "x q", "q w") are pruned;
+    # min_pair=1 admits them with exact counts
+    all_pairs = {(r.w1, r.w2): r.n_pair
+                 for r in pmi_collocations(docs, min_pair=1).collect()}
+    assert all_pairs[("y", "x")] == 1 and len(all_pairs) == 7
