@@ -10740,6 +10740,84 @@ CROSS JOIN tot t
 """
 
 
+# --------------------------------------------------------------- q185
+
+def q185_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k spatially distinctive comment terms per grid cell
+    (operators/tiles.py:distinctive_terms — the cross-modal text×tiling
+    rung): changeset comments assigned to level-5 cells by bbox
+    centroid, per-(cell, token) lift against the corpus-wide token
+    marginals via the q184 factored flog2 quantization, top-3 per cell
+    under the deterministic (qlift DESC, n_ct DESC, tok) order. The
+    synth comment pool and the bbox hotspots both derive from h1, so
+    spatial term skew exists by construction; the oracle mirrors the
+    centroid arithmetic, the axis quantization (_axis_sql), the q128
+    tokenizer, the min_count=2 prune, both marginal rollups, the
+    format('{:b}') flog2 idiom and the row_number window term-for-term
+    — every output column integer, bit-exact both engines."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import distinctive_terms
+
+    cs = synth.changesets_df(spark, sf_dir)
+    cm = F.col("tags")["comment"]  # changesets_df folds flats into tags
+    pts = cs.where(
+        cm.isNotNull() & F.col("min_lon").isNotNull()
+    ).select(
+        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("lon"),
+        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("lat"),
+        cm.alias("comment"),
+    )
+    return distinctive_terms(pts, level=5, k=3, min_count=2,
+                             text_col="comment")
+
+
+def _q185_oracle() -> str:
+    from osmcha_spark.geo.cells import _axis_sql
+
+    cs = synth.changesets_sql(D)
+    xs = _axis_sql("(min_lon + max_lon) / 2", 180.0, 360.0, 5)
+    ys = _axis_sql("(min_lat + max_lat) / 2", 90.0, 180.0, 5)
+    return rf"""
+WITH cs AS ({cs}),
+pts AS (
+  SELECT ({xs}) AS x, ({ys}) AS y,
+         list_filter(string_split_regex(lower(comment), '\s+'),
+                     t -> t <> '') AS ts
+  FROM cs WHERE comment IS NOT NULL AND min_lon IS NOT NULL
+),
+occ AS (SELECT x, y, unnest(ts) AS tok FROM pts),
+ct_all AS (
+  SELECT x, y, tok, CAST(count(*) AS BIGINT) AS n_ct
+  FROM occ GROUP BY 1, 2, 3
+),
+nc AS (SELECT x, y, CAST(sum(n_ct) AS BIGINT) AS n_c
+       FROM ct_all GROUP BY 1, 2),
+nt AS (SELECT tok, CAST(sum(n_ct) AS BIGINT) AS n_t
+       FROM ct_all GROUP BY 1),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM nt),
+scored AS (
+  SELECT c.x, c.y, c.tok, c.n_ct, nc.n_c, nt.n_t, t.total,
+         CAST((length(format('{{:b}}', c.n_ct)) - 1)
+            + (length(format('{{:b}}', t.total)) - 1)
+            - (length(format('{{:b}}', nt.n_t)) - 1)
+            - (length(format('{{:b}}', nc.n_c)) - 1) AS BIGINT) AS qlift
+  FROM ct_all c
+  JOIN nc ON nc.x = c.x AND nc.y = c.y
+  JOIN nt ON nt.tok = c.tok
+  CROSS JOIN tot t
+  WHERE c.n_ct >= 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY x, y ORDER BY qlift DESC, n_ct DESC, tok
+    ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT x, y, tok, n_ct, n_c, n_t, total, qlift, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -10989,6 +11067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_stream_full_outer_join": q182_stream_full_outer_join,
         "q183_hidden_partitioning": q183_hidden_partitioning,
         "q184_pmi_collocations": q184_pmi_collocations,
+        "q185_distinctive_terms": q185_distinctive_terms,
     }
 
 
@@ -11102,6 +11181,7 @@ def oracle_sql() -> dict[str, str]:
         "q182_stream_full_outer_join": _Q182_ORACLE,
         "q183_hidden_partitioning": _Q183_ORACLE,
         "q184_pmi_collocations": _Q184_ORACLE,
+        "q185_distinctive_terms": _q185_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

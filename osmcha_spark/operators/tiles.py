@@ -1849,3 +1849,75 @@ def route_similarity(
               ["u2"], "inner")
         .select("u1", "u2", "inter", "na", "nb")
     )
+
+
+def distinctive_terms(
+    points: DataFrame,
+    level: int = 5,
+    k: int = 3,
+    min_count: int = 2,
+    text_col: str = "caption",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Top-k spatially DISTINCTIVE terms per grid cell — "which words
+    does this place use more than the map does": the cross-modal
+    (text × tiling) rung that labels hotspot cells with what is being
+    said there (suspect-word clusters get their q118 density surface;
+    this op tells an analyst the un-listed phrases that characterize a
+    cell). Per (cell, token) occurrence count ``n_ct``, cell token mass
+    ``n_c``, corpus token count ``n_t`` and ``total``, scored with the
+    q184 factored quantization
+
+        qlift = flog2(n_ct) + flog2(total) - flog2(n_t) - flog2(n_c)
+
+    (floor-log2 per FACTOR — no products, no overflow at any corpus
+    size, bit-exact in both engines) and ranked per cell by
+    (qlift DESC, n_ct DESC, tok ASC) — a deterministic total order —
+    keeping ``rnk <= k``. Tokenizer: text.tokens_col (the q128 ``\\s+``
+    split); grid: the Morton axis quantization (geo/cells.py), same as
+    focal_sum. ``min_count`` prunes hapax (cell, token) pairs BEFORE the
+    marginal joins, the q184 Zipf-tail move.
+
+    Scale shape: everything after the first map-side-combined
+    (x, y, tok) rollup runs at cell×vocab scale, orders of magnitude
+    below token occurrences; the marginals are two more combined
+    groupBys OF THAT TABLE (no second pass over occurrences); the
+    top-k window partitions by cell over the pruned scored table.
+    """
+    from osmcha_spark.geo.cells import _axis_col
+    from osmcha_spark.operators.text import flog2_col, tokens_col
+
+    x = _axis_col(F.col(lon_col), 180.0, 360.0, level)
+    y = _axis_col(F.col(lat_col), 90.0, 180.0, level)
+    occ = points.where(F.col(text_col).isNotNull()).select(
+        x.alias("x"), y.alias("y"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    ct_all = occ.groupBy("x", "y", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ct"))
+    n_c = ct_all.groupBy("x", "y").agg(
+        F.sum("n_ct").cast("long").alias("n_c"))
+    n_t = ct_all.groupBy("tok").agg(
+        F.sum("n_ct").cast("long").alias("n_t"))
+    tot = n_t.agg(F.sum("n_t").cast("long").alias("total"))
+    scored = (
+        ct_all.where(F.col("n_ct") >= int(min_count))
+        .join(n_c, ["x", "y"])
+        .join(n_t, ["tok"])
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "qlift",
+            (flog2_col(F.col("n_ct")) + flog2_col(F.col("total"))
+             - flog2_col(F.col("n_t")) - flog2_col(F.col("n_c")))
+            .cast("long"),
+        )
+    )
+    w = Window.partitionBy("x", "y").orderBy(
+        F.col("qlift").desc(), F.col("n_ct").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= int(k))
+        .select("x", "y", "tok", "n_ct", "n_c", "n_t", "total",
+                "qlift", "rnk")
+    )

@@ -3333,3 +3333,35 @@ def test_pmi_collocations_hand_counts(spark):
     all_pairs = {(r.w1, r.w2): r.n_pair
                  for r in pmi_collocations(docs, min_pair=1).collect()}
     assert all_pairs[("y", "x")] == 1 and len(all_pairs) == 7
+
+
+def test_distinctive_terms_planted_cells(spark):
+    """Planted 3-cell corpus: per-cell lift pencil arithmetic, the
+    min_count prune, and the deterministic (qlift, n_ct, tok) rank
+    order incl. the alphabetical tie-break."""
+    from osmcha_spark.operators.tiles import distinctive_terms
+
+    rows = [
+        # cell A (lon -170): alpha x3, beta, gamma -> n_c = 5
+        (-170.0, 0.0, "alpha alpha beta"),
+        (-170.0, 0.0, "alpha gamma"),
+        # cell B (lon +170): beta x2, gamma -> n_c = 3
+        (170.0, 0.0, "beta beta gamma"),
+        # cell C (lon 0): x2 y2 -> exact qlift tie, tok breaks it
+        (0.0, 0.0, "x x y y"),
+    ]
+    docs = spark.createDataFrame(rows, "lon double, lat double, text string")
+    out = distinctive_terms(docs, level=5, k=3, min_count=2,
+                            text_col="text")
+    got = {(r.x, r.tok): (r.n_ct, r.n_c, r.n_t, r.total, r.qlift, r.rnk)
+           for r in out.collect()}
+    xs = sorted({x for x, _ in got})
+    a, c, b = xs[0], xs[1], xs[2]
+    # total = 12 tokens; hapax (cell, tok) pairs pruned everywhere
+    assert got[(a, "alpha")] == (3, 5, 3, 12, 1 + 3 - 1 - 2, 1)
+    assert got[(b, "beta")] == (2, 3, 3, 12, 1 + 3 - 1 - 1, 1)
+    # exact tie in cell C: qlift(x) == qlift(y) == 1, n_ct equal ->
+    # alphabetical tok order decides the rank
+    assert got[(c, "x")] == (2, 4, 2, 12, 1, 1)
+    assert got[(c, "y")] == (2, 4, 2, 12, 1, 2)
+    assert len(got) == 4  # nothing else survives min_count
