@@ -987,3 +987,38 @@ def test_radius_anti_join_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pmi_collocations_plan_shape(spark):
+    """pmi_collocations (q184) plan contract: pure Catalyst (no Python
+    eval), the total is a broadcast (one BroadcastExchange), the
+    marginal joins are hash equi-joins (no cartesian beyond the one-row
+    broadcast product), and both count rollups run map-side combined
+    (>= 4 HashAggregates: partial+final for pairs and unigrams)."""
+    from osmcha_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    plan = _plan(pmi_collocations(docs, min_pair=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_distinctive_terms_plan_shape(spark):
+    """distinctive_terms (q185) plan contract: no Python eval, no
+    cartesian beyond the one-row total broadcast, marginals as
+    map-side-combined HashAggregates over the (cell, tok) rollup, and
+    the per-cell top-k as a Window (with the rnk <= k filter pushed
+    as WindowGroupLimit where the runtime supports it)."""
+    from osmcha_spark.operators.tiles import distinctive_terms
+
+    docs = spark.createDataFrame([(0.0, 0.0, "a b a")],
+                                 "lon double, lat double, text string")
+    plan = _plan(distinctive_terms(docs, level=5, k=3, min_count=2,
+                                   text_col="text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan
