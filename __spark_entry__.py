@@ -10818,6 +10818,92 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+# --------------------------------------------------------------- q186
+
+_Q186_R = 250   # snap radius (units)
+_Q186_B = 500   # bucket: >= max segment extent (200) + radius (250)
+
+
+def q186_snap_to_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-segment snap / map-matching primitive (operators/
+    tiles.py:snap_to_segments): derived integer road segments (one per
+    part, extents <= 200/axis) and probe points (one per customer) in a
+    shared ±8000×±4000 box; each point snaps to its closest segment
+    within 250 units under the exact integer point-to-segment geometry
+    (endpoint cases exact; the interior cross²/len2 rational FLOOR-
+    quantized to 1 unit² — nonnegative, so Spark div ≡ DuckDB // ≡
+    floor). Winner = min (d2q, u, o) tuple, a deterministic total
+    order. The engine joins on lossless 3×3 min-corner buckets
+    (bucket 500 >= extent + radius, the q176 rule); the oracle is the
+    DEFINITIONAL all-pairs CASE distance + row_number argmin —
+    affordable at gate SF exactly because the engine never does it."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import snap_to_segments
+
+    h1 = synth.hash_of("p_partkey", "rx", synth.SPARK)
+    h2 = synth.hash_of("p_partkey", "ry", synth.SPARK)
+    h3 = synth.hash_of("p_partkey", "rex", synth.SPARK)
+    h4 = synth.hash_of("p_partkey", "rey", synth.SPARK)
+    roads = spark.sql(f"""
+SELECT p_partkey AS u, CAST(1 AS BIGINT) AS o,
+       (({h1}) % 16001) - 8000 AS x1,
+       (({h2}) % 8001) - 4000 AS y1,
+       ((({h1}) % 16001) - 8000) + (({h3}) % 401) - 200 AS x2,
+       ((({h2}) % 8001) - 4000) + (({h4}) % 401) - 200 AS y2
+FROM part
+""")
+    c1 = synth.hash_of("c_custkey", "px", synth.SPARK)
+    c2 = synth.hash_of("c_custkey", "py", synth.SPARK)
+    pts = spark.sql(f"""
+SELECT c_custkey AS pid,
+       (({c1}) % 16001) - 8000 AS x,
+       (({c2}) % 8001) - 4000 AS y
+FROM customer
+""")
+    return snap_to_segments(pts, roads, radius=_Q186_R, bucket=_Q186_B)
+
+
+def _q186_oracle() -> str:
+    h1 = synth.hash_of("p_partkey", "rx", D)
+    h2 = synth.hash_of("p_partkey", "ry", D)
+    h3 = synth.hash_of("p_partkey", "rex", D)
+    h4 = synth.hash_of("p_partkey", "rey", D)
+    c1 = synth.hash_of("c_custkey", "px", D)
+    c2 = synth.hash_of("c_custkey", "py", D)
+    r2 = _Q186_R * _Q186_R
+    return f"""
+WITH roads AS (
+  SELECT p_partkey AS u, CAST(1 AS BIGINT) AS o,
+         (({h1}) % 16001) - 8000 AS x1,
+         (({h2}) % 8001) - 4000 AS y1,
+         ((({h1}) % 16001) - 8000) + (({h3}) % 401) - 200 AS x2,
+         ((({h2}) % 8001) - 4000) + (({h4}) % 401) - 200 AS y2
+  FROM part),
+pts AS (
+  SELECT c_custkey AS pid,
+         (({c1}) % 16001) - 8000 AS x,
+         (({c2}) % 8001) - 4000 AS y
+  FROM customer),
+d AS (
+  SELECT p.pid, r.u, r.o,
+    CASE WHEN ((r.x2-r.x1)*(r.x2-r.x1)+(r.y2-r.y1)*(r.y2-r.y1)) = 0
+           OR ((p.x-r.x1)*(r.x2-r.x1)+(p.y-r.y1)*(r.y2-r.y1)) <= 0
+         THEN (p.x-r.x1)*(p.x-r.x1)+(p.y-r.y1)*(p.y-r.y1)
+         WHEN ((p.x-r.x1)*(r.x2-r.x1)+(p.y-r.y1)*(r.y2-r.y1))
+              >= ((r.x2-r.x1)*(r.x2-r.x1)+(r.y2-r.y1)*(r.y2-r.y1))
+         THEN (p.x-r.x2)*(p.x-r.x2)+(p.y-r.y2)*(p.y-r.y2)
+         ELSE (((r.x2-r.x1)*(p.y-r.y1)-(r.y2-r.y1)*(p.x-r.x1))
+             * ((r.x2-r.x1)*(p.y-r.y1)-(r.y2-r.y1)*(p.x-r.x1)))
+              // ((r.x2-r.x1)*(r.x2-r.x1)+(r.y2-r.y1)*(r.y2-r.y1))
+    END AS d2q
+  FROM pts p CROSS JOIN roads r),
+hit AS (SELECT * FROM d WHERE d2q <= {r2}),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY pid ORDER BY d2q, u, o) AS rn FROM hit)
+SELECT pid, u, o, CAST(d2q AS BIGINT) AS d2q FROM rk WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11068,6 +11154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_hidden_partitioning": q183_hidden_partitioning,
         "q184_pmi_collocations": q184_pmi_collocations,
         "q185_distinctive_terms": q185_distinctive_terms,
+        "q186_snap_to_segments": q186_snap_to_segments,
     }
 
 
@@ -11182,6 +11269,7 @@ def oracle_sql() -> dict[str, str]:
         "q183_hidden_partitioning": _Q183_ORACLE,
         "q184_pmi_collocations": _Q184_ORACLE,
         "q185_distinctive_terms": _q185_oracle(),
+        "q186_snap_to_segments": _q186_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -1921,3 +1921,108 @@ def distinctive_terms(
         .select("x", "y", "tok", "n_ct", "n_c", "n_t", "total",
                 "qlift", "rnk")
     )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: int,
+    bucket: int,
+    pid_col: str = "pid",
+    px_col: str = "x",
+    py_col: str = "y",
+) -> DataFrame:
+    """Nearest-segment snap — the map-matching primitive: for each
+    point, the closest segment within ``radius`` coordinate units
+    (GPS ping → road edge, changeset centroid → way). Integer
+    coordinates throughout, the q176 discipline.
+
+    ``segments`` carries ``(u, o, x1, y1, x2, y2)`` — owner id, segment
+    id, endpoints. CONTRACT (caller-checked, as segment_crossings):
+    ``bucket >= max segment extent per axis + radius`` — then a point
+    within ``radius`` of a segment sits within 1 bucket of the
+    segment's bbox MIN corner in each axis, and the 3×3 neighbor-offset
+    equi-join is LOSSLESS. The 9× explode rides on the SEGMENT side
+    (the road network is orders of magnitude smaller than the ping
+    stream; replicating it costs 9× a dim, not 9× the facts).
+
+    Distance: exact integer point-to-segment geometry with the
+    interior case FLOOR-QUANTIZED to 1 unit² —
+
+        t_num = (p-a)·d;  len2 = d·d
+        d2q = |p-a|²             when t_num <= 0 (or len2 = 0)
+            = |p-b|²             when t_num >= len2
+            = cross(d, p-a)² div len2   otherwise
+
+    — the exact rational cross²/len2 floored (nonnegative, so Spark
+    ``div`` ≡ DuckDB ``//`` ≡ floor; the one place the R119 rule lets
+    truncation stand in for floor). Endpoint distances stay exact.
+    Quantization error < 1 unit² and both engines compute the SAME
+    quantity, so the oracle is bit-exact. Keep ``(extent + radius)² <
+    2^41`` (cross² below 2^62) — true for any sub-degree µdeg leg.
+
+    The winner per point is min over candidates of the TUPLE
+    ``(d2q, u, o)`` — a deterministic total order (exact-tie points
+    snap to the smallest owner/segment id, pinned by pytest). Points
+    with no segment inside ``radius`` are absent from the output (the
+    coverage-gap complement is q167's radius_anti_join).
+
+    Scale shape: ONE equi-join on the bucket key; the expensive exact
+    geometry runs only on bucket-colocated pairs; the argmin is a
+    map-side-combined min(struct) groupBy on (pid) — no window over
+    candidates, no all-pairs anywhere.
+    """
+    bd = F.lit(int(bucket))
+
+    def _fd(c):
+        return ((c - F.pmod(c, bd)) / bd).cast("long")
+
+    segs = segments.select(
+        "u", "o", "x1", "y1", "x2", "y2",
+        _fd(F.least("x1", "x2")).alias("bx"),
+        _fd(F.least("y1", "y2")).alias("by"),
+    )
+    seg9 = segs.select(
+        "u", "o", "x1", "y1", "x2", "y2",
+        F.explode(F.array(*[
+            F.struct((F.col("bx") + F.lit(ox)).alias("jx"),
+                     (F.col("by") + F.lit(oy)).alias("jy"))
+            for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+        ])).alias("j"),
+    ).select("u", "o", "x1", "y1", "x2", "y2",
+             F.col("j.jx").alias("jx"), F.col("j.jy").alias("jy"))
+    pts = points.select(
+        F.col(pid_col).alias("pid"),
+        F.col(px_col).alias("px"), F.col(py_col).alias("py"),
+        _fd(F.col(px_col)).alias("jx"), _fd(F.col(py_col)).alias("jy"),
+    )
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    len2 = dx * dx + dy * dy
+    t_num = (F.col("px") - F.col("x1")) * dx \
+        + (F.col("py") - F.col("y1")) * dy
+    cross = dx * (F.col("py") - F.col("y1")) \
+        - dy * (F.col("px") - F.col("x1"))
+    d2a = (F.col("px") - F.col("x1")) * (F.col("px") - F.col("x1")) \
+        + (F.col("py") - F.col("y1")) * (F.col("py") - F.col("y1"))
+    d2b = (F.col("px") - F.col("x2")) * (F.col("px") - F.col("x2")) \
+        + (F.col("py") - F.col("y2")) * (F.col("py") - F.col("y2"))
+    d2q = (
+        F.when((len2 == 0) | (t_num <= 0), d2a)
+        .when(t_num >= len2, d2b)
+        .otherwise(F.expr("(__cr * __cr) div __l2"))
+    )
+    cand = (
+        pts.join(seg9, ["jx", "jy"])
+        .withColumn("__cr", cross)
+        .withColumn("__l2", len2)
+        .withColumn("d2q", d2q.cast("long"))
+        .where(F.col("d2q") <= F.lit(int(radius) * int(radius)))
+    )
+    best = (
+        cand.groupBy("pid")
+        .agg(F.min(F.struct("d2q", "u", "o")).alias("b"))
+        .select("pid", F.col("b.u").alias("u"), F.col("b.o").alias("o"),
+                F.col("b.d2q").alias("d2q"))
+    )
+    return best

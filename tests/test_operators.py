@@ -3365,3 +3365,47 @@ def test_distinctive_terms_planted_cells(spark):
     assert got[(c, "x")] == (2, 4, 2, 12, 1, 1)
     assert got[(c, "y")] == (2, 4, 2, 12, 1, 2)
     assert len(got) == 4  # nothing else survives min_count
+
+
+def test_snap_to_segments_planted_geometry(spark):
+    """Planted roads: interior projection (floor-quantized), beyond-
+    endpoint fallback, degenerate point-segments, the (d2q, u, o)
+    deterministic tie-break, and radius exclusion."""
+    from osmcha_spark.operators.tiles import snap_to_segments
+
+    segs = spark.createDataFrame([
+        (1, 1, 0, 0, 100, 0),        # horizontal road
+        (2, 7, 0, 60, 100, 60),      # parallel road 60 above
+        (3, 9, 500, 500, 500, 500),  # degenerate (zero-length)
+    ], "u long, o long, x1 long, y1 long, x2 long, y2 long")
+    pts = spark.createDataFrame([
+        (10, 50, 30),     # exactly between the parallels: tie at 900
+        (11, 120, 40),    # beyond both ends; nearer seg 2's endpoint
+        (12, 50, -10),    # interior projection onto seg 1
+        (13, 505, 510),   # endpoint distance to the degenerate segment
+        (14, 5000, 5000),  # nothing within radius
+        (15, 103, 4),     # interior? no - beyond end: 9+16=25 exact
+    ], "pid long, x long, y long")
+    out = {r.pid: (r.u, r.o, r.d2q)
+           for r in snap_to_segments(pts, segs, radius=300,
+                                     bucket=500).collect()}
+    assert out == {
+        10: (1, 1, 900),   # tie on d2q -> smallest (u, o)
+        11: (2, 7, 800),   # (120,40): seg1 d2b=2000, seg2 d2b=800
+        12: (1, 1, 100),
+        13: (3, 9, 125),
+        15: (1, 1, 25),
+    }
+    # interior floor-quantization: cross^2 div len2 on a non-exact
+    # projection - seg (0,0)-(10,1), len2 = 101. (5,5): t = 55 interior,
+    # cross = 10*5 - 1*5 = 45 -> 2025 div 101 = 20 (true 20.049);
+    # (5,6): cross = 55 -> 3025 div 101 = 29 (true 29.95, floored)
+    segs2 = spark.createDataFrame([(1, 1, 0, 0, 10, 1)],
+                                  "u long, o long, x1 long, y1 long, "
+                                  "x2 long, y2 long")
+    pts2 = spark.createDataFrame([(20, 5, 5), (21, 5, 6)],
+                                 "pid long, x long, y long")
+    out2 = {r.pid: r.d2q
+            for r in snap_to_segments(pts2, segs2, radius=300,
+                                      bucket=500).collect()}
+    assert out2 == {20: 20, 21: 29}
