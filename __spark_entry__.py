@@ -10904,6 +10904,80 @@ SELECT pid, u, o, CAST(d2q AS BIGINT) AS d2q FROM rk WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------- q187
+
+def q187_k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three k-core peel rounds (operators/graph.py:k_core_peel —
+    Seidman 1983 / Batagelj-Zaveršnik peeling): remove degree-<k
+    vertices, cascade, repeat. Graph: q82's deterministic synthetic
+    edges over documents (ring ±1/±2 + scatter 37i+5), k=6 — the one
+    degree most vertices sit exactly AT, so each round's removals push
+    new vertices under the bar and the cascade stays live (492 → 468 →
+    380 survivors at sf0.001; the derived-fixture tuning rule). The
+    oracle chains the degree→filter round CTE-for-CTE three times —
+    the q62/q74 explicit-step discipline (the fixed-point wrapper is
+    the same loop driver-side, pytest-pinned). Output (node, deg) =
+    survivors with their degree in the surviving edge set."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.graph import k_core_peel
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.join(F.broadcast(n_docs))
+    near = base.select(
+        F.col("doc_id").alias("s"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") + 1) % F.col("__n"),
+                (F.col("doc_id") + 2) % F.col("__n"),
+            )
+        ).alias("t"),
+    )
+    scatter = base.select(
+        F.col("doc_id").alias("s"),
+        ((F.col("doc_id") * 37 + 5) % F.col("__n")).alias("t"),
+    )
+    edges = (
+        near.unionAll(scatter)
+        .where(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    return k_core_peel(edges, k=6, rounds=3)
+
+
+def _q187_oracle() -> str:
+    k = 6
+    ctes = ["""n AS (SELECT count(*) AS nn FROM documents),
+ks AS (SELECT unnest([1, 2]) AS k),
+raw AS (
+  SELECT d.doc_id AS s, (d.doc_id + ks.k) % n.nn AS t FROM documents d, n, ks
+  UNION ALL
+  SELECT d.doc_id AS s, (d.doc_id * 37 + 5) % n.nn AS t FROM documents d, n
+),
+e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t
+)"""]
+    for i in range(3):
+        ctes.append(f"""d{i} AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i})
+  GROUP BY v),
+s{i} AS (SELECT v FROM d{i} WHERE deg >= {k}),
+e{i + 1} AS (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN s{i} x ON x.v = e.a JOIN s{i} y ON y.v = e.b)""")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT v AS node, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3)
+GROUP BY v
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11155,6 +11229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_pmi_collocations": q184_pmi_collocations,
         "q185_distinctive_terms": q185_distinctive_terms,
         "q186_snap_to_segments": q186_snap_to_segments,
+        "q187_k_core_peel": q187_k_core_peel,
     }
 
 
@@ -11270,6 +11345,7 @@ def oracle_sql() -> dict[str, str]:
         "q184_pmi_collocations": _Q184_ORACLE,
         "q185_distinctive_terms": _q185_oracle(),
         "q186_snap_to_segments": _q186_oracle(),
+        "q187_k_core_peel": _q187_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -379,3 +379,64 @@ def lpa_step(
             .cast("long").alias(label_col),
         )
     )
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``rounds`` synchronous peel iterations toward the k-core
+    (Seidman 1983; Batagelj & Zaveršnik's peeling formulation) over an
+    undirected simple graph given as canonical edges (``a < b``,
+    distinct — the triangle_counts contract). Each round removes every
+    vertex whose CURRENT degree is below ``k`` (and the edges touching
+    it); removals cascade, which is exactly why the k-core is not a
+    one-shot degree filter. Returns ``(node, deg)`` — the surviving
+    vertices with their degree in the surviving edge set.
+
+    ``rounds`` is EXPLICIT, the q62/q74 step discipline: a fixed round
+    count is what the SQL oracle can mirror CTE-for-CTE (q187 chains
+    three degree→filter rounds), and the caller loops to the fixed
+    point for the true core (each round is monotone — the survivor set
+    only shrinks — so `rounds` ≥ the cascade depth converges; on a
+    10^12-edge graph cascade depth is the long tail, checkpoint every
+    round and stop when the survivor count stabilizes). Note the
+    returned degrees may still be below ``k`` when the cascade hasn't
+    converged — the NEXT round's removals, visible by construction.
+
+    Scale shape per round: one map-side-combined degree aggregation
+    (endpoints union → groupBy) and two broadcast-eligible LEFT SEMI
+    joins of the edge set against the survivor dim (survivors ≤
+    vertices ≪ edges); lineage truncated per round (localCheckpoint,
+    or reliable checkpoints via ``checkpoint_dir`` — the pagerank/bfs
+    durability tradeoff). Isolated vertices never appear (no edges),
+    matching k ≥ 1 semantics.
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.localCheckpoint() if checkpoint_dir is None
+            else df.checkpoint()
+        )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    e = edges.select("a", "b")
+    for _ in range(int(rounds)):
+        keep = _deg(e).where(F.col("deg") >= int(k)).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+        )
+        e = _ckpt(e)
+    return _deg(e).select(F.col("v").alias("node"), "deg")

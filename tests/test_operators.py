@@ -3409,3 +3409,31 @@ def test_snap_to_segments_planted_geometry(spark):
             for r in snap_to_segments(pts2, segs2, radius=300,
                                       bucket=500).collect()}
     assert out2 == {20: 20, 21: 29}
+
+
+def test_k_core_peel_cascade_and_fixed_point(spark):
+    """Planted graphs: a 4-clique with a pendant path under k=3 peels
+    the tail and keeps the clique intact; a pure path under k=2
+    cascades to empty in exactly two rounds (round 1 strips the ends,
+    round 2 the middle — the one-shot degree filter would stop at
+    round 1's wrong answer); extra rounds past the fixed point are
+    no-ops."""
+    from osmcha_spark.operators.graph import k_core_peel
+
+    clique_tail = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+        "a long, b long")
+    out = {r.node: r.deg
+           for r in k_core_peel(clique_tail, k=3, rounds=2).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                 "a long, b long")
+    r1 = {(r.node, r.deg) for r in k_core_peel(path, 2, 1).collect()}
+    assert r1 == {(1, 1), (2, 1)}  # ends stripped; middles now under k
+    assert k_core_peel(path, 2, 2).count() == 0  # cascade completes
+    assert k_core_peel(path, 2, 5).count() == 0  # fixed point is stable
+    # fixed point of the clique: more rounds change nothing
+    out5 = {r.node: r.deg
+            for r in k_core_peel(clique_tail, k=3, rounds=5).collect()}
+    assert out5 == out
