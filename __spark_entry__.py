@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -10978,6 +10978,125 @@ GROUP BY v
 """
 
 
+# --------------------------------------------------------------- q188
+
+def q188_route_reconstruction(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Route reconstruction — map-matching composed end-to-end: pings
+    (one per order, jittered around the mover's home) snap to the SAME
+    derived road network as q186 (identical hash salts — one network,
+    two queries), unsnapped pings drop, and consecutive same-segment
+    pings collapse into LEGS per mover (the lag-marks-boundary +
+    running-sum trick on ONE mover-hash window, the q144 gaps-and-
+    islands discipline). Output (mover, leg, u, o, n_pings, start_pid):
+    the matched edge path each mover drove, in order. Oracle = q186's
+    definitional all-pairs snap + the identical window algebra,
+    WINDOW-for-WINDOW. A revisit to an earlier road opens a NEW leg
+    (pinned by the composition pytest via the path semantics)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.tiles import snap_to_segments
+
+    h1 = synth.hash_of("p_partkey", "rx", synth.SPARK)
+    h2 = synth.hash_of("p_partkey", "ry", synth.SPARK)
+    h3 = synth.hash_of("p_partkey", "rex", synth.SPARK)
+    h4 = synth.hash_of("p_partkey", "rey", synth.SPARK)
+    roads = spark.sql(f"""
+SELECT p_partkey AS u, CAST(1 AS BIGINT) AS o,
+       (({h1}) % 16001) - 8000 AS x1,
+       (({h2}) % 8001) - 4000 AS y1,
+       ((({h1}) % 16001) - 8000) + (({h3}) % 401) - 200 AS x2,
+       ((({h2}) % 8001) - 4000) + (({h4}) % 401) - 200 AS y2
+FROM part
+""")
+    hx = synth.hash_of("o_custkey", "hx", synth.SPARK)
+    hy = synth.hash_of("o_custkey", "hy", synth.SPARK)
+    jx = synth.hash_of("o_orderkey", "jx", synth.SPARK)
+    jy = synth.hash_of("o_orderkey", "jy", synth.SPARK)
+    pings = spark.sql(f"""
+SELECT o_orderkey AS pid, o_custkey AS mover,
+       ((({hx}) % 14001) - 7000) + (({jx}) % 1001) - 500 AS x,
+       ((({hy}) % 7001) - 3500) + (({jy}) % 1001) - 500 AS y
+FROM orders
+""")
+    snapped = snap_to_segments(pings, roads, radius=_Q186_R,
+                               bucket=_Q186_B)
+    seq = pings.select("pid", "mover").join(snapped, "pid")
+    w = Window.partitionBy("mover").orderBy("pid")
+    prev_u, prev_o = F.lag("u").over(w), F.lag("o").over(w)
+    new_leg = (
+        prev_u.isNull() | (prev_u != F.col("u")) | (prev_o != F.col("o"))
+    ).cast("long")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    legs = seq.withColumn("__nl", new_leg).withColumn(
+        "leg", F.sum("__nl").over(cum))
+    return (
+        legs.groupBy("mover", "leg", "u", "o")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pings"),
+             F.min("pid").alias("start_pid"))
+    )
+
+
+def _q188_oracle() -> str:
+    h1 = synth.hash_of("p_partkey", "rx", D)
+    h2 = synth.hash_of("p_partkey", "ry", D)
+    h3 = synth.hash_of("p_partkey", "rex", D)
+    h4 = synth.hash_of("p_partkey", "rey", D)
+    hx = synth.hash_of("o_custkey", "hx", D)
+    hy = synth.hash_of("o_custkey", "hy", D)
+    jx = synth.hash_of("o_orderkey", "jx", D)
+    jy = synth.hash_of("o_orderkey", "jy", D)
+    r2 = _Q186_R * _Q186_R
+    return f"""
+WITH roads AS (
+  SELECT p_partkey AS u, CAST(1 AS BIGINT) AS o,
+         (({h1}) % 16001) - 8000 AS x1,
+         (({h2}) % 8001) - 4000 AS y1,
+         ((({h1}) % 16001) - 8000) + (({h3}) % 401) - 200 AS x2,
+         ((({h2}) % 8001) - 4000) + (({h4}) % 401) - 200 AS y2
+  FROM part),
+pings AS (
+  SELECT o_orderkey AS pid, o_custkey AS mover,
+         ((({hx}) % 14001) - 7000) + (({jx}) % 1001) - 500 AS x,
+         ((({hy}) % 7001) - 3500) + (({jy}) % 1001) - 500 AS y
+  FROM orders),
+d AS (
+  SELECT p.pid, r.u, r.o,
+    CASE WHEN ((r.x2-r.x1)*(r.x2-r.x1)+(r.y2-r.y1)*(r.y2-r.y1)) = 0
+           OR ((p.x-r.x1)*(r.x2-r.x1)+(p.y-r.y1)*(r.y2-r.y1)) <= 0
+         THEN (p.x-r.x1)*(p.x-r.x1)+(p.y-r.y1)*(p.y-r.y1)
+         WHEN ((p.x-r.x1)*(r.x2-r.x1)+(p.y-r.y1)*(r.y2-r.y1))
+              >= ((r.x2-r.x1)*(r.x2-r.x1)+(r.y2-r.y1)*(r.y2-r.y1))
+         THEN (p.x-r.x2)*(p.x-r.x2)+(p.y-r.y2)*(p.y-r.y2)
+         ELSE (((r.x2-r.x1)*(p.y-r.y1)-(r.y2-r.y1)*(p.x-r.x1))
+             * ((r.x2-r.x1)*(p.y-r.y1)-(r.y2-r.y1)*(p.x-r.x1)))
+              // ((r.x2-r.x1)*(r.x2-r.x1)+(r.y2-r.y1)*(r.y2-r.y1))
+    END AS d2q
+  FROM pings p CROSS JOIN roads r),
+best AS (
+  SELECT pid, u, o FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY pid ORDER BY d2q, u, o) AS rn
+    FROM d WHERE d2q <= {r2}) WHERE rn = 1),
+seq AS (
+  SELECT p.mover, p.pid, b.u, b.o
+  FROM pings p JOIN best b ON b.pid = p.pid),
+lg AS (
+  SELECT mover, pid, u, o,
+    CASE WHEN lag(u) OVER w IS NULL
+           OR lag(u) OVER w <> u OR lag(o) OVER w <> o
+         THEN 1 ELSE 0 END AS nl
+  FROM seq WINDOW w AS (PARTITION BY mover ORDER BY pid)),
+legs AS (
+  SELECT mover, pid, u, o,
+         CAST(sum(nl) OVER (PARTITION BY mover ORDER BY pid
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS leg
+  FROM lg)
+SELECT mover, leg, u, o, CAST(count(*) AS BIGINT) AS n_pings,
+       min(pid) AS start_pid
+FROM legs GROUP BY 1, 2, 3, 4
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11230,6 +11349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_distinctive_terms": q185_distinctive_terms,
         "q186_snap_to_segments": q186_snap_to_segments,
         "q187_k_core_peel": q187_k_core_peel,
+        "q188_route_reconstruction": q188_route_reconstruction,
     }
 
 
@@ -11346,6 +11466,7 @@ def oracle_sql() -> dict[str, str]:
         "q185_distinctive_terms": _q185_oracle(),
         "q186_snap_to_segments": _q186_oracle(),
         "q187_k_core_peel": _q187_oracle(),
+        "q188_route_reconstruction": _q188_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

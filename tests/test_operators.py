@@ -3437,3 +3437,41 @@ def test_k_core_peel_cascade_and_fixed_point(spark):
     out5 = {r.node: r.deg
             for r in k_core_peel(clique_tail, k=3, rounds=5).collect()}
     assert out5 == out
+
+
+def test_route_reconstruction_leg_semantics(spark):
+    """Composition semantics of snap + collapse (q188): consecutive
+    same-segment pings merge into one leg, a road REVISIT opens a new
+    leg, and unsnapped pings drop without bridging the legs around
+    them."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.tiles import snap_to_segments
+
+    roads = spark.createDataFrame([
+        (1, 1, 0, 0, 100, 0),      # road A along y=0
+        (2, 1, 0, 1000, 100, 1000),  # road B along y=1000
+    ], "u long, o long, x1 long, y1 long, x2 long, y2 long")
+    # mover 7 drives A, A, (off-grid), B, A: expect legs A(2), B(1), A(1)
+    pings = spark.createDataFrame([
+        (1, 7, 10, 5), (2, 7, 20, 5), (3, 7, 50, 50000),
+        (4, 7, 30, 995), (5, 7, 40, 5),
+    ], "pid long, mover long, x long, y long")
+    snapped = snap_to_segments(pings, roads, radius=300, bucket=500)
+    seq = pings.select("pid", "mover").join(snapped, "pid")
+    w = Window.partitionBy("mover").orderBy("pid")
+    pu, po = F.lag("u").over(w), F.lag("o").over(w)
+    nl = (pu.isNull() | (pu != F.col("u")) | (po != F.col("o"))) \
+        .cast("long")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    legs = (
+        seq.withColumn("__nl", nl)
+        .withColumn("leg", F.sum("__nl").over(cum))
+        .groupBy("mover", "leg", "u")
+        .agg(F.count(F.lit(1)).alias("n_pings"),
+             F.min("pid").alias("start_pid"))
+    )
+    got = sorted((r.leg, r.u, r.n_pings, r.start_pid)
+                 for r in legs.collect())
+    assert got == [(1, 1, 2, 1), (2, 2, 1, 4), (3, 1, 1, 5)]
