@@ -11097,6 +11097,56 @@ FROM legs GROUP BY 1, 2, 3, 4
 """
 
 
+# --------------------------------------------------------------- q189
+
+def q189_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental equi-join view maintenance (operators/incremental.py:
+    join_mv_sync — the delta-join ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB over two
+    append-only snapshot tables, q170's group-by MV generalized to
+    joins): customers and orders each land in two batches, the join MV
+    is built once and synced twice, and the result must equal the
+    DEFINITIONAL full join — which is exactly the oracle. ΔA joins the
+    NEW B and ΔB the OLD A (time-travel read), so Δ×Δ pairs land
+    exactly once; the MV is append-only by construction (appends can
+    only add join rows), frontier = the (a_sid, b_sid) tag pair,
+    replays repoint. Sync bookkeeping (frontiers, exactly-once,
+    partition-pruned side scans) is pytest-pinned."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.incremental import join_mv_sync
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q189")
+    A = os.path.join(work, "cust")
+    B = os.path.join(work, "ord")
+    MV = os.path.join(work, "mv")
+    cust = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).select(F.col("c_custkey").alias("key"),
+             F.col("c_nationkey").cast("long").alias("nat"))
+    orde = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select(F.col("o_custkey").alias("key"),
+             F.col("o_orderkey").alias("oid"),
+             F.round(F.col("o_totalprice") * 100).cast("long")
+             .alias("cents"))
+    T.snapshot_create(cust.where(F.col("key") % 3 != 0), A)
+    T.snapshot_create(orde.where(F.col("oid") % 2 == 0), B)
+    join_mv_sync(spark, A, B, MV, "key", ["nat"], ["oid", "cents"])
+    T.snapshot_append(cust.where(F.col("key") % 3 == 0), A)
+    join_mv_sync(spark, A, B, MV, "key", ["nat"], ["oid", "cents"])
+    T.snapshot_append(orde.where(F.col("oid") % 2 == 1), B)
+    join_mv_sync(spark, A, B, MV, "key", ["nat"], ["oid", "cents"])
+    return T.read_snapshot(spark, MV).select("key", "nat", "oid", "cents")
+
+
+_Q189_ORACLE = """
+SELECT c.c_custkey AS key, CAST(c.c_nationkey AS BIGINT) AS nat,
+       o.o_orderkey AS oid,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11350,6 +11400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_snap_to_segments": q186_snap_to_segments,
         "q187_k_core_peel": q187_k_core_peel,
         "q188_route_reconstruction": q188_route_reconstruction,
+        "q189_incremental_join_mv": q189_incremental_join_mv,
     }
 
 
@@ -11467,6 +11518,7 @@ def oracle_sql() -> dict[str, str]:
         "q186_snap_to_segments": _q186_oracle(),
         "q187_k_core_peel": _q187_oracle(),
         "q188_route_reconstruction": _q188_oracle(),
+        "q189_incremental_join_mv": _Q189_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

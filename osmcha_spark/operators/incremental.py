@@ -414,3 +414,113 @@ def mv_sync(
                             commit_id=f"sync-{cur}")
     T.snapshot_tag(mv_path, f"sync-{cur}")
     return sid
+
+
+def join_mv_sync(
+    spark,
+    a_path: str,
+    b_path: str,
+    mv_path: str,
+    key: str,
+    a_cols: list,
+    b_cols: list,
+) -> int | None:
+    """Incrementally maintain an EQUI-JOIN materialized view
+    ``J = A ⋈_key B`` of two append-only snapshot tables — the
+    delta-join rung on top of :func:`mv_sync`'s group-by rollup
+    (classic incremental view maintenance; Blakeley et al. 1986):
+
+        ΔJ = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    ΔA joins against the NEW B (so ΔA×ΔB pairs land exactly once) and
+    ΔB against the OLD A (time travel gives A_old for free — snapshots
+    are immutable, no second bookkeeping). Appends on the bases can
+    only ADD join rows, so the MV itself is append-only: every sync is
+    ONE :func:`~osmcha_spark.sources.tables.snapshot_append` of the
+    delta — never a rewrite.
+
+    The applied frontier is the PAIR of base snapshot ids, recorded as
+    an MV tag ``sync-<a_sid>-<b_sid>`` with the same string as
+    commit_id — replays repoint, never double-append (the mv_sync
+    exactly-once discipline); a frontier-advancing sync with an EMPTY
+    delta still commits (the frontier must move). A rewrite/compaction/
+    delete on either base inside the window makes snapshot_changes
+    RAISE (q133's append-only contract) — silent drift is impossible.
+
+    Steady-state cost: O(ΔA·sel + ΔB·sel) join work plus ONE side scan
+    each — and when a base is PARTITIONED on the join key, the scan
+    side is partition-pruned to the delta's touched keys driver-side
+    (the metadata-scale collect, incremental.py:104's precedent), so
+    a small delta against a 100 TB base reads only the matching
+    partitions. Unpartitioned bases pay the side scan; co-locate or
+    bucket them on the key for production rates (the q76 layout).
+    """
+    from osmcha_spark.sources import tables as T
+
+    ca = T.current_snapshot(a_path)
+    cb = T.current_snapshot(b_path)
+    if ca is None or cb is None:
+        raise FileNotFoundError("both base tables must be committed")
+
+    def _proj(df, cols):
+        return df.select(key, *cols)
+
+    def _read_side(path, sid, keys_df):
+        """Side scan for a delta join — partition-pruned to the
+        delta's keys when the base is partitioned on the join key."""
+        man = T._load_manifest(path, sid)
+        if man.get("partition_col") == key and keys_df is not None:
+            keys = [r[0] for r in keys_df.distinct().collect()]
+            if not keys:
+                return None
+            if not T.snapshot_files(path, sid, partitions=keys):
+                return None  # pruning proved the term empty
+            return T.read_snapshot(spark, path, sid, partitions=keys)
+        return T.read_snapshot(spark, path, sid)
+
+    if T.current_snapshot(mv_path) is None:
+        full = _proj(T.read_snapshot(spark, a_path, ca), a_cols).join(
+            _proj(T.read_snapshot(spark, b_path, cb), b_cols), key)
+        T.snapshot_create(full, mv_path, commit_id=f"sync-{ca}-{cb}")
+        T.snapshot_tag(mv_path, f"sync-{ca}-{cb}")
+        return T.current_snapshot(mv_path)
+
+    fronts = []
+    for n in T.list_tags(mv_path):
+        if n.startswith("sync-"):
+            a, b = n[5:].split("-")
+            fronts.append((int(a), int(b)))
+    if not fronts:
+        raise ValueError(f"{mv_path} has no sync-*-* frontier tag: not "
+                         "a join_mv_sync-maintained view")
+    fa, fb = max(fronts)
+    done = T._find_commit(mv_path, f"sync-{ca}-{cb}")
+    if done is not None:
+        if T.current_snapshot(mv_path) != done:
+            T._point_current(mv_path, done)
+            return done
+        return None
+    if (fa, fb) == (ca, cb):
+        return None
+
+    terms = []
+    if ca > fa:
+        da = _proj(T.snapshot_changes(spark, a_path, fa, ca), a_cols)
+        b_side = _read_side(b_path, cb, da.select(key))
+        if b_side is not None:
+            terms.append(da.join(_proj(b_side, b_cols), key))
+    if cb > fb:
+        db = _proj(T.snapshot_changes(spark, b_path, fb, cb), b_cols)
+        a_side = _read_side(a_path, fa, db.select(key))
+        if a_side is not None:
+            terms.append(_proj(a_side, a_cols).join(db, key))
+    if terms:
+        delta = terms[0]
+        for t in terms[1:]:
+            delta = delta.unionByName(t)
+    else:
+        mv_schema = T.read_snapshot(spark, mv_path)
+        delta = mv_schema.limit(0)
+    sid = T.snapshot_append(delta, mv_path, commit_id=f"sync-{ca}-{cb}")
+    T.snapshot_tag(mv_path, f"sync-{ca}-{cb}")
+    return sid

@@ -1183,3 +1183,82 @@ def test_hidden_partition_transforms(spark, tmp_path):
         T.snapshot_create(df.selectExpr("id", "id * 0.5 AS f"),
                           str(tmp_path / "y"),
                           partition_transform=("bucket", 4, "f"))
+
+
+def test_join_mv_sync_delta_join_maintenance(spark, tmp_path):
+    """Incremental equi-join MV: every sync state equals the full join,
+    the (a, b) frontier pair advances even on an EMPTY delta, replays
+    heal a lost pointer, and a base rewrite inside the window raises
+    via the changelog contract."""
+    import pytest
+
+    from osmcha_spark.operators.incremental import join_mv_sync
+
+    A, B, MV = (str(tmp_path / x) for x in ("a", "b", "mv"))
+    cust = spark.range(0, 20).selectExpr("id AS key", "id * 11 AS nat")
+    orde = spark.range(0, 60).selectExpr(
+        "id % 25 AS key", "id AS oid", "id * 7 AS cents")
+
+    def mv_equals_full():
+        full = cust_now.join(orde_now, "key") \
+            .select("key", "nat", "oid", "cents")
+        mv = T.read_snapshot(spark, MV).select("key", "nat", "oid",
+                                               "cents")
+        assert mv.exceptAll(full).count() == 0
+        assert full.exceptAll(mv).count() == 0
+
+    cust_now = cust.where("key % 3 != 0")
+    orde_now = orde.where("oid % 2 = 0")
+    # B partitioned on the join key: the dA term side-scan is pruned
+    T.snapshot_create(cust_now, A)
+    T.snapshot_create(orde_now, B, partition_col="key")
+    join_mv_sync(spark, A, B, MV, "key", ["nat"], ["oid", "cents"])
+    mv_equals_full()
+
+    T.snapshot_append(cust.where("key % 3 = 0"), A)
+    cust_now = cust
+    s1 = join_mv_sync(spark, A, B, MV, "key", ["nat"], ["oid", "cents"])
+    mv_equals_full()
+
+    # up to date -> None
+    assert join_mv_sync(spark, A, B, MV, "key", ["nat"],
+                        ["oid", "cents"]) is None
+
+    # lost pointer: repoint MV back, replay heals to the done commit
+    T._point_current(MV, 0)
+    healed = join_mv_sync(spark, A, B, MV, "key", ["nat"],
+                          ["oid", "cents"])
+    assert healed == s1 and T.current_snapshot(MV) == s1
+    mv_equals_full()
+
+    # a delta whose keys join nothing still ADVANCES the frontier
+    T.snapshot_append(
+        spark.range(1000, 1003).selectExpr("id AS key", "id AS nat"), A)
+    cust_now = cust.unionByName(
+        spark.range(1000, 1003).selectExpr("id AS key", "id AS nat"))
+    s2 = join_mv_sync(spark, A, B, MV, "key", ["nat"], ["oid", "cents"])
+    assert s2 is not None
+    mv_equals_full()
+    assert join_mv_sync(spark, A, B, MV, "key", ["nat"],
+                        ["oid", "cents"]) is None
+
+    # both sides advance in one window: dAxB_new + A_old x dB, the
+    # dA x dB pairs exactly once
+    T.snapshot_append(
+        spark.range(20, 22).selectExpr("id AS key", "id * 11 AS nat"), A)
+    T.snapshot_append(orde.where("oid % 2 = 1"), B)
+    cust_now = cust_now.unionByName(
+        spark.range(20, 22).selectExpr("id AS key", "id * 11 AS nat"))
+    orde_now = orde
+    join_mv_sync(spark, A, B, MV, "key", ["nat"], ["oid", "cents"])
+    mv_equals_full()
+
+    # a compaction on a base INSIDE the window poisons the changelog
+    for i in range(3):
+        T.snapshot_append(
+            spark.range(100 + i, 101 + i)
+            .selectExpr("id AS key", "id AS nat"), A)
+    if T.snapshot_compact(spark, A, target_bytes=1 << 20) is not None:
+        with pytest.raises(ValueError):
+            join_mv_sync(spark, A, B, MV, "key", ["nat"],
+                         ["oid", "cents"])
