@@ -11210,7 +11210,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # residual + q106 refine + q110 stored index all stay), q96
     # (stream upsert; q105 versioned streaming commits + the snapshot
     # streaming sink pytest stay). All five displaced keep their
-    # r4-green rows and the local sweep. See SURVEY.md §2.13.
+    # r4-green rows and the local sweep. Final-r5 displacement #6: the three
+    # biggest new machineries seat over composition/subsumed slots —
+    # q183 (hidden partition transforms) over q111_cluster_split (pure
+    # composition of components ∘ sampling, r4-green), q182 (full-outer
+    # stream-stream) over q112_stream_tumbling (its harness and window
+    # machinery strictly contained in still-seated q122's chained
+    # distinct windows, r4-green), q189 (incremental join MV) over
+    # q114_sampled_quantiles (composition sampling ∘ percentile,
+    # r4-green). All three displaced move to the dict END and stay in
+    # the local sweep. See SURVEY.md §2.13.
     return {
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
@@ -11222,10 +11231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_bfs_hops": q108_bfs_hops,
         "q109_compaction": q109_compaction,
         "q110_ivf_index_maintenance": q110_ivf_index_maintenance,
-        "q111_cluster_split": q111_cluster_split,
-        "q112_stream_tumbling": q112_stream_tumbling,
+        "q183_hidden_partitioning": q183_hidden_partitioning,
+        "q182_stream_full_outer_join": q182_stream_full_outer_join,
         "q113_shot_cuts": q113_shot_cuts,
-        "q114_sampled_quantiles": q114_sampled_quantiles,
+        "q189_incremental_join_mv": q189_incremental_join_mv,
         "q115_focal_density": q115_focal_density,
         "q116_pit_enrich": q116_pit_enrich,
         "q117_apply_changes": q117_apply_changes,
@@ -11393,14 +11402,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_route_similarity": q179_route_similarity,
         "q180_stream_anti_join": q180_stream_anti_join,
         "q181_snapshot_history": q181_snapshot_history,
-        "q182_stream_full_outer_join": q182_stream_full_outer_join,
-        "q183_hidden_partitioning": q183_hidden_partitioning,
         "q184_pmi_collocations": q184_pmi_collocations,
         "q185_distinctive_terms": q185_distinctive_terms,
         "q186_snap_to_segments": q186_snap_to_segments,
         "q187_k_core_peel": q187_k_core_peel,
         "q188_route_reconstruction": q188_route_reconstruction,
-        "q189_incremental_join_mv": q189_incremental_join_mv,
+        "q111_cluster_split": q111_cluster_split,
+        "q112_stream_tumbling": q112_stream_tumbling,
+        "q114_sampled_quantiles": q114_sampled_quantiles,
     }
 
 
