@@ -11147,6 +11147,89 @@ FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 """
 
 
+# --------------------------------------------------------------- q190
+
+def q190_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic inter-arrival histogram (operators/events.py:
+    gap_histogram): per-user consecutive-event gaps bucketed by
+    flog2(gap_us + 1) and counted per event type — the burstiness
+    profile that sizes watermarks and session gaps. Oracle mirrors the
+    (ts, event_id) tiebreak window, the +1 shift, and the
+    format('{:b}') bit-length flog2 term-for-term; min/max per bucket
+    ride along and must sit inside the dyadic envelope."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.events import gap_histogram
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return gap_histogram(ev)
+
+
+_Q190_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t FROM events
+),
+g AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS gap
+  FROM e
+),
+h AS (
+  SELECT event_type,
+         CAST(length(format('{:b}', gap + 1)) - 1 AS BIGINT) AS bucket,
+         gap
+  FROM g WHERE gap IS NOT NULL
+)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+       min(gap) AS min_gap_us, max(gap) AS max_gap_us
+FROM h GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- q191
+
+def q191_trimmed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trimmed aggregates (operators/quantiles.py:
+    trimmed_agg): 10% two-sided trim of event cents per event type
+    under the deterministic (value, event_id) order — exact integer
+    (n_total, n_kept, sum_kept), the robust-mean rung. The oracle
+    mirrors the window, the floored cut count and the rank band
+    term-for-term; DuckDB's integer // equals Spark div here because
+    every quantity is nonnegative (the R119 rule's safe case)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.quantiles import trimmed_agg
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return trimmed_agg(ev, "event_type", "cents", 1, 10, "event_id")
+
+
+_Q191_ORACLE = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+rk AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+kept AS (
+  SELECT * FROM rk
+  WHERE rk > (n * 1) // 10 AND rk <= n - (n * 1) // 10
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(cents) AS BIGINT) AS sum_kept
+FROM kept GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11410,6 +11493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_cluster_split": q111_cluster_split,
         "q112_stream_tumbling": q112_stream_tumbling,
         "q114_sampled_quantiles": q114_sampled_quantiles,
+        "q190_gap_histogram": q190_gap_histogram,
+        "q191_trimmed_agg": q191_trimmed_agg,
     }
 
 
@@ -11528,6 +11613,8 @@ def oracle_sql() -> dict[str, str]:
         "q187_k_core_peel": _q187_oracle(),
         "q188_route_reconstruction": _q188_oracle(),
         "q189_incremental_join_mv": _Q189_ORACLE,
+        "q190_gap_histogram": _Q190_ORACLE,
+        "q191_trimmed_agg": _Q191_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -550,3 +550,50 @@ def revert_events(
         .select("object", "event_id", "ts_us", "reverter",
                 "reverted_user", "state")
     )
+
+
+def gap_histogram(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str | None = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dyadic inter-arrival-time histogram — the latency/burstiness
+    profile an ops pipeline reads before sizing watermarks, session
+    gaps and TTLs: per key, the gap between consecutive events, bucketed
+    by ``flog2(gap_us + 1)`` (exact integer floor-log2, text.py's
+    bit-length idiom — bucket 0 = same-microsecond, each bucket doubles)
+    and counted per ``type_col`` of the LATER event (None = one global
+    histogram). First event per key has no gap and is excluded.
+
+    Order within a key is ``(ts, id_col)`` — the q144 deterministic
+    tiebreak, so equal-timestamp events produce stable zero-gap
+    buckets in both engines.
+
+    Output: ``(event_type?, bucket, n, min_gap_us, max_gap_us)`` —
+    the min/max per bucket ride along so the dyadic envelope can be
+    sanity-checked (min >= 2^bucket − 1, max < 2^(bucket+1) − 1).
+
+    Scale shape: ONE key-hash window (lag) then a map-side-combined
+    groupBy of the RESULT — the histogram is ≤ types × 64 rows no
+    matter the corpus; nothing after the window touches event rows
+    twice.
+    """
+    from osmcha_spark.operators.text import flog2_col
+
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_us, F.col(id_col))
+    gap = ts_us - F.lag(ts_us).over(w)
+    base = events.withColumn("__gap", gap).where(F.col("__gap").isNotNull())
+    bucket = flog2_col(F.col("__gap") + 1).cast("long")
+    keys = ([F.col(type_col).alias("event_type")] if type_col else []) \
+        + [bucket.alias("bucket")]
+    return (
+        base.select(*keys, "__gap")
+        .groupBy(*[c for c in (["event_type"] if type_col else [])],
+                 "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("__gap").alias("min_gap_us"),
+             F.max("__gap").alias("max_gap_us"))
+    )

@@ -158,3 +158,55 @@ def grouped_order_statistics(df: DataFrame, group_col: str,
         picked["grp"].alias(group_col), "p_ppm", "rank",
         F.col("v").alias("value"),
     )
+
+
+def trimmed_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_num: int,
+    trim_den: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-group TRIMMED aggregates — the robust-mean rung between the
+    exact percentiles (order_statistics) and the MAD outlier flags
+    (curation.mad_outliers): drop the lowest and highest
+    ``floor(n · trim_num / trim_den)`` rows of each group and return
+    exact integer (count, sum) over the kept middle, so the caller's
+    trimmed mean = sum_kept / n_kept is immune to the tail it chose to
+    cut. trim_num/trim_den is an exact rational (1/10 = classic 10%
+    trim); the cut count floors, so tiny groups degrade to the plain
+    aggregate (n·p < 1 trims nothing) — pinned by pytest.
+
+    Order within a group is ``(value, id_col)`` — the deterministic
+    total order (ties cut by id, the q144 tiebreak rule), which makes
+    WHICH duplicate of a tied value gets trimmed reproducible in both
+    engines.
+
+    Output: ``(group_col, n_total, n_kept, sum_kept)``, all int64.
+
+    Scale shape: ONE group-hash window provides both row_number and
+    the group count (same partitioning, one Exchange + sort); the
+    final rollup groups on the SAME key, so Catalyst reuses the
+    partitioning — per-task state is one group's sorted run, the
+    grouped_order_statistics discipline. For extreme-cardinality
+    single groups swap in q99's bucketed selection, same tradeoff as
+    mad_outliers (documented there).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col))
+    wc = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col, value_col,
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    cut = F.expr(f"(__n * {int(trim_num)}) div {int(trim_den)}")
+    kept = ranked.where(
+        (F.col("__rk") > cut) & (F.col("__rk") <= F.col("__n") - cut))
+    return (
+        kept.groupBy(group_col)
+        .agg(F.max("__n").cast("long").alias("n_total"),
+             F.count(F.lit(1)).cast("long").alias("n_kept"),
+             F.sum(value_col).cast("long").alias("sum_kept"))
+    )

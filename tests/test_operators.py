@@ -3475,3 +3475,60 @@ def test_route_reconstruction_leg_semantics(spark):
     got = sorted((r.leg, r.u, r.n_pings, r.start_pid)
                  for r in legs.collect())
     assert got == [(1, 1, 2, 1), (2, 2, 1, 4), (3, 1, 1, 5)]
+
+
+def test_gap_histogram_dyadic_buckets(spark):
+    """Hand gaps: the (ts, id) tiebreak makes same-microsecond events a
+    deterministic zero-gap (bucket 0); buckets double; first event per
+    key excluded; the dyadic envelope holds."""
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.operators.events import gap_histogram
+
+    T0 = 1_700_000_000_000_000
+    rows = [
+        (1, T0, "a", 1), (2, T0, "a", 1),        # tie: gap 0 -> bucket 0
+        (3, T0 + 1, "a", 1),                      # gap 1 -> bucket 1
+        (4, T0 + 1000, "b", 1),                   # gap 999 -> bucket 9
+        (5, T0 + 50, "a", 2),                     # other key: first, none
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, event_type string, user_id long"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "event_type", "user_id")
+    out = {(r.event_type, r.bucket): (r.n, r.min_gap_us, r.max_gap_us)
+           for r in gap_histogram(ev).collect()}
+    assert out == {
+        ("a", 0): (1, 0, 0),
+        ("a", 1): (1, 1, 1),
+        ("b", 9): (1, 999, 999),
+    }
+    # dyadic envelope on real-shaped data: 2^b - 1 <= gap < 2^(b+1) - 1
+    ev2 = spark.createDataFrame(
+        [(i, T0 + i * i * 37, "x", 1) for i in range(1, 40)],
+        "event_id long, us long, event_type string, user_id long"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "event_type", "user_id")
+    for r in gap_histogram(ev2).collect():
+        assert (1 << r.bucket) - 1 <= r.min_gap_us
+        assert r.max_gap_us < (1 << (r.bucket + 1)) - 1
+
+
+def test_trimmed_agg_cut_and_ties(spark):
+    """Hand group: 10% trim of 10 rows cuts exactly one from each end;
+    tied boundary values are cut by id (deterministic); a tiny group
+    (n*p < 1) trims nothing."""
+    from osmcha_spark.operators.quantiles import trimmed_agg
+
+    rows = [(1, "g", v, i) for i, v in
+            enumerate([5, 1, 9, 3, 3, 7, 2, 8, 1, 6])]
+    # sorted by (v, id): 1(id1),1(id8),2,3,3,5,6,7,8,9 -> cut first 1
+    # (id 1) and the 9; kept sum = 1+2+3+3+5+6+7+8 = 35
+    small = [(1, "s", 10, 100), (1, "s", 20, 101)]  # n=2, cut=0
+    df = spark.createDataFrame(
+        [(g, t, v, i) for g, t, v, i in rows + small],
+        "one long, event_type string, cents long, event_id long")
+    out = {r.event_type: (r.n_total, r.n_kept, r.sum_kept)
+           for r in trimmed_agg(df, "event_type", "cents", 1, 10,
+                                "event_id").collect()}
+    assert out == {"g": (10, 8, 35), "s": (2, 2, 30)}
