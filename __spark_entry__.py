@@ -11230,6 +11230,87 @@ FROM kept GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------- q192
+
+def q192_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / reliability table (operators/
+    curation.py:calibration_table) over the q128 fastText-shape
+    quality scores: documents scored by the hashed-ngram classifier
+    (q128's pure-function weight table, rebuilt by the oracle), labeled
+    by whether the token "dup" appears (same q128 tokenizer — the
+    tokenizer-per-stage rule), banded by floor(score/500) — the R119
+    FLOOR idiom, exercised on real NEGATIVE scores — with exact
+    (n, n_pos, min_score, max_score) per band. The empirical rate
+    n_pos/n against the band is the reliability diagram, divided at
+    the edge."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.curation import calibration_table
+    from osmcha_spark.operators.text import hashed_ngram_score, tokens_col
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 211 - 105).cast("long").alias("weight"),
+    )
+    scored = hashed_ngram_score(docs, weights, 4096).join(
+        docs.select(
+            "doc_id",
+            F.array_contains(tokens_col(F.col("text")), "dup")
+            .cast("long").alias("label"),
+        ),
+        "doc_id",
+    )
+    return calibration_table(scored, "score", "label", width=500)
+
+
+_Q192_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+         FROM toks),
+feats AS (
+  SELECT doc_id, tok AS f FROM flat
+  UNION ALL
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS f
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+w AS (
+  SELECT range AS bucket, CAST(range % 211 - 105 AS BIGINT) AS weight
+  FROM range(0, 4096)
+),
+scored AS (
+  SELECT f.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+  FROM feats f
+  JOIN w ON w.bucket =
+    CAST('0x' || substring(md5(f.f), 1, 15) AS BIGINT) % 4096
+  GROUP BY 1
+),
+lab AS (
+  SELECT t.doc_id,
+         CASE WHEN list_contains(t.ts, 'dup') THEN 1 ELSE 0 END AS label
+  FROM toks t
+),
+rows_ AS (
+  SELECT d.doc_id, COALESCE(s.score, 0) AS score,
+         COALESCE(l.label, 0) AS label
+  FROM documents d
+  LEFT JOIN scored s ON s.doc_id = d.doc_id
+  LEFT JOIN lab l ON l.doc_id = d.doc_id
+)
+SELECT CAST((score - ((score % 500) + 500) % 500) // 500 AS BIGINT)
+         AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM rows_ GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11495,6 +11576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_sampled_quantiles": q114_sampled_quantiles,
         "q190_gap_histogram": q190_gap_histogram,
         "q191_trimmed_agg": q191_trimmed_agg,
+        "q192_calibration_table": q192_calibration_table,
     }
 
 
@@ -11615,6 +11697,7 @@ def oracle_sql() -> dict[str, str]:
         "q189_incremental_join_mv": _Q189_ORACLE,
         "q190_gap_histogram": _Q190_ORACLE,
         "q191_trimmed_agg": _Q191_ORACLE,
+        "q192_calibration_table": _Q192_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -588,3 +588,39 @@ def remove_boilerplate_lines(
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
         )
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    width: int,
+) -> DataFrame:
+    """Reliability / calibration table for an integer-scored classifier
+    (the diagram a quality-filter deployment reads before picking its
+    threshold — Niculescu-Mizil & Caruana 2005's binning, integerized):
+    rows band into ``floor(score / width)`` buckets — FLOOR, not
+    truncate: classifier scores go NEGATIVE, so the band expression is
+    the R119 floor-div idiom ``(s − pmod(s, w)) div w``, never bare
+    ``div`` — and each band reports exact ``(n, n_pos, min_score,
+    max_score)``. The empirical positive rate is ``n_pos/n``, divided
+    at the edge (the rational-parts discipline); a well-calibrated
+    score has it rising monotonically with the band.
+
+    Scale shape: ONE map-side-combined groupBy on the banded score —
+    the table is ≤ score-range/width rows at any corpus size; nothing
+    else touches the data.
+    """
+    w = int(width)
+    s = F.col(score_col)
+    band = ((s - F.pmod(s, F.lit(w))) / w).cast("long")
+    return (
+        df.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).cast("long")
+            .alias("n_pos"),
+            F.min(s).cast("long").alias("min_score"),
+            F.max(s).cast("long").alias("max_score"),
+        )
+    )

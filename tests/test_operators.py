@@ -3532,3 +3532,25 @@ def test_trimmed_agg_cut_and_ties(spark):
            for r in trimmed_agg(df, "event_type", "cents", 1, 10,
                                 "event_id").collect()}
     assert out == {"g": (10, 8, 35), "s": (2, 2, 30)}
+
+
+def test_calibration_table_floor_bands(spark):
+    """Hand scores: NEGATIVE scores band by FLOOR (score -1 is band -1,
+    not 0 — the truncation bug the R119 idiom exists to avoid), exact
+    per-band counts/positives, and band edges inclusive."""
+    from osmcha_spark.operators.curation import calibration_table
+
+    rows = [(-1001, 1), (-1000, 0), (-1, 1), (0, 0), (499, 1),
+            (500, 0), (999, 1), (1000, 1)]
+    df = spark.createDataFrame(rows, "score long, label long")
+    out = {r.band: (r.n, r.n_pos, r.min_score, r.max_score)
+           for r in calibration_table(df, "score", "label",
+                                      width=500).collect()}
+    assert out == {
+        -3: (1, 1, -1001, -1001),
+        -2: (1, 0, -1000, -1000),
+        -1: (1, 1, -1, -1),
+        0: (2, 1, 0, 499),
+        1: (2, 1, 500, 999),
+        2: (1, 1, 1000, 1000),
+    }
