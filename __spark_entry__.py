@@ -11311,6 +11311,52 @@ FROM rows_ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- q193
+
+def q193_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell keys (geo/hilbert.py:hilbert_col — the
+    locality-better layout alternative to the Morton key; Iceberg/Delta
+    offer hilbert clustering next to zorder for the same reason): the
+    xy→d bit fold as ONE Catalyst `aggregate` over the bit planes, no
+    UDF. Derived level-8 grid coords (one point per customer); the
+    oracle is the fold UNROLLED one subquery per plane
+    (hilbert_steps_sql — DuckDB 1.0's list_reduce mis-lanes
+    row-dependent accumulators at vector width, measured and
+    documented there), expression-for-expression with the engine's
+    lambda. Bijectivity + unit-step adjacency pinned by pytest against
+    the pure-Python reference; BENCH/hilbert_locality.json measures
+    the files-touched advantage over Morton under identical stats
+    pruning."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.geo.hilbert import hilbert_col
+
+    h1 = synth.hash_of("c_custkey", "gx", synth.SPARK)
+    h2 = synth.hash_of("c_custkey", "gy", synth.SPARK)
+    pts = spark.sql(f"""
+SELECT c_custkey AS pid,
+       ({h1}) % 256 AS x,
+       ({h2}) % 256 AS y
+FROM customer
+""")
+    return pts.select(
+        "pid", "x", "y",
+        hilbert_col(F.col("x"), F.col("y"), 8).alias("h"),
+    )
+
+
+def _q193_oracle() -> str:
+    from osmcha_spark.geo.hilbert import hilbert_steps_sql
+
+    h1 = synth.hash_of("c_custkey", "gx", D)
+    h2 = synth.hash_of("c_custkey", "gy", D)
+    src = f"""(
+SELECT c_custkey AS pid,
+       ({h1}) % 256 AS x,
+       ({h2}) % 256 AS y
+FROM customer)"""
+    return hilbert_steps_sql(src, "x", "y", 8, ["pid", "x", "y"])
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11577,6 +11623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_gap_histogram": q190_gap_histogram,
         "q191_trimmed_agg": q191_trimmed_agg,
         "q192_calibration_table": q192_calibration_table,
+        "q193_hilbert_keys": q193_hilbert_keys,
     }
 
 
@@ -11698,6 +11745,7 @@ def oracle_sql() -> dict[str, str]:
         "q190_gap_histogram": _Q190_ORACLE,
         "q191_trimmed_agg": _Q191_ORACLE,
         "q192_calibration_table": _Q192_ORACLE,
+        "q193_hilbert_keys": _q193_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),
