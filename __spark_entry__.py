@@ -11357,6 +11357,49 @@ FROM customer)"""
     return hilbert_steps_sql(src, "x", "y", 8, ["pid", "x", "y"])
 
 
+# --------------------------------------------------------------- q194
+
+def q194_snapshot_rewrite_hilbert(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Hilbert re-clustering on the snapshot table format
+    (sources/tables.py:snapshot_rewrite_hilbert — the Iceberg/Delta
+    hilbert clustering verb): an UNSORTED point table is rewritten as
+    a full-replacement commit range-partitioned on the on-the-fly
+    Hilbert key (never stored — layout is physical, not schema).
+    Content must be carried row-for-row, which is exactly the oracle
+    (the derived points, plain SQL); the layout improvement itself is
+    pinned by tests/test_tables.py with file-count pruning (skip
+    counts, not timings) and BENCH/hilbert_locality.json."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q194")
+    p = os.path.join(work, "pts")
+    h1 = synth.hash_of("c_custkey", "gx", synth.SPARK)
+    h2 = synth.hash_of("c_custkey", "gy", synth.SPARK)
+    pts = spark.sql(f"""
+SELECT c_custkey AS pid,
+       ({h1}) % 256 AS x,
+       ({h2}) % 256 AS y
+FROM customer
+""")
+    T.snapshot_create(pts.repartition(8), p)
+    T.snapshot_rewrite_hilbert(spark, p, "x", "y", level=8,
+                               target_bytes=4096)
+    return T.read_snapshot(spark, p).select("pid", "x", "y")
+
+
+def _q194_oracle() -> str:
+    h1 = synth.hash_of("c_custkey", "gx", D)
+    h2 = synth.hash_of("c_custkey", "gy", D)
+    return f"""
+SELECT c_custkey AS pid,
+       ({h1}) % 256 AS x,
+       ({h2}) % 256 AS y
+FROM customer
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11624,6 +11667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_trimmed_agg": q191_trimmed_agg,
         "q192_calibration_table": q192_calibration_table,
         "q193_hilbert_keys": q193_hilbert_keys,
+        "q194_snapshot_rewrite_hilbert": q194_snapshot_rewrite_hilbert,
     }
 
 
@@ -11746,6 +11790,7 @@ def oracle_sql() -> dict[str, str]:
         "q191_trimmed_agg": _Q191_ORACLE,
         "q192_calibration_table": _Q192_ORACLE,
         "q193_hilbert_keys": _q193_oracle(),
+        "q194_snapshot_rewrite_hilbert": _q194_oracle(),
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

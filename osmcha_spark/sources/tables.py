@@ -1909,6 +1909,52 @@ def snapshot_rewrite_sorted(spark: SparkSession, path: str,
                    bloom_cols=man.get("bloom_cols"))
 
 
+def snapshot_rewrite_hilbert(spark: SparkSession, path: str,
+                             x_col: str, y_col: str, level: int,
+                             target_bytes: int = 128 * 1024 * 1024,
+                             commit_id: str | None = None) -> int:
+    """Spatially re-CLUSTER the table on the Hilbert key of two integer
+    grid columns (Iceberg/Delta's ``hilbert`` clustering verb, the
+    sibling of :func:`snapshot_rewrite_sorted`'s single-column order):
+    same full-replacement protocol — merge-on-read input, file count
+    sized from the current manifest's bytes, time travel keeps the old
+    layout — but the range partitioning runs on
+    :func:`~osmcha_spark.geo.hilbert.hilbert_col`, so each rewritten
+    file covers one contiguous stretch of the curve and its per-file
+    [min, max] stats on BOTH coordinate columns stay tight (the
+    measured 1.35× fewer files touched per AOI than a Morton layout,
+    23× than unsorted — BENCH/hilbert_locality.json; pruning itself is
+    unchanged, only the layout quality moves). The key is computed on
+    the fly for partitioning and never stored — layout is physical,
+    not schema."""
+    import math
+
+    from osmcha_spark.geo.hilbert import hilbert_col
+
+    if commit_id is not None:
+        done = _find_commit(path, commit_id)
+        if done is not None:
+            if current_snapshot(path) != done:
+                _point_current(path, done)
+            return done
+    cur = current_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    man = _load_manifest(path, cur)
+    _require_no_transform(man, "snapshot_rewrite_hilbert")
+    total = sum(f["bytes"] for f in man["files"])
+    n_files = max(1, math.ceil(total / target_bytes))
+    from pyspark.sql import functions as F
+
+    key = hilbert_col(F.col(x_col), F.col(y_col), int(level))
+    df = read_snapshot(spark, path, cur).repartitionByRange(n_files, key)
+    pcol = man["partition_col"]
+    files = _write_files(df, path, pcol, man.get("bloom_cols"))
+    return _commit(path, files, pcol, cur, commit_id,
+                   schema=man.get("schema"),
+                   bloom_cols=man.get("bloom_cols"))
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` manifests (the current one
     always survives) and vacuum files they exclusively referenced.

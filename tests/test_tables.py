@@ -1262,3 +1262,52 @@ def test_join_mv_sync_delta_join_maintenance(spark, tmp_path):
         with pytest.raises(ValueError):
             join_mv_sync(spark, A, B, MV, "key", ["nat"],
                          ["oid", "cents"])
+
+
+def test_snapshot_rewrite_hilbert_layout_and_content(spark, tmp_path):
+    """Hilbert re-cluster: content carried row-for-row, old layout
+    time-travelable, commit_id replays, and the rewritten layout
+    PRUNES BETTER than the unsorted original on every probed AOI
+    (file counts via snapshot_files — the skip-count discipline)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "pts")
+    lim = 256
+    base = spark.range(20_000).select(
+        "id",
+        (F.expr("cast(conv(substring(md5(concat(cast(id as string), "
+                "'hx')), 1, 15), 16, 10) as bigint)") % lim).alias("x"),
+        (F.expr("cast(conv(substring(md5(concat(cast(id as string), "
+                "'hy')), 1, 15), 16, 10) as bigint)") % lim).alias("y"),
+    )
+    s0 = T.snapshot_create(base.repartition(16), p)
+    before = len(T.snapshot_files(p))
+    s1 = T.snapshot_rewrite_hilbert(spark, p, "x", "y", level=8,
+                                    target_bytes=16 * 1024,
+                                    commit_id="cluster-1")
+    # content identical, both directions
+    now = T.read_snapshot(spark, p)
+    old = T.read_snapshot(spark, p, s0)
+    assert now.exceptAll(old).count() == 0
+    assert old.exceptAll(now).count() == 0
+    # replay repoints, never rewrites again
+    assert T.snapshot_rewrite_hilbert(
+        spark, p, "x", "y", level=8, target_bytes=16 * 1024,
+        commit_id="cluster-1") == s1
+    # layout: every AOI prunes at least as well as the unsorted
+    # snapshot, strictly better in aggregate
+    tot_new = tot_old = 0
+    for i in range(25):
+        hx = int(hashlib.md5(f"ax{i}".encode()).hexdigest()[:15], 16)
+        hy = int(hashlib.md5(f"ay{i}".encode()).hexdigest()[:15], 16)
+        x0, y0 = hx % (lim - 32), hy % (lim - 32)
+        w = [("x", x0, x0 + 31), ("y", y0, y0 + 31)]
+        n_new = len(T.snapshot_files(p, s1, where=w))
+        n_old = len(T.snapshot_files(p, s0, where=w))
+        assert n_new <= n_old
+        tot_new += n_new
+        tot_old += n_old
+    assert tot_new < tot_old
+    assert before > 1  # the unsorted table really was fragmented
