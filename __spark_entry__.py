@@ -11400,6 +11400,53 @@ FROM customer
 """
 
 
+# --------------------------------------------------------------- q195
+
+def q195_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization (operators/rank.py:
+    quantile_normalize): each document's token count mapped to its
+    within-source percent-rank in integer per-mille — the score-mixing
+    move that puts heterogeneous domain scores on one scale before
+    curation_funnel-style thresholds. Value = the q128 tokenizer's
+    token count (the established cross-engine mirror); rank order is
+    the deterministic (value, doc_id) tiebreak; the oracle mirrors
+    window, count and the floored per-mille formula term-for-term
+    (everything nonnegative, so // ≡ div)."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.operators.rank import quantile_normalize
+    from osmcha_spark.operators.text import tokens_col
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(
+        "doc_id", "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("toks"),
+    )
+    return quantile_normalize(docs, "source", "toks", "doc_id")
+
+
+_Q195_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS toks
+  FROM documents
+),
+rk AS (
+  SELECT source, doc_id, toks,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY toks, doc_id) AS BIGINT)
+           AS rnk,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM d
+)
+SELECT source, doc_id, toks, rnk, n,
+       CAST(CASE WHEN n = 1 THEN 0
+            ELSE ((rnk - 1) * 1000) // (n - 1) END AS BIGINT) AS pr
+FROM rk
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11668,6 +11715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_calibration_table": q192_calibration_table,
         "q193_hilbert_keys": q193_hilbert_keys,
         "q194_snapshot_rewrite_hilbert": q194_snapshot_rewrite_hilbert,
+        "q195_quantile_normalize": q195_quantile_normalize,
     }
 
 
@@ -11791,6 +11839,7 @@ def oracle_sql() -> dict[str, str]:
         "q192_calibration_table": _Q192_ORACLE,
         "q193_hilbert_keys": _q193_oracle(),
         "q194_snapshot_rewrite_hilbert": _q194_oracle(),
+        "q195_quantile_normalize": _Q195_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

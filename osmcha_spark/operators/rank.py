@@ -102,3 +102,47 @@ def global_rank(
         )
         .drop("_bkt", "_off", "__n_rows")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group quantile (percent-rank) normalization to integer
+    per-``scale`` units — the move that makes heterogeneous quality
+    scores comparable before mixing sources (a length-based score from
+    one domain and a classifier score from another share no scale;
+    their within-domain ranks do):
+
+        pr = ((rank − 1) · scale) div (n − 1)    (n = 1 → pr = 0)
+
+    with rank = row_number under the deterministic ``(value, id)``
+    order (the q144 tiebreak — tied values get DISTINCT consecutive
+    ranks cut by id, so the output is a pure integer function of the
+    input in both engines; use the rational (rank−1, n−1) columns for
+    tie-aware variants at the edge). pr spans exactly [0, scale] with
+    min → 0 and max → scale.
+
+    Scale shape: ONE group-hash window provides rank and n (single
+    Exchange + sort, the trimmed_agg discipline); output is a
+    projection of it — no second pass, no join. For a single global
+    group use global_rank's two-phase bucket ranking instead (a
+    one-group window serializes; documented there).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col))
+    wc = Window.partitionBy(group_col)
+    s = int(scale)
+    return df.select(
+        group_col, id_col, value_col,
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    ).select(
+        group_col, id_col, value_col, "rnk", "n",
+        F.when(F.col("n") == 1, F.lit(0).cast("long")).otherwise(
+            F.expr(f"((rnk - 1) * {s}) div (n - 1)")
+        ).alias("pr"),
+    )

@@ -3554,3 +3554,26 @@ def test_calibration_table_floor_bands(spark):
         1: (2, 1, 500, 999),
         2: (1, 1, 1000, 1000),
     }
+
+
+def test_quantile_normalize_ranks_and_edges(spark):
+    """Hand groups: pr spans [0, 1000] with min -> 0 and max -> 1000,
+    tied values cut by id into consecutive ranks, a singleton group
+    normalizes to 0, and the floored per-mille values match pencil
+    arithmetic."""
+    from osmcha_spark.operators.rank import quantile_normalize
+
+    rows = [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("a", 4, 20),
+            ("s", 9, 99)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, v long")
+    out = {r.doc_id: (r.rnk, r.n, r.pr)
+           for r in quantile_normalize(df, "source", "v",
+                                       "doc_id").collect()}
+    # order in 'a': 10(id1), 20(id3), 20(id4), 30(id2); n=4
+    assert out == {
+        1: (1, 4, 0),
+        3: (2, 4, 333),   # (1*1000) div 3
+        4: (3, 4, 666),   # (2*1000) div 3
+        2: (4, 4, 1000),
+        9: (1, 1, 0),     # singleton group
+    }
