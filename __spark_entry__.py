@@ -11447,6 +11447,42 @@ FROM rk
 """
 
 
+# --------------------------------------------------------------- q196
+
+def q196_snapshot_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints on the snapshot table format
+    (sources/tables.py:snapshot_create(checks=…) — Delta's table
+    constraints): boolean SQL expressions enforced on every write's
+    input rows in ONE aggregation pass; a violating batch refuses
+    atomically with per-check counts before any file lands, NULL
+    results counting as violations (ANSI CHECK semantics). This query
+    is the HAPPY path — a constrained create + append whose content
+    must equal the plain derivation (the oracle); every refusal
+    branch (create/append/upsert/merge, NULL handling, counts in the
+    message) is pytest-pinned."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q196")
+    p = os.path.join(work, "t")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    checks = ["cents IS NOT NULL", "user_id >= 0", "event_id >= 0"]
+    T.snapshot_create(ev.where(F.col("event_id") % 2 == 0), p,
+                      checks=checks)
+    T.snapshot_append(ev.where(F.col("event_id") % 2 == 1), p)
+    return T.read_snapshot(spark, p).select("event_id", "user_id", "cents")
+
+
+_Q196_ORACLE = """
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11716,6 +11752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_hilbert_keys": q193_hilbert_keys,
         "q194_snapshot_rewrite_hilbert": q194_snapshot_rewrite_hilbert,
         "q195_quantile_normalize": q195_quantile_normalize,
+        "q196_snapshot_checks": q196_snapshot_checks,
     }
 
 
@@ -11840,6 +11877,7 @@ def oracle_sql() -> dict[str, str]:
         "q193_hilbert_keys": _q193_oracle(),
         "q194_snapshot_rewrite_hilbert": _q194_oracle(),
         "q195_quantile_normalize": _Q195_ORACLE,
+        "q196_snapshot_checks": _Q196_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

@@ -259,6 +259,55 @@ def _bloom_maybe_contains(bloom: dict, value) -> bool:
     )
 
 
+def _checks_file(path: str) -> str:
+    return os.path.join(path, "_CHECKS.json")
+
+
+def table_checks(path: str) -> list[str]:
+    """The table's write-time CHECK constraints (may be empty)."""
+    f = _checks_file(path)
+    if not os.path.exists(f):
+        return []
+    with open(f) as fh:
+        return list(_json.load(fh))
+
+
+def _set_checks(path: str, checks: list[str]) -> None:
+    tmp = _checks_file(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(list(checks), fh)
+    os.replace(tmp, _checks_file(path))
+
+
+def _validate_checks(df: DataFrame, checks: list[str], op: str) -> None:
+    """Write-time enforcement (Delta's CHECK constraints): ONE
+    aggregation pass counts violators of every expression at once —
+    NULL check results count as violations (a constraint must PROVE
+    itself, Delta/ANSI semantics) — and the write refuses with the
+    per-check counts. Checks are TABLE-scoped (one `_CHECKS.json` at
+    the root, set at create), not snapshot-versioned — the documented
+    V1 simplification vs Delta's versioned metadata."""
+    if not checks:
+        return
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            F.when(F.expr(c), F.lit(0)).otherwise(F.lit(1))
+        ).alias(f"__c{i}")
+        for i, c in enumerate(checks)
+    ]
+    row = df.agg(*aggs).first()
+    bad = {checks[i]: int(row[i] or 0) for i in range(len(checks))
+           if (row[i] or 0) > 0}
+    if bad:
+        raise ValueError(
+            f"{op} refused: CHECK constraint violations {bad} "
+            "(counts of rows failing each expression; NULL results "
+            "count as violations)"
+        )
+
+
 def _point_current(path: str, sid: int) -> None:
     tmp = os.path.join(path, "_CURRENT.tmp")
     with open(tmp, "w") as fh:
@@ -728,7 +777,8 @@ def snapshot_create(df: DataFrame, path: str,
                     partition_col: str | None = None,
                     commit_id: str | None = None,
                     bloom_cols: list[str] | None = None,
-                    partition_transform: tuple | None = None) -> int:
+                    partition_transform: tuple | None = None,
+                    checks: list[str] | None = None) -> int:
     """Create the table: snapshot 0 holds df's rows. ``partition_col``
     (optional) sets the copy-on-write granularity for later upserts and
     the manifest's file-pruning key. ``bloom_cols`` (optional, a TABLE
@@ -748,8 +798,19 @@ def snapshot_create(df: DataFrame, path: str,
     range-prunable coarse bins (ints floor toward -inf, strings keep
     the leading W chars). Source column must be integer or string. V1
     verbs: append/read/prune/compact/deletes; upsert/merge/evolution/
-    rewrites refuse (q183; tests/test_tables.py)."""
+    rewrites refuse (q183; tests/test_tables.py).
+
+    ``checks`` (optional) declares write-time CHECK constraints — SQL
+    boolean expressions over the table's columns, enforced on EVERY
+    later write's input rows (create/append/upsert/merge; q196): a
+    violating batch refuses atomically with per-check violation counts
+    before any file lands, NULL results counting as violations
+    (Delta/ANSI CHECK semantics). Table-scoped, set once at create
+    (see :func:`_validate_checks` for the V1 scope note)."""
     os.makedirs(path, exist_ok=True)
+    if checks:
+        _validate_checks(df, list(checks), "snapshot_create")
+        _set_checks(path, list(checks))
     if commit_id is not None:
         done = _find_commit(path, commit_id)
         if done is not None:
@@ -1481,6 +1542,7 @@ def snapshot_append(df: DataFrame, path: str,
                     _point_branch(path, branch, done)
                 return done
         man = _load_manifest(path, base)
+        _validate_checks(df, table_checks(path), "snapshot_append")
         schema = _merged_schema(man.get("schema"), df)
         bloom_cols = man.get("bloom_cols")
         new_files = _write_files(df, path, man["partition_col"],
@@ -1503,6 +1565,7 @@ def snapshot_append(df: DataFrame, path: str,
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
+    _validate_checks(df, table_checks(path), "snapshot_append")
     schema = _merged_schema(man.get("schema"), df)
     bloom_cols = man.get("bloom_cols")
     new_files = _write_files(df, path, man["partition_col"], bloom_cols,
@@ -1541,6 +1604,7 @@ def snapshot_upsert(updates: DataFrame, path: str, key: str,
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
     _require_no_transform(man, "snapshot_upsert")
+    _validate_checks(updates, table_checks(path), "snapshot_upsert")
     pcol = man["partition_col"]
     bloom_cols = man.get("bloom_cols")
     schema = _merged_schema(man.get("schema"), updates)
@@ -1623,6 +1687,7 @@ def snapshot_merge_into(source: DataFrame, path: str, key: str,
         raise FileNotFoundError(f"no committed snapshot at {path}")
     man = _load_manifest(path, cur)
     _require_no_transform(man, "snapshot_merge_into")
+    _validate_checks(source, table_checks(path), "snapshot_merge_into")
     pcol = man["partition_col"]
     bloom_cols = man.get("bloom_cols")
     schema = _merged_schema(man.get("schema"), source)

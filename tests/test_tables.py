@@ -1311,3 +1311,45 @@ def test_snapshot_rewrite_hilbert_layout_and_content(spark, tmp_path):
         tot_old += n_old
     assert tot_new < tot_old
     assert before > 1  # the unsorted table really was fragmented
+
+
+def test_snapshot_check_constraints_refuse_bad_writes(spark, tmp_path):
+    """CHECK constraints (q196): a violating create leaves NO table, a
+    violating append/upsert/merge leaves the table at its prior
+    snapshot, NULL check results count as violations, and the error
+    carries per-check violation counts."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    good = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, cents long")
+    bad = spark.createDataFrame(
+        [(3, -5), (4, None), (5, 30)], "id long, cents long")
+
+    # violating CREATE refuses before anything lands
+    with pytest.raises(ValueError, match="snapshot_create refused"):
+        T.snapshot_create(bad, str(tmp_path / "never"),
+                          checks=["cents >= 0"])
+    assert T.current_snapshot(str(tmp_path / "never")) is None
+
+    T.snapshot_create(good, p, checks=["cents >= 0", "id >= 0"])
+    assert T.table_checks(p) == ["cents >= 0", "id >= 0"]
+    s0 = T.current_snapshot(p)
+
+    # append: -5 violates, NULL counts as a violation too -> count 2
+    with pytest.raises(ValueError, match=r"'cents >= 0': 2"):
+        T.snapshot_append(bad, p)
+    assert T.current_snapshot(p) == s0
+    assert T.read_snapshot(spark, p).count() == 2
+
+    # upsert and merge validate their inputs as well
+    with pytest.raises(ValueError, match="snapshot_upsert refused"):
+        T.snapshot_upsert(bad, p, key="id")
+    with pytest.raises(ValueError, match="snapshot_merge_into refused"):
+        T.snapshot_merge_into(bad, p, key="id")
+    assert T.current_snapshot(p) == s0
+
+    # valid writes pass; the constraint keeps holding across verbs
+    T.snapshot_append(spark.createDataFrame([(6, 0)],
+                                            "id long, cents long"), p)
+    assert T.read_snapshot(spark, p).count() == 3
