@@ -11483,6 +11483,43 @@ FROM events
 """
 
 
+# --------------------------------------------------------------- q197
+
+def q197_snapshot_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-based table replication (sources/tables.py:
+    snapshot_replicate — the DR/region-mirror verb): a two-batch
+    source table replicated twice; the second sync copies ONLY the
+    appended files (byte copy, manifest entries cloned verbatim — no
+    Spark job, no re-encode), so the replica's content AND pruning
+    behavior equal the primary's. The query returns the REPLICA's
+    content, which must equal the plain derivation (the oracle); the
+    delta-file-only copy, frontier replays, pointer healing, prune
+    equivalence and the rewrite/delete refusals are pytest-pinned."""
+    _ensure(spark, sf_dir)
+    from osmcha_spark.sources import tables as T
+
+    work = _work_dir("q197")
+    S = os.path.join(work, "src")
+    R = os.path.join(work, "dst")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", (F.col("event_id") % 4).alias("p"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    T.snapshot_create(ev.where(F.col("event_id") % 2 == 0), S,
+                      partition_col="p")
+    T.snapshot_replicate(S, R)
+    T.snapshot_append(ev.where(F.col("event_id") % 2 == 1), S)
+    T.snapshot_replicate(S, R)
+    return T.read_snapshot(spark, R).select("event_id", "p", "cents")
+
+
+_Q197_ORACLE = """
+SELECT event_id, event_id % 4 AS p,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+"""
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -11753,6 +11790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_snapshot_rewrite_hilbert": q194_snapshot_rewrite_hilbert,
         "q195_quantile_normalize": q195_quantile_normalize,
         "q196_snapshot_checks": q196_snapshot_checks,
+        "q197_snapshot_replicate": q197_snapshot_replicate,
     }
 
 
@@ -11878,6 +11916,7 @@ def oracle_sql() -> dict[str, str]:
         "q194_snapshot_rewrite_hilbert": _q194_oracle(),
         "q195_quantile_normalize": _Q195_ORACLE,
         "q196_snapshot_checks": _Q196_ORACLE,
+        "q197_snapshot_replicate": _Q197_ORACLE,
         "q01_analyse": _q01_oracle(),
         "q02_normalize": _q02_oracle(),
         "q03_aoi_rect": _q03_oracle(),

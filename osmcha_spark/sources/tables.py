@@ -2059,3 +2059,89 @@ def vacuum(path: str) -> list[str]:
         if name.startswith("_staging_"):
             _shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return removed
+
+
+def snapshot_replicate(src_path: str, dst_path: str) -> int | None:
+    """Changelog-based table replication (the DR / region-mirror verb;
+    Iceberg's "snapshot referencing + file copy" replication pattern):
+    bring ``dst`` up to ``src``'s current snapshot by COPYING only the
+    data files appended since the last replication — no Spark job, no
+    row rewrite, no re-encode: manifest entries (stats, null counts,
+    Bloom filters, partition values, spec) are cloned verbatim, so the
+    replica prunes exactly like the primary. O(delta bytes) per call.
+
+    Frontier = a ``repl-<src_sid>`` tag on dst with the same string as
+    commit_id (the mv_sync exactly-once discipline: replays repoint,
+    never re-copy). First call = full copy of the current file set.
+    Contract: append-only ranges, like :func:`snapshot_changes` — a
+    rewrite/compaction or an equality/position delete on src inside
+    the window makes the file diff non-representable and this RAISES
+    (resync by replicating into a fresh dst); file NAMES are preserved
+    (uuid-token unique by construction), so a re-copy after a crash
+    mid-copy simply overwrites identical bytes — the commit point
+    remains dst's manifest link, crash-safe like every other commit.
+
+    Returns dst's new snapshot id, or None when already current.
+    """
+    cur = current_snapshot(src_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {src_path}")
+    man = _load_manifest(src_path, cur)
+    if man.get("deletes"):
+        raise ValueError(
+            "snapshot_replicate requires a delete-free source (row-"
+            "level deletes are not representable as a file copy); "
+            "materialize them first (compact/rewrite), then resync"
+        )
+    done = _find_commit(dst_path, f"repl-{cur}")
+    if done is not None:
+        if current_snapshot(dst_path) != done:
+            # heal a lost pointer (crash between commit and repoint)
+            _point_current(dst_path, done)
+            return done
+        return None  # already current: the mv_sync up-to-date contract
+
+    dst_cur = current_snapshot(dst_path)
+    if dst_cur is None:
+        to_copy = list(man["files"])
+        carried: list[dict] = []
+        parent = None
+    else:
+        fronts = [int(n[5:]) for n in list_tags(dst_path)
+                  if n.startswith("repl-")]
+        if not fronts:
+            raise ValueError(
+                f"{dst_path} has no repl-* frontier tag: not a "
+                "snapshot_replicate-maintained replica")
+        frontier = max(fronts)
+        if frontier == cur:
+            return None
+        man_from = _load_manifest(src_path, frontier)
+        old = {f["name"] for f in man_from["files"]}
+        to_names = {f["name"] for f in man["files"]}
+        gone = old - to_names
+        if gone:
+            raise ValueError(
+                f"replication {frontier}->{cur} crosses a rewrite "
+                f"({len(gone)} file(s) were rewritten); replicate "
+                "into a fresh destination to resync"
+            )
+        to_copy = [f for f in man["files"] if f["name"] not in old]
+        carried = _load_manifest(dst_path, dst_cur)["files"]
+        parent = dst_cur
+
+    os.makedirs(_data_dir(dst_path), exist_ok=True)
+    for f in to_copy:
+        _shutil.copyfile(
+            os.path.join(_data_dir(src_path), f["name"]),
+            os.path.join(_data_dir(dst_path), f["name"]),
+        )
+    new_entries = [dict(f) for f in to_copy]
+    for e in new_entries:
+        e.pop("seq", None)  # dst stamps its own data sequence numbers
+    sid = _commit(dst_path, carried + new_entries, man["partition_col"],
+                  parent, f"repl-{cur}", schema=man.get("schema"),
+                  bloom_cols=man.get("bloom_cols"),
+                  transform=man.get("partition_transform"))
+    snapshot_tag(dst_path, f"repl-{cur}")
+    return sid

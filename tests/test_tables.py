@@ -1353,3 +1353,59 @@ def test_snapshot_check_constraints_refuse_bad_writes(spark, tmp_path):
     T.snapshot_append(spark.createDataFrame([(6, 0)],
                                             "id long, cents long"), p)
     assert T.read_snapshot(spark, p).count() == 3
+
+
+def test_snapshot_replicate_delta_copy_and_guards(spark, tmp_path):
+    """Replication (q197): the incremental sync copies ONLY the files
+    appended since the frontier (file-name sets pinned), the replica
+    prunes exactly like the primary (stats cloned), up-to-date returns
+    None, a lost pointer heals, and a source rewrite or pending delete
+    refuses."""
+    import pytest
+
+    S, R = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 100).selectExpr("id", "id % 4 AS p", "id * 3 AS v")
+    T.snapshot_create(df, S, partition_col="p")
+    s0 = T.snapshot_replicate(S, R)
+    assert T.read_snapshot(spark, R).count() == 100
+
+    T.snapshot_append(
+        spark.range(100, 130).selectExpr("id", "id % 4 AS p",
+                                         "id * 3 AS v"), S)
+    before = {f["name"] for f in T.snapshot_files(R)}
+    s1 = T.snapshot_replicate(S, R)
+    copied = {f["name"] for f in T.snapshot_files(R)} - before
+    src_new = ({f["name"] for f in T.snapshot_files(S)}
+               - {f["name"] for f in T.snapshot_files(S, 0)})
+    assert copied == src_new  # delta files only, names preserved
+    assert T.read_snapshot(spark, R).count() == 130
+
+    # replica prunes exactly like the primary (cloned stats/partitions)
+    w = [("id", 110, 120)]
+    assert ({f["name"] for f in T.snapshot_files(R, where=w)}
+            == {f["name"] for f in T.snapshot_files(S, where=w)})
+
+    # up to date -> None; lost pointer heals to the done commit
+    assert T.snapshot_replicate(S, R) is None
+    T._point_current(R, s0)
+    assert T.snapshot_replicate(S, R) == s1
+    assert T.current_snapshot(R) == s1
+
+    # a rewrite on src breaks the append-only window: refuse
+    T.snapshot_upsert(
+        spark.range(0, 5).selectExpr("id", "id % 4 AS p", "id AS v"),
+        S, key="id")
+    with pytest.raises(ValueError, match="crosses a rewrite"):
+        T.snapshot_replicate(S, R)
+    # a fresh replica of the rewritten table is the documented resync
+    R2 = str(tmp_path / "dst2")
+    T.snapshot_replicate(S, R2)
+    now = T.read_snapshot(spark, S)
+    rep = T.read_snapshot(spark, R2)
+    assert rep.exceptAll(now).count() == 0
+    assert now.exceptAll(rep).count() == 0
+
+    # pending row-level deletes are not file-representable: refuse
+    T.snapshot_delete(S, "id", [7])
+    with pytest.raises(ValueError, match="delete-free source"):
+        T.snapshot_replicate(S, str(tmp_path / "dst3"))
