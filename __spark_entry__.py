@@ -11592,7 +11592,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distinct windows, r4-green), q189 (incremental join MV) over
     # q114_sampled_quantiles (composition sampling ∘ percentile,
     # r4-green). All three displaced move to the dict END and stay in
-    # the local sweep. See SURVEY.md §2.13.
+    # the local sweep. Final-r5 displacement #7: q196 (CHECK
+    # constraints) seats over q116_pit_enrich (pure composition of
+    # scd2_history ∘ as_of_join — q70 and q42 both locally swept) and
+    # q197 (table replication) over q118_suspect_caption_density (the
+    # zero-new-operator composition of P7 words ∘ G4 cells ∘ R80 focal
+    # — q115 focal stays SEATED and the other constituents are swept);
+    # both displaced move to the dict END. See SURVEY.md §2.13.
     return {
         "q101_ivfpq_residual": q101_ivfpq_residual,
         "q102_clustered_aoi_scan": q102_clustered_aoi_scan,
@@ -11609,9 +11615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_shot_cuts": q113_shot_cuts,
         "q189_incremental_join_mv": q189_incremental_join_mv,
         "q115_focal_density": q115_focal_density,
-        "q116_pit_enrich": q116_pit_enrich,
+        "q196_snapshot_checks": q196_snapshot_checks,
         "q117_apply_changes": q117_apply_changes,
-        "q118_suspect_caption_density": q118_suspect_caption_density,
+        "q197_snapshot_replicate": q197_snapshot_replicate,
         "q119_embed_decontaminate": q119_embed_decontaminate,
         "q120_image_exact_dup": q120_image_exact_dup,
         "q121_mad_outliers": q121_mad_outliers,
@@ -11789,8 +11795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_hilbert_keys": q193_hilbert_keys,
         "q194_snapshot_rewrite_hilbert": q194_snapshot_rewrite_hilbert,
         "q195_quantile_normalize": q195_quantile_normalize,
-        "q196_snapshot_checks": q196_snapshot_checks,
-        "q197_snapshot_replicate": q197_snapshot_replicate,
+        "q116_pit_enrich": q116_pit_enrich,
+        "q118_suspect_caption_density": q118_suspect_caption_density,
     }
 
 
