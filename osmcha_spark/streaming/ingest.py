@@ -187,6 +187,7 @@ def stream_snapshot_append(
     path: str,
     checkpoint_dir: str,
     partition_col: str | None = None,
+    partition_transform: tuple | None = None,
 ):
     """Changelog ingest into the snapshot table format
     (sources/tables.py): each micro-batch becomes one atomic
@@ -194,8 +195,11 @@ def stream_snapshot_append(
     foreachBatch REPLAY (the at-least-once window after a sink write
     but before the offset commit) finds its manifest and just repoints
     — exactly-once at the TABLE level by idempotence, not by luck.
-    The first batch creates the table (``partition_col`` sets the
-    manifest pruning key for all later commits).
+    The first batch creates the table (``partition_col`` — or
+    ``partition_transform``, the q183 hidden-partitioning spec — sets
+    the manifest pruning key for all later commits; appends inherit
+    the transform as a table property, so a bucket(N, key) stream sink
+    gets point-lookup file pruning with zero caller bookkeeping).
 
     This is the Kappa wiring the format was built for: appends cost
     exactly their own bytes (zero reads, zero rewrites), every commit
@@ -211,7 +215,8 @@ def stream_snapshot_append(
         cid = f"stream-batch-{batch_id}"
         if T.current_snapshot(path) is None:
             T.snapshot_create(batch, path, partition_col=partition_col,
-                              commit_id=cid)
+                              commit_id=cid,
+                              partition_transform=partition_transform)
         else:
             T.snapshot_append(batch, path, commit_id=cid)
 

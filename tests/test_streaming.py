@@ -1264,3 +1264,50 @@ def test_stream_anti_join_suppression_and_drain(spark, tmp_path):
            .where("k >= 0").collect()}
     # v4's purchase arrived at +49 min > 45-min window: NOT suppressed
     assert got == {2, 4}
+
+
+def test_stream_into_hidden_partition_table(spark, tmp_path):
+    """Kappa + hidden partitioning composed: a file stream sinks into a
+    bucket-transformed snapshot table (first batch creates with the
+    transform, later micro-batch appends INHERIT it), and point
+    lookups on the SOURCE column prune files across every commit."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from osmcha_spark.sources import tables as T
+    from osmcha_spark.streaming import stream_snapshot_append
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+
+    def stage(lo, hi, name):
+        df = spark.range(lo, hi).selectExpr("id", "id % 13 AS k",
+                                            "id * 2 AS v")
+        tmp = str(tmp_path / f"_s_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    os.path.join(in_dir, name))
+
+    stage(0, 60, "b1.parquet")
+    stage(60, 120, "b2.parquet")
+    table = str(tmp_path / "t")
+    s = spark.readStream.schema("id long, k long, v long") \
+        .option("maxFilesPerTrigger", "1").parquet(in_dir)
+    q = stream_snapshot_append(
+        s, table, str(tmp_path / "ck"),
+        partition_transform=("bucket", 4, "k"))
+    q.awaitTermination()
+
+    man_files = T.snapshot_files(table)
+    assert sorted({f["partition"] for f in man_files}) \
+        == ["0", "1", "2", "3"]
+    pruned = T.snapshot_files(table, where_eq=[("k", 5)])
+    assert 0 < len(pruned) < len(man_files)
+    assert len({f["partition"] for f in pruned}) == 1
+    got = (T.read_snapshot(spark, table, where_eq=[("k", 5)])
+           .where("k = 5").count())
+    assert got == sum(1 for i in range(120) if i % 13 == 5)
+    # both micro-batches landed exactly once
+    assert T.read_snapshot(spark, table).count() == 120
