@@ -1022,3 +1022,27 @@ def test_distinctive_terms_plan_shape(spark):
     assert "BroadcastExchange" in plan, plan
     assert "Window" in plan, plan
     assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_snap_to_segments_plan_shape(spark):
+    """snap_to_segments (q186) plan contract: ONE equi-join on the
+    bucket key (no cartesian, no nested-loop), the 9x offset explode
+    on the segment side only, the per-point argmin as a two-phase
+    HashAggregate (map-side combined min(struct)), and zero Python
+    eval nodes."""
+    from osmcha_spark.operators.tiles import snap_to_segments
+
+    pts = spark.createDataFrame([(1, 0, 0)], "pid long, x long, y long")
+    segs = spark.createDataFrame(
+        [(1, 1, 0, 0, 10, 0)],
+        "u long, o long, x1 long, y1 long, x2 long, y2 long")
+    plan = _plan(snap_to_segments(pts, segs, radius=100, bucket=500))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan  # the 9x explode, segment side
+    # min(struct(...)) plans as a two-phase SORT aggregate (struct
+    # ordering is sort-based, not hash-based) — partial + final
+    assert "partial_min(struct" in plan, plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") \
+        >= 2, plan
